@@ -1,0 +1,45 @@
+"""Batch table registry over the driver-generated parquet fixtures.
+
+The reference's only "table" is a bounded in-memory SPSC queue
+(``WindowPublisher.java:66-68``); our engine's at-rest model is columnar
+parquet read through Spark's vectorized reader, with column pruning and
+predicate pushdown reaching the scan (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast in joins at any scale.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Keep this a plain ``spark.read.parquet`` so
+    Catalyst sees a pushdown-capable scan (no caching layer in the way)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
