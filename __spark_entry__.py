@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship TPC-H-Q1-shaped aggregate at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 Part B, merged from the per-module registries.
 """
 
 from __future__ import annotations
@@ -13,26 +11,46 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from reactor_window_like_flink_spark.contract import merge
+from reactor_window_like_flink_spark.operators.relational import REG as _RELATIONAL
+
+_ALL_REGS = [_RELATIONAL]
+
+try:  # scalar-function surface (keys 34-39, 51)
+    from reactor_window_like_flink_spark.functions.scalar import REG as _SCALAR
+
+    _ALL_REGS.append(_SCALAR)
+except ImportError:
+    pass
+
+try:  # streaming window surface (keys 40-45)
+    from reactor_window_like_flink_spark.streaming.windows import REG as _STREAMING
+
+    _ALL_REGS.append(_STREAMING)
+except ImportError:
+    pass
+
+try:  # LLM-pipeline surface (keys 46-50 + training-data extras)
+    from reactor_window_like_flink_spark.llm import REGS as _LLM_REGS
+
+    _ALL_REGS.extend(_LLM_REGS)
+except ImportError:
+    pass
+
+_QUERIES, _ORACLE = merge(*_ALL_REGS)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (q_agg_group, TPC-H Q1 shape) on sf0.001."""
+    return _QUERIES["q_agg_group"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 Part B."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query key; keys absent here are
+    verified rows-only (non-SQL-expressible per SURVEY.md §2)."""
+    return dict(_ORACLE)

@@ -1,0 +1,764 @@
+"""Relational operator inventory: scans, projection/filter, all join
+variants, aggregation (incl. multi-level), analytic windows, sort/limit,
+set ops.
+
+This is the "rich operators" surface the reference's README claims via the
+Reactor vocabulary (``/root/reference/README.md:83,92``) and the keyed
+aggregation it documents as ``groupBy``/``collectMap``
+(``/root/reference/README.md:54``), realized as Spark SQL relational
+algebra. Everything here is pure DataFrame API — Catalyst does predicate
+pushdown / column pruning / join selection; no custom rules (SURVEY.md §4.2).
+
+Scale notes (100 TB posture) are inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+
+# ---------------------------------------------------------------- scans
+
+@REG.add(
+    "q_scan_parquet",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan + count. At 100 TB this is a metadata-only count for
+    parquet (row-group stats); Spark never materializes rows."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@REG.add(
+    "q_scan_pruned",
+    """
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned + filtered scan: ReadSchema in the physical plan must
+    show only 2 of 11 columns; the modulo predicate stays post-scan but the
+    projection reaches the parquet reader."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_extendedprice").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+
+
+# --------------------------------------------------- projection / filter
+
+@REG.add(
+    "q_project_expr",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection. Per-row IEEE ops evaluate identically in any
+    engine — no rounding needed (contract.py determinism rules)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + F.col("l_tax"))).alias("charge"),
+    )
+
+
+@REG.add(
+    "q_filter_pred",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+      AND l_returnflag IN ('A', 'N')
+      AND l_linestatus LIKE 'F%'
+      AND l_partkey IS NOT NULL
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: range, BETWEEN, IN, LIKE, IS NOT NULL.
+    All pushdown-eligible (TPC-H Q6 shape); at scale the shipdate range
+    prunes row groups via parquet min/max stats."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isin("A", "N")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_partkey").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# ------------------------------------------------------------------ joins
+
+@REG.add(
+    "q_join_inner",
+    """
+    SELECT o_orderkey, c_name, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join. customer is small relative to orders at every SF, so
+    AQE converts this to a broadcast hash join at runtime; at 100 TB with a
+    huge customer table it degrades gracefully to sort-merge on the shuffled
+    key."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_name", "o_totalprice", "c_mktsegment")
+
+
+@REG.add(
+    "q_join_broadcast",
+    """
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small dim (part). At 100 TB the fact side
+    never shuffles for the join — only the final groupBy(p_brand) shuffles,
+    over ~|brands| pre-aggregated rows (map-side partial agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@REG.add(
+    "q_join_multi",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table chain. Dims (nation, region) broadcast;
+    lineitem⋈orders is the only big-big join — Catalyst/AQE reorders and
+    picks the strategy. The orderdate filter pushes to the orders scan."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@REG.add(
+    "q_join_left",
+    """
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "spend"
+            ),
+        )
+    )
+
+
+@REG.add(
+    "q_join_full",
+    """
+    SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+    FROM customer FULL JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: null-padded on both unmatched sides."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "full"
+    ).select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+
+
+@REG.add(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join — emits each qualifying customer once, never
+    duplicates, and the probe side short-circuits on first match."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@REG.add(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join: customers with no large order (the
+    unfiltered variant is empty on this data — every customer has orders)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@REG.add(
+    "q_join_theta",
+    """
+    SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: event pairs per user within a 5-minute window.
+    The equi key (user_id) keeps this a hash join with a residual range
+    predicate — NEVER a cartesian product; at 100 TB the per-user band
+    bounds the blow-up to in-partition pairs."""
+    events = load(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@REG.add(
+    "q_join_asof",
+    """
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
+           CAST(floor(epoch(last_click_ts)) AS BIGINT) AS click_ts
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same user
+    at-or-before it. Spark has no native ASOF JOIN; the scalable composition
+    is a single sort within user partitions + last_value(ignore nulls) over
+    the unioned event stream — O(n log n), one shuffle, no range join blow-up
+    (SURVEY.md §4.2 item 2)."""
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        events.withColumn(
+            "last_click_ts", F.last(click_ts, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_ts"),
+            F.unix_timestamp("last_click_ts").alias("click_ts"),
+        )
+    )
+
+
+# ------------------------------------------------------------ aggregation
+
+@REG.add(
+    "q_agg_global",
+    """
+    SELECT ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_extendedprice) AS max_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — partial aggregation on every input partition,
+    single-row final combine; no data-proportional shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@REG.add(
+    "q_agg_group",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped multi-aggregate groupBy. Low-cardinality
+    keys → map-side partial agg collapses 100 TB of input to |groups| rows
+    per partition before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@REG.add(
+    "q_agg_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) — Catalyst expands to a two-phase
+    aggregate; at scale prefer one distinct column per query or
+    approx_count_distinct to avoid the expand blow-up."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@REG.add("q_agg_approx_distinct")  # rows-only: HLL estimates are not hash-stable
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). The 100 TB path: mergeable
+    sketches, no exact distinct shuffle. Verified rows-only — HLL estimates
+    differ across engines by construction."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@REG.add(
+    "q_agg_quantile",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (oracle-matching). At 100 TB switch to
+    percentile_approx (t-digest-style mergeable sketch) — exact percentile
+    requires a per-group sort."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@REG.add(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — Spark expands to a union-style Expand node; one pass
+    over the data produces all grouping levels."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@REG.add(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+    )
+
+
+@REG.add(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@REG.add(
+    "q_agg_collect",
+    """
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted list (collect_list + array_sort), emitted as a CSV
+    string so the value-hash is type-stable. Skew note: a hot key collects
+    its whole group on one task — cap with slicing at scale."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+            "order_keys"
+        )
+    )
+
+
+# --------------------------------------------------- analytic windows
+
+@REG.add(
+    "q_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number. Ordering tie broken by the unique
+    o_orderkey so row_number is deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@REG.add(
+    "q_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@REG.add(
+    "q_window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user via lag(); next event type via lead()."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@REG.add(
+    "q_window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, day_num,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS mavg_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day_num
+      FROM orders
+    )
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (30-day trailing average) over a numeric day offset —
+    value-based frames need a numeric/ordinal order key in Spark."""
+    orders = load(spark, sf_dir, "orders")
+    with_day = orders.withColumn(
+        "day_num",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+    return with_day.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("mavg_30d"),
+    )
+
+
+@REG.add(
+    "q_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Spark pushes a per-partition top-k
+    (WindowGroupLimit) below the shuffle since 3.5 — no full per-group sort
+    materialization at scale."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ------------------------------------------------- sort / limit / set ops
+
+@REG.add(
+    "q_sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — per-partition heaps
+    of size N, no global sort, driver merges N*partitions rows. Ties at the
+    boundary are broken by the unique (orderkey, linenumber)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@REG.add(
+    "q_union",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@REG.add(
+    "q_union_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return a.union(b)
+
+
+@REG.add(
+    "q_intersect",
+    """
+    SELECT o_custkey FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    rich = customer.filter(F.col("c_acctbal") > 1000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.select("o_custkey").intersect(rich)
+
+
+@REG.add(
+    "q_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return customer.select("c_custkey").subtract(
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
@@ -33,10 +34,22 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Keep this a plain ``spark.read.parquet`` so
-    Catalyst sees a pushdown-capable scan (no caching layer in the way)."""
+    Catalyst sees a pushdown-capable scan (no caching layer in the way).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    outright (PARQUET_TYPE_ILLEGAL); read it as raw nanos via the legacy
+    conf and rebuild a microsecond timestamp with exact integer division —
+    ``ts / 1000`` in double would lose ~7 bits of sub-second precision.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

@@ -1,0 +1,125 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet dir, then compares row count, column-name set, and
+order-insensitive values (columns sorted by name, rows sorted). Exact value
+equality is required — the operator modules are responsible for emitting
+hash-stable types (see contract.py determinism rules).
+
+Usage: python tools/verify_oracle.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            try:
+                df[c] = df[c].astype("float64")
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    if len(s) == len(d):
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if sv.dtype == "float64" and dv.dtype == "float64":
+                both_nan = sv.isna() & dv.isna()
+                eq = (sv == dv) | both_nan
+            else:
+                eq = (sv.astype(str) == dv.astype(str))
+            bad = (~eq).to_numpy().nonzero()[0]
+            if len(bad):
+                i = bad[0]
+                problems.append(
+                    f"values differ in col {c!r}: {len(bad)} rows, first at sorted-row "
+                    f"{i}: spark={s[c].iloc[i]!r} duck={d[c].iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from reactor_window_like_flink_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duck_connect(sf_dir)
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            nrows = len(spark_pdf)
+            print(f"ROWS-ONLY {name}: {nrows} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        problems = compare(spark_pdf, duck_pdf)
+        if problems:
+            print(f"FAIL {name} ({time.time()-t0:.1f}s):")
+            for p in problems:
+                print(f"   {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
