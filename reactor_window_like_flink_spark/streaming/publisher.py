@@ -1,0 +1,142 @@
+"""WindowedPublisher — the reference's public API shape
+(``WindowPublisher.java:21-150``) re-expressed on Structured Streaming.
+
+Mapping (SURVEY.md §1.2, §3):
+
+==============================  =========================================
+reference                       here
+==============================  =========================================
+``publish(item)`` /             ``FileStreamInput.publish(rows)`` — append
+``publish(Collection)``         a file to the watched source dir; Spark's
+(``WindowPublisher.java:80-93``) file source admits it on the next trigger
+``asyncPublish`` ack map        not needed — pull-based sources + exactly-
+(``:100-111``)                  once checkpointing subsume per-record acks
+``bufferTimeout(maxSize, dur)`` trigger(processingTime=duration) = time
+(``:70-72``)                    path; in-batch re-chunking to <= max_size
+                                = count path; empty chunks never delivered
+``subscribe(consumer[, err])``  ``subscribe(stream_df, consumer, on_error)``
+(``:132-150``)                  via ``foreachBatch``
+blocking pool backpressure      micro-batch scheduling: the next trigger
+(``:155-169``)                  cannot fire until the consumer returns —
+                                the same lossless stall, minus the threads
+==============================  =========================================
+
+Durability is an upgrade, not a port: the reference loses queue + in-flight
+contents on crash (``README.md:100``); a checkpointLocation here resumes
+from the last committed offset.
+
+Scale note: ``consumer`` receives driver-side row chunks — the faithful
+single-machine analog of the reference's consumer pool. For cluster-side
+sinks pass ``consumer_df`` instead, which receives the micro-batch
+DataFrame and runs distributed (that is the 100 TB path).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+class FileStreamInput:
+    """Push-style producer facade over Spark's pull-based file source.
+
+    Each ``publish(rows)`` appends one parquet file to the watched
+    directory — the analog of the reference's sync batch publish
+    (``WindowPublisher.java:89-93``): once ``publish`` returns, the rows
+    are durably admitted and will be delivered exactly once.
+    ``max_files_per_trigger`` is the admission-control knob standing in
+    for the reference's bounded queue (``WindowPublisher.java:66-68``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: StructType | str,
+        directory: str,
+        max_files_per_trigger: int | None = None,
+    ) -> None:
+        self._spark = spark
+        self._schema = schema
+        self._dir = directory
+        self._max_files = max_files_per_trigger
+        self._lock = threading.Lock()
+        os.makedirs(directory, exist_ok=True)
+
+    def publish(self, rows: Sequence[Any]) -> None:
+        """Durably admit a batch of rows (lossless, like sync publish)."""
+        df = self._spark.createDataFrame(list(rows), self._schema)
+        with self._lock:  # serialized admission, like the unicast emit path
+            df.coalesce(1).write.mode("append").parquet(self._dir)
+
+    def stream(self) -> DataFrame:
+        reader = self._spark.readStream.schema(self._schema)
+        if self._max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", self._max_files)
+        return reader.parquet(self._dir)
+
+
+class WindowedPublisher:
+    """Hybrid count-or-time windowed delivery (reference A5 + A7/A8)."""
+
+    def __init__(
+        self,
+        window_max_batch_size: int = 16,
+        window_duration_seconds: float = 1.0,
+    ) -> None:
+        if window_max_batch_size <= 0:
+            raise ValueError("window_max_batch_size must be positive")
+        if window_duration_seconds <= 0:
+            raise ValueError("window_duration_seconds must be positive")
+        self.max_batch_size = window_max_batch_size
+        self.window_duration_seconds = window_duration_seconds
+
+    def subscribe(
+        self,
+        stream_df: DataFrame,
+        consumer: Callable[[list[Row]], None] | None = None,
+        on_error: Callable[[Exception], None] | None = None,
+        consumer_df: Callable[[DataFrame, int], None] | None = None,
+        checkpoint_dir: str | None = None,
+        query_name: str | None = None,
+    ) -> StreamingQuery:
+        """Start delivery. Exactly one of ``consumer`` (driver-side row
+        chunks of <= max_batch_size, the reference shape) or
+        ``consumer_df`` (distributed micro-batch DataFrame, the scale
+        shape) must be given. Errors route to ``on_error`` if provided,
+        mirroring ``subscribe(consumer, errorConsumer)``
+        (``WindowPublisher.java:142-150``); otherwise they fail the query.
+        """
+        if (consumer is None) == (consumer_df is None):
+            raise ValueError("pass exactly one of consumer / consumer_df")
+        max_n = self.max_batch_size
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            try:
+                if consumer_df is not None:
+                    consumer_df(batch_df, batch_id)
+                    return
+                rows = batch_df.collect()
+                for i in range(0, len(rows), max_n):
+                    chunk = rows[i : i + max_n]
+                    if chunk:  # never deliver empty windows (ref :72)
+                        consumer(chunk)
+            except Exception as exc:  # noqa: BLE001 — ref catches Exception (:146)
+                if on_error is None:
+                    raise
+                on_error(exc)
+
+        writer = (
+            stream_df.writeStream.foreachBatch(handle)
+            .trigger(processingTime=f"{self.window_duration_seconds} seconds")
+            .queryName(query_name or f"windowed-publisher-{uuid.uuid4().hex[:8]}")
+        )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()

@@ -1,0 +1,249 @@
+"""Windowed aggregation surface — the reference's core semantics
+(``WindowPublisher.java:70-72``: hybrid count-or-time tumbling windows,
+empty windows suppressed) realized as Spark event-time windows, plus the
+sliding/session variants the Flink vocabulary implies.
+
+Each query key has a batch form (verified against the DuckDB oracle — the
+event-time analog is deterministic, unlike the reference's processing-time
+clock, ``README.md:99``) and a streaming builder (``stream_*``) used by the
+Structured Streaming tests. Batch and stream share the same expression
+tree, so the oracle check covers the streaming semantics for everything
+except trigger timing.
+
+Upgrade over the reference: watermarks (the reference explicitly has none,
+``README.md:99``) bound state and drop late data deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+
+def _tumbling(df: DataFrame) -> DataFrame:
+    """Shared expression tree for batch + streaming tumbling windows.
+    groupBy(window) emits nothing for empty buckets — the reference's
+    ``filter(!it.isEmpty())`` (``WindowPublisher.java:72``) is structural
+    in Spark."""
+    return (
+        df.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@REG.add(
+    "q_tumbling_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event_type (A5's time path,
+    event-time). Spark's window() is epoch-aligned, matching the oracle's
+    floor(epoch/300)."""
+    return _tumbling(load(spark, sf_dir, "events"))
+
+
+@REG.add(
+    "q_sliding_window",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b0
+      FROM events
+    ), ex AS (
+      SELECT event_type, value, UNNEST([b0, b0 - 300]) AS window_start FROM b
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly
+    size/slide = 2 windows (the conservation invariant the tests assert)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@REG.add(
+    "q_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 300
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts))) + 300 AS BIGINT) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 5-minute inactivity gap. The oracle is the
+    classic gaps-and-islands rewrite; Spark's session_window closes a
+    session at last_event + gap (half-open), matching the >= 300s
+    new-session flag."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@REG.add("q_count_or_time_batches")  # rows-only: not expressible in plain SQL
+def q_count_or_time_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact hybrid flush (A5, ``WindowPublisher.java:71``):
+    a batch closes when it reaches max_size elements OR when window_duration
+    has elapsed since it opened — whichever first; empty batches never emit.
+
+    Deterministic event-time replay, keyed per user: sequential semantics
+    only exist within a key, so the key is the unit of parallelism
+    (applyInPandas per user_id scales horizontally; per-key state is one
+    batch's worth of accumulator, O(max_size)).
+
+    Not SQL-expressible (the batch boundary is a running recurrence), so
+    the driver verifies rows-only; the pytest conservation suite asserts
+    the reference's own invariant (every event in exactly one batch,
+    ``WindowPublisherTest.java:46``) plus max-size and span bounds.
+    """
+    import pandas as pd
+
+    max_size = 20
+    duration_s = 86400.0
+
+    def chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        batch_seq = n = 0
+        open_ts = None
+        sum_value = 0.0
+        epochs = pdf["ts"].astype("int64") / 1e9  # ns -> fractional seconds
+        for ts_s, value in zip(epochs, pdf["value"]):
+            if open_ts is not None and (
+                n >= max_size or ts_s >= open_ts + duration_s
+            ):
+                out.append((batch_seq, n, int(open_ts), round(sum_value, 2)))
+                batch_seq += 1
+                n = 0
+                open_ts = None
+                sum_value = 0.0
+            if open_ts is None:
+                open_ts = ts_s
+            n += 1
+            sum_value += value
+        if n:
+            out.append((batch_seq, n, int(open_ts), round(sum_value, 2)))
+        res = pd.DataFrame(
+            out, columns=["batch_seq", "n_events", "batch_start", "sum_value"]
+        )
+        res.insert(0, "user_id", pdf["user_id"].iloc[0])
+        return res
+
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").applyInPandas(
+        chunk,
+        "user_id bigint, batch_seq bigint, n_events bigint, "
+        "batch_start bigint, sum_value double",
+    )
+
+
+@REG.add(
+    "q_stateful_dedup",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — the deterministic batch analog of
+    streaming ``dropDuplicatesWithinWatermark`` (exactly-once-per-key
+    emission; the streaming form is exercised in tests)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_timestamp("ts").alias("first_ts"),
+        )
+    )
+
+
+# ----------------------------------------------------- streaming builders
+
+def stream_tumbling(stream_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming tumbling windows with a watermark bound on state — the
+    strict upgrade over the reference's no-watermark design
+    (``README.md:99``). Feed any streaming DataFrame with (ts, event_type,
+    value) columns; append-mode emits each window once it's final."""
+    return _tumbling(stream_df.withWatermark("ts", watermark))
+
+
+def stream_dedup(stream_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exactly-once-per-key emission with bounded state."""
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
