@@ -1,0 +1,20 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2 Part B keys 46-50
+plus the large-scale training-data extras): deduplication (exact, MinHash
+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search
+(brute-force + IVF-probed ANN), text analysis (stats, language-ID, quality
+score, token counts, fingerprint), and multimodal column plumbing.
+
+The reference has no LLM surface — these are the north-star additions from
+BASELINE.json, built expression-first so the hot path stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
+from reactor_window_like_flink_spark.llm.multimodal import REG as MULTIMODAL_REG
+from reactor_window_like_flink_spark.llm.similarity import REG as SIMILARITY_REG
+from reactor_window_like_flink_spark.llm.text import REG as TEXT_REG
+
+REGS = [DEDUP_REG, SIMILARITY_REG, TEXT_REG, MULTIMODAL_REG]
+
+__all__ = ["REGS", "DEDUP_REG", "SIMILARITY_REG", "TEXT_REG", "MULTIMODAL_REG"]

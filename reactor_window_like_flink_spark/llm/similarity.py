@@ -1,0 +1,150 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``):
+brute-force cosine top-k as the exact baseline, and an IVF-probed ANN
+variant as the scale path.
+
+Both keep the kernel JVM-side (``zip_with`` + ``aggregate`` upcast to
+double) and broadcast the single query vector — the fact side never
+shuffles for the scoring pass; only the final top-k runs through
+``TakeOrderedAndProject`` (per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+IVF_PROBES = 2
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.expr(f"transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _dot(col_a: str, col_b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(col_a, col_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@REG.add(
+    "q_similarity_cosine",
+    f"""
+    WITH q AS (
+      SELECT embedding AS qe,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+               AS qn
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, len(e.embedding)),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+                * q.qn) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, ROUND(cosine, 4) AS cosine
+    FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def q_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against the query vector (vec_id=0), the ANN
+    ground truth. One broadcast row, one narrow scoring pass, per-partition
+    top-k heaps — at 100 TB this is a single scan with no shuffle of the
+    fact table. Ordering ties broken by vec_id so LIMIT is deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+        .withColumn("qn", _norm("qe"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", _dot("embedding", "qe") / (_norm("embedding") * F.col("qn")))
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+@REG.add("q_similarity_ann")  # rows-only: IVF centroid averages are not
+# bit-stable across engines (parallel summation order), so the exact row
+# set can't be oracle-pinned; tests verify candidates against brute force.
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate nearest neighbors: train per-``label``
+    centroids distributedly (posexplode → groupBy(label, dim) → avg →
+    re-assemble), rank cells by centroid-to-query cosine, search only the
+    top ``IVF_PROBES`` cells exactly.
+
+    The 100 TB shape: centroids are tiny (cells × dim doubles) and
+    broadcast; cell assignment prunes the scan to probed cells **before**
+    any scoring — with the table partitioned by cell id this is partition
+    pruning, reading probes/cells of the data. Exact re-scoring runs only
+    inside probed cells.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+        .withColumn("qn", _norm("qe"))
+    )
+    # Train: element-wise mean per label. Rounded so the signature is
+    # stable against partial-aggregation summation order.
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cval"))
+            ).alias("dv")
+        )
+        .select("label", F.expr("transform(dv, s -> s.cval)").alias("centroid"))
+    )
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn(
+            "ccos",
+            F.aggregate(
+                F.zip_with("centroid", "qe", lambda x, y: x * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (_norm("centroid") * F.col("qn")),
+        )
+        .orderBy(F.desc("ccos"), F.asc("label"))
+        .limit(IVF_PROBES)
+        .select("label")
+    )
+    return (
+        emb.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", _dot("embedding", "qe") / (_norm("embedding") * F.col("qn")))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+    )

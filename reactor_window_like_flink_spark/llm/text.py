@@ -1,0 +1,253 @@
+"""Text-analysis operators over the ``documents`` table: per-doc stats,
+n-gram-heuristic language ID, quality scoring, tokenizer comparison, and a
+rolling-hash document fingerprint.
+
+All five are pure JVM-side expression trees (string/array/higher-order
+functions inside whole-stage codegen) — zero Python in the row path, so a
+100 TB documents table processes at scan speed with no shuffle at all
+(narrow transformations only; the driver sees one stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+# Language marker words for the n-gram/stopword language-ID heuristic.
+# Deterministic and engine-neutral: both Spark and the DuckDB oracle count
+# marker hits over the same whitespace tokenization.
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation.
+# Kept to a POSIX-compatible alternation so Spark (Java regex) and DuckDB
+# (RE2) produce identical matches.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+@REG.add(
+    "q_text_stats",
+    """
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+             AS n_uniq_tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(lower(text), ' ')), 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics — the basic profiling pass every
+    training-data pipeline starts with."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.size(toks), 4
+        ).alias("chars_per_token"),
+    )
+
+
+def _marker_count(lang: str) -> F.Column:
+    markers = F.array(*[F.lit(m) for m in _MARKERS[lang]])
+    return F.size(F.filter(_tokens(), lambda t: F.array_contains(markers, t))).cast(
+        "long"
+    )
+
+
+def _duck_marker_count(lang: str) -> str:
+    arr = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{arr}], t))) AS BIGINT)"
+    )
+
+
+@REG.add(
+    "q_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_true,
+             {_duck_marker_count("en")} AS c_en,
+             {_duck_marker_count("de")} AS c_de,
+             {_duck_marker_count("es")} AS c_es,
+             {_duck_marker_count("fr")} AS c_fr
+      FROM documents
+    )
+    SELECT doc_id, lang_true, c_en, c_de, c_es, c_fr,
+           CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0
+                THEN 'unknown'
+                WHEN c_de > c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_es > c_en AND c_es >= c_fr THEN 'es'
+                WHEN c_fr > c_en THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word voting (n-gram heuristic): count hits
+    from per-language marker sets, argmax with a deterministic tie order
+    (en < fr < es < de on ties, 'unknown' when no marker fires)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        "text",
+        _marker_count("en").alias("c_en"),
+        _marker_count("de").alias("c_de"),
+        _marker_count("es").alias("c_es"),
+        _marker_count("fr").alias("c_fr"),
+    )
+    c = F.col
+    pred = (
+        F.when(
+            (c("c_en") == 0) & (c("c_de") == 0) & (c("c_es") == 0) & (c("c_fr") == 0),
+            "unknown",
+        )
+        .when((c("c_de") > c("c_en")) & (c("c_de") >= c("c_es")) & (c("c_de") >= c("c_fr")), "de")
+        .when((c("c_es") > c("c_en")) & (c("c_es") >= c("c_fr")), "es")
+        .when(c("c_fr") > c("c_en"), "fr")
+        .otherwise("en")
+    )
+    return scored.select(
+        "doc_id", "lang_true", "c_en", "c_de", "c_es", "c_fr", pred.alias("lang_pred")
+    )
+
+
+@REG.add(
+    "q_quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> list_contains([{", ".join(f"'{w}'" for w in _STOPWORDS)}], t)))
+                  AS DOUBLE) AS n_stop,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                  AS DOUBLE) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(LEAST(n_chars / 500.0, 1.0), 4) AS len_score,
+           ROUND(n_stop / n_tokens, 4) AS stop_ratio,
+           ROUND(n_punct / n_chars, 4) AS punct_ratio,
+           ROUND(0.5 * LEAST(n_chars / 500.0, 1.0)
+                 + 0.4 * (n_stop / n_tokens)
+                 + 0.1 * (1.0 - n_punct / n_chars), 4) AS quality,
+           CASE WHEN 0.5 * LEAST(n_chars / 500.0, 1.0)
+                     + 0.4 * (n_stop / n_tokens)
+                     + 0.1 * (1.0 - n_punct / n_chars) >= 0.45 THEN 'high'
+                WHEN 0.5 * LEAST(n_chars / 500.0, 1.0)
+                     + 0.4 * (n_stop / n_tokens)
+                     + 0.1 * (1.0 - n_punct / n_chars) >= 0.30 THEN 'medium'
+                ELSE 'low' END AS quality_band
+    FROM feats
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation, stopword density, and
+    punctuation ratio combined into one score + band — the standard cheap
+    pre-filter before expensive model-based quality scoring."""
+    docs = load(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(_tokens()).cast("double")
+    n_stop = F.size(F.filter(_tokens(), lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    )
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = n_punct / n_chars
+    quality = 0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)
+    return docs.select(
+        "doc_id",
+        F.round(len_score, 4).alias("len_score"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality"),
+        F.when(quality >= 0.45, "high")
+        .when(quality >= 0.30, "medium")
+        .otherwise("low")
+        .alias("quality_band"),
+    )
+
+
+@REG.add(
+    "q_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS fertility
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish pre-tokenizer
+    regex (letter runs / digit runs / single punctuation), plus their ratio
+    ("fertility") — the cost model every token-budgeted pipeline needs."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(ws), 4).alias("fertility"),
+    )
+
+
+@REG.add(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(text)),
+                              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the document's characters
+    (base 31 mod 1e9+7) — deterministic, engine-neutral content identity.
+    The per-char fold is a JVM higher-order ``aggregate``; at 100 TB swap in
+    ``xxhash64(text)`` (one hash per row, no per-char loop) — this key keeps
+    the arithmetic form because the oracle must reproduce it exactly."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(sequence(1, length(text)), 0L,"
+        " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
