@@ -1,0 +1,77 @@
+"""Bench harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set spans the engine surface: scan-heavy agg (flagship), multi-way
+join, broadcast join, analytic window, event-time window, top-N, MinHash
+LSH dedup, cosine top-k, and the text-stats profiling pass. Results land on
+a noop sink so timings measure execution, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_group",
+    "q_filter_pred",
+    "q_join_broadcast",
+    "q_join_multi",
+    "q_join_asof",
+    "q_window_rank",
+    "q_topk_per_group",
+    "q_sort_limit",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_dedup_near",
+    "q_similarity_cosine",
+    "q_text_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from reactor_window_like_flink_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = e.queries()
+
+    # Warm-up: JVM JIT + parquet footer caches, outside the timed region.
+    qs["q_scan_parquet"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,26 +36,38 @@ MINHASH_BANDS = 16
 MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
 JACCARD_THRESHOLD = 0.5
 
-# SimHash: 64-bit signature split into 8 chunks of 8 bits — pigeonhole
-# guarantees recall for Hamming distance ≤ 7. At 100 TB use 4×16-bit
-# chunks (Hamming ≤ 3) instead: 8-bit chunks have only 256 values, so
-# bucket occupancy grows quadratically with corpus size.
-SIMHASH_CHUNKS = 8
+# SimHash: 64-bit signature split into 4 chunks of 16 bits — pigeonhole
+# guarantees full recall for Hamming distance ≤ 3 (4 chunks, ≤3 flipped
+# bits → at least one chunk intact). 16-bit chunks keep 65,536 bucket
+# values, so bucket occupancy (and candidate-pair count) stays sane as the
+# corpus grows; 8-bit chunks would collide quadratically.
+SIMHASH_CHUNKS = 4
 SIMHASH_CHUNK_BITS = 64 // SIMHASH_CHUNKS
-HAMMING_THRESHOLD = 7
+HAMMING_THRESHOLD = 3
 
 
-def _shingles(col: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as strings, via slice+zip — pure JVM
-    array ops (no explode, no shuffle)."""
-    toks = F.split(F.lower(F.col(col)), " ")
-    if n == 1:
-        return F.array_distinct(toks)
-    joined = F.expr(
-        f"transform(sequence(1, greatest(size(split(lower({col}), ' ')) - {n - 1}, 0)),"
-        f" i -> array_join(slice(split(lower({col}), ' '), i, {n}), ' '))"
+def _shingles_from_toks(n: int) -> F.Column:
+    """Distinct word n-gram shingles from a pre-split ``toks`` array column
+    — pure JVM array ops over an attribute, so the tokenization upstream is
+    evaluated once, not once per shingle index."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(toks) < {n} THEN array(array_join(toks, ' '))"
+            f" ELSE transform(sequence(1, size(toks) - {n - 1}),"
+            f"      i -> array_join(slice(toks, i, {n}), ' ')) END"
+        )
     )
-    return F.array_distinct(joined)
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, lang, toks) behind a repartition exchange: the
+    exchange spreads a few-file scan across all cores and acts as a
+    projection barrier so downstream shingle lambdas reference ``toks`` as
+    a materialized attribute."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 @REG.add(
@@ -91,17 +103,21 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distributed-MinHash shape: explode shingles once, then ONE groupBy
     computes all 32 permutation minimums as partial aggregates (map-side
-    combine — the shuffle carries 32 longs per doc, not the shingle sets)
-    plus the collect_set used by the confirm step. Candidates come from a
-    self-join on (band_id, band_hash) — bucket-sized partitions, never
-    |docs|²; the exact-Jaccard filter then confirms only candidates.
+    combine — the shuffle carries 32 longs per doc, never the shingle
+    sets). Candidates come from a self-join on (band_id, band_hash) —
+    bucket-sized partitions, never |docs|², and the two join sides share
+    one physical computation (ReuseExchange dedups the identical shuffle).
+    The exact-Jaccard confirm joins the tiny candidate list against the
+    per-doc shingle sets; AQE converts those joins to broadcasts at
+    runtime (an explicit ``F.broadcast`` hint on a *computed* subplan
+    forces the build outside AQE's adaptive path and measured ~2x slower —
+    hints are reserved for scanned dimension tables).
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles()).alias("shingle")
+    toks = _tokenized(spark, sf_dir)
+    exploded = toks.select(
+        "doc_id", F.explode(_shingles_from_toks(3)).alias("shingle")
     )
     sigs = exploded.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shingles"),
         F.array(
             *[
                 F.min(F.xxhash64("shingle", F.lit(i)))
@@ -131,13 +147,16 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh = sigs.select("doc_id", "shingles")
-    paired = candidates.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
-        "doc_a",
-    ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
-        "doc_b",
+    # Confirm pass. At 100 TB collect xxhash64(shingle) longs instead of
+    # raw strings — hashed-set Jaccard is exact modulo 2^-64 collisions and
+    # shrinks the rows ~10x; raw strings kept here so tests confirm against
+    # the literal shingle sets.
+    sets = toks.select("doc_id", _shingles_from_toks(3).alias("sh"))
+    with_a = sets.join(candidates, sets.doc_id == candidates.doc_a).select(
+        "doc_a", "doc_b", F.col("sh").alias("sh_a")
+    )
+    paired = sets.join(with_a, sets.doc_id == with_a.doc_b).select(
+        "doc_a", "doc_b", "sh_a", F.col("sh").alias("sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
@@ -152,23 +171,34 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit bit-vote signature per doc, candidate pairs
     via pigeonhole chunk buckets, confirmed by Hamming distance ≤ 7
-    (``bit_count(a XOR b)`` — one JVM instruction per pair)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    with_sig = (
-        docs.withColumn("th", F.expr("transform(split(lower(text), ' '), t -> xxhash64(t))"))
-        .filter(F.size("th") > 0)
-        .withColumn(
-            "simhash",
-            F.expr(
-                "aggregate(sequence(0, 63), 0L, (acc, b) -> acc + shiftleft("
-                " CASE WHEN aggregate(th, 0L,"
-                "   (v, h) -> v + CASE WHEN (shiftright(h, b) & 1) = 1"
-                "                 THEN 1 ELSE -1 END) > 0"
-                " THEN 1L ELSE 0L END, b))"
-            ),
-        )
-        .select("doc_id", "simhash")
+    (``bit_count(a XOR b)`` — one JVM instruction per pair).
+
+    The bit votes are 64 plain SUM aggregates over exploded token hashes —
+    map-side partial sums inside whole-stage codegen (an earlier nested
+    higher-order-function form fell out of codegen and was ~30x slower)."""
+    exploded = (
+        _tokenized(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
     )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    simhash_expr = None
+    for b in range(64):
+        term = F.shiftleft(
+            F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            b,
+        )
+        simhash_expr = term if simhash_expr is None else simhash_expr + term
+    with_sig = votes.select("doc_id", simhash_expr.alias("simhash"))
     chunks = with_sig.select(
         "doc_id",
         "simhash",
@@ -205,10 +235,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(string_split(lower(text), ' ')) - 1, 0)),
-               i -> string_split(lower(text), ' ')[i] || ' '
-                    || string_split(lower(text), ' ')[i + 1])) AS bg
+             list_distinct(CASE WHEN len(string_split(lower(text), ' ')) < 2
+               THEN [lower(text)]
+               ELSE list_transform(
+                 generate_series(1, len(string_split(lower(text), ' ')) - 1),
+                 i -> string_split(lower(text), ' ')[i] || ' '
+                      || string_split(lower(text), ' ')[i + 1]) END) AS bg
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -227,8 +259,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key, and pair count is Σ|block|², not |docs|². At 100 TB the
     block key would be an LSH band; here it's ``lang`` so the oracle can
     reproduce the exact pair set."""
-    docs = load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", _shingles(n=2).alias("bg"))
+    t = _tokenized(spark, sf_dir).select(
+        "doc_id", "lang", _shingles_from_toks(2).alias("bg")
+    )
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect("a.bg", "b.bg")).cast("double")
     union = (

@@ -10,6 +10,8 @@ shuffles for the scoring pass; only the final top-k runs through
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,52 +100,58 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-assemble), rank cells by centroid-to-query cosine, search only the
     top ``IVF_PROBES`` cells exactly.
 
-    The 100 TB shape: centroids are tiny (cells × dim doubles) and
-    broadcast; cell assignment prunes the scan to probed cells **before**
-    any scoring — with the table partitioned by cell id this is partition
-    pruning, reading probes/cells of the data. Exact re-scoring runs only
-    inside probed cells.
+    The 100 TB shape: the query vector and the probed cell ids are
+    *parameters*, resolved driver-side from tiny lookups (one row; cells ×
+    dim doubles), exactly like a real IVF index holds its centroid table
+    outside the data path. The probe list becomes a ``label IN (...)``
+    predicate on the fact scan — with the table partitioned by cell id
+    that is partition pruning: the exact re-scoring pass reads
+    probes/cells of the data and nothing else, in one job with no join.
     """
     emb = load(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qe"))
-        .withColumn("qn", _norm("qe"))
-    )
+    qe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    qn = math.sqrt(sum(x * x for x in qe))
     # Train: element-wise mean per label. Rounded so the signature is
     # stable against partial-aggregation summation order.
     centroids = (
         emb.select("label", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("label", "dim")
         .agg(F.round(F.avg("val"), 6).alias("cval"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "cval"))
-            ).alias("dv")
-        )
-        .select("label", F.expr("transform(dv, s -> s.cval)").alias("centroid"))
     )
-    probed = (
-        centroids.crossJoin(F.broadcast(q))
+    # Centroid-to-query cosine without re-assembling arrays: the query
+    # vector joins in as a per-dim literal map, so scoring is a plain agg.
+    qlit = F.element_at(
+        F.array(*[F.lit(x) for x in qe]), (F.col("dim") + 1).cast("int")
+    )
+    probes = [
+        r["label"]
+        for r in (
+            centroids.groupBy("label")
+            .agg(
+                F.sum(F.col("cval") * qlit).alias("dot"),
+                F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"),
+            )
+            .select("label", (F.col("dot") / F.col("cn")).alias("ccos"))
+            .orderBy(F.desc("ccos"), F.asc("label"))
+            .limit(IVF_PROBES)
+            .collect()
+        )
+    ]
+    qe_col = F.array(*[F.lit(x) for x in qe])
+    return (
+        emb.filter(F.col("label").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID))
         .withColumn(
-            "ccos",
+            "cosine",
             F.aggregate(
-                F.zip_with("centroid", "qe", lambda x, y: x * y.cast("double")),
+                F.zip_with("embedding", qe_col, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            / (_norm("centroid") * F.col("qn")),
+            / (_norm("embedding") * F.lit(qn)),
         )
-        .orderBy(F.desc("ccos"), F.asc("label"))
-        .limit(IVF_PROBES)
-        .select("label")
-    )
-    return (
-        emb.join(F.broadcast(probed), "label")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .withColumn("cosine", _dot("embedding", "qe") / (_norm("embedding") * F.col("qn")))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
         .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))

@@ -20,6 +20,20 @@ def _cpus() -> int:
         return 32
 
 
+def _ensure_driver_memory() -> None:
+    """Driver memory must be set BEFORE the JVM gateway launches —
+    ``SparkSession.builder.config("spark.driver.memory", ...)`` is silently
+    ignored once PySpark has started its own JVM. Inject it through
+    PYSPARK_SUBMIT_ARGS while the gateway is still down; honor any args the
+    caller already set."""
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is not None or "PYSPARK_SUBMIT_ARGS" in os.environ:
+        return
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+
 def get_spark(
     app_name: str = "reactor-window-like-flink-spark",
     shuffle_partitions: int | None = None,
@@ -39,9 +53,21 @@ def get_spark(
         DuckDB oracle and any parquet writer.
     """
     cpus = _cpus()
+    _ensure_driver_memory()
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    )
+    # Local-mode shuffle files on tmpfs: the VM's block device makes the
+    # many tiny shuffle files of local[32] disproportionately expensive
+    # (measured ~3x on shuffle-heavy ops). On a real cluster SPARK_LOCAL_DIRS
+    # is set by the deployment and this branch never fires.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        shuffle_dir = "/dev/shm/spark-local"
+        os.makedirs(shuffle_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", shuffle_dir)
+    builder = (
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -50,7 +76,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffledHashJoinFactor", "3")
     )
