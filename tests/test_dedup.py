@@ -1,0 +1,124 @@
+"""Dedup operators vs pure-Python brute force at sf0.001 — the ground
+truth the probabilistic (rows-only) keys can't get from the SQL oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from reactor_window_like_flink_spark.llm.dedup import (
+    HAMMING_THRESHOLD,
+    JACCARD_THRESHOLD,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lower(text) AS text, lang FROM "
+        f"'{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _shingle_set(text: str, n: int) -> frozenset[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return frozenset({" ".join(toks)})
+    return frozenset(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+
+
+def _jaccard(a: frozenset, b: frozenset) -> float:
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def test_dedup_exact_counts(spark, sf_dir, docs):
+    out = entry_mod.queries()["q_dedup_exact"](spark, sf_dir).collect()
+    texts = [t for _, t, _ in docs]
+    assert len(out) == len(set(texts))
+    assert sum(r["n_copies"] for r in out) == len(texts)
+
+
+def test_minhash_lsh_finds_true_near_dups(spark, sf_dir, docs):
+    """LSH output ⊆ ground truth (exact confirm guarantees no false
+    positives) and recall is high (b=16, r=2 → P(miss at j=0.5) < 1%)."""
+    truth = set()
+    sets = {d: _shingle_set(t, 3) for d, t, _ in docs}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if round(_jaccard(sets[a], sets[b]), 4) >= JACCARD_THRESHOLD:
+                truth.add((a, b))
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in entry_mod.queries()["q_dedup_near"](spark, sf_dir).collect()
+    }
+    assert found <= truth  # exact-confirm: no false positives
+    if truth:
+        assert len(found) / len(truth) >= 0.9  # LSH recall
+
+
+def test_ngram_jaccard_matches_brute_force(spark, sf_dir, docs):
+    truth = {}
+    sets = {d: (_shingle_set(t, 2), lang) for d, t, lang in docs}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if sets[a][1] != sets[b][1]:
+                continue
+            j = round(_jaccard(sets[a][0], sets[b][0]), 4)
+            if j >= 0.1:
+                truth[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in entry_mod.queries()["q_dedup_ngram_jaccard"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_simhash_pairs_are_close(spark, sf_dir):
+    """Every reported pair respects the Hamming bound; symmetry of the
+    pigeonhole join (a<b) means no duplicates or self-pairs."""
+    rows = entry_mod.queries()["q_dedup_simhash"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= HAMMING_THRESHOLD
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+
+
+def test_embedding_pairs_vs_brute_force(spark, sf_dir):
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    by_label: dict[int, list] = {}
+    for vid, label, emb in rows:
+        by_label.setdefault(label, []).append((vid, np.array(emb, dtype="float64")))
+    truth = set()
+    for vecs in by_label.values():
+        for i, (va, ea) in enumerate(vecs):
+            for vb, eb in vecs[i + 1 :]:
+                cos = float(ea @ eb) / (
+                    float(np.sqrt(ea @ ea)) * float(np.sqrt(eb @ eb))
+                )
+                if cos >= 0.3:
+                    truth.add((min(va, vb), max(va, vb)))
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in entry_mod.queries()["q_dedup_embedding"](spark, sf_dir).collect()
+    }
+    assert found == truth

@@ -1,0 +1,177 @@
+"""Structured Streaming tests: the WindowedPublisher no-loss contract
+(mirroring ``WindowPublisherTest.java:20-47``), watermark late-data drop,
+and streaming dedup — run on memory sinks / tmp file sources."""
+
+from __future__ import annotations
+
+import threading
+import time
+from datetime import datetime, timezone
+
+import pytest
+
+from reactor_window_like_flink_spark.streaming.publisher import (
+    FileStreamInput,
+    WindowedPublisher,
+)
+from reactor_window_like_flink_spark.streaming.windows import (
+    stream_dedup,
+    stream_tumbling,
+)
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime(2024, 1, 1, 10, minute, second, tzinfo=timezone.utc)
+
+
+def _rows(n: int, start_minute: int = 0):
+    return [
+        (i, _ts(start_minute + i // 60, i % 60), i % 7, "click", float(i))
+        for i in range(n)
+    ]
+
+
+def test_publisher_no_loss_under_concurrent_producers(spark, tmp_path):
+    """The reference's integration test, re-staged: N producer threads
+    publish concurrently; every row is delivered in exactly one chunk of
+    <= max_batch_size, no empty chunks (``WindowPublisherTest.java:46``)."""
+    item_count, thread_count = 500, 5
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    delivered: list[list] = []
+    lock = threading.Lock()
+
+    def consumer(chunk):
+        with lock:
+            delivered.append(chunk)
+
+    pub = WindowedPublisher(window_max_batch_size=15, window_duration_seconds=0.5)
+    query = pub.subscribe(
+        src.stream(),
+        consumer=consumer,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        per = item_count // thread_count
+        all_rows = _rows(item_count)
+
+        def produce(k: int) -> None:
+            src.publish(all_rows[k * per : (k + 1) * per])
+
+        threads = [
+            threading.Thread(target=produce, args=(k,)) for k in range(thread_count)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            query.processAllAvailable()
+            with lock:
+                got = sum(len(c) for c in delivered)
+            if got >= item_count:
+                break
+            time.sleep(0.2)
+    finally:
+        query.stop()
+
+    sizes = [len(c) for c in delivered]
+    assert sum(sizes) == item_count  # exact no-loss delivery
+    assert max(sizes) <= 15  # count-path flush bound
+    assert min(sizes) >= 1  # empty windows never delivered
+    ids = sorted(r["event_id"] for c in delivered for r in c)
+    assert ids == list(range(item_count))  # exactly-once, not at-least-once
+
+
+def test_publisher_error_channel(spark, tmp_path):
+    """Errors route to the error consumer (``WindowPublisher.java:142-150``)
+    instead of failing the query."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    errors: list[Exception] = []
+
+    def consumer(chunk):
+        raise RuntimeError("sink down")
+
+    pub = WindowedPublisher(window_max_batch_size=10, window_duration_seconds=0.5)
+    query = pub.subscribe(src.stream(), consumer=consumer, on_error=errors.append)
+    try:
+        src.publish(_rows(5))
+        deadline = time.time() + 30
+        while time.time() < deadline and not errors:
+            query.processAllAvailable()
+            time.sleep(0.2)
+    finally:
+        query.stop()
+    assert errors and isinstance(errors[0], RuntimeError)
+
+
+def test_publisher_validates_args(spark):
+    with pytest.raises(ValueError):
+        WindowedPublisher(window_max_batch_size=0)
+    with pytest.raises(ValueError):
+        WindowedPublisher(window_duration_seconds=0)
+    pub = WindowedPublisher()
+    with pytest.raises(ValueError):
+        pub.subscribe(None)  # neither consumer nor consumer_df
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    """Streaming window agg over a replayed file source equals the batch
+    expression on the same rows (same expression tree, SURVEY §5.2)."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    rows = _rows(300)
+    src.publish(rows)
+    out = stream_tumbling(src.stream(), watermark="10 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+    finally:
+        query.stop()
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    from reactor_window_like_flink_spark.streaming.windows import _tumbling
+
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in _tumbling(batch_df).collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(rows)
+
+
+def test_stream_dedup_drops_repeats(spark, tmp_path):
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    # same (user_id, event_type) published twice within the watermark
+    src.publish(
+        [
+            (1, _ts(0), 1, "click", 1.0),
+            (2, _ts(1), 1, "click", 2.0),
+            (3, _ts(1), 2, "view", 3.0),
+        ]
+    )
+    out = stream_dedup(src.stream(), watermark="10 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = spark.sql("SELECT user_id, event_type FROM t_dedup").collect()
+    finally:
+        query.stop()
+    assert sorted((r["user_id"], r["event_type"]) for r in got) == [
+        (1, "click"),
+        (2, "view"),
+    ]
