@@ -16,10 +16,13 @@ from reactor_window_like_flink_spark.operators.relational import REG as _RELATIO
 
 _ALL_REGS = [_RELATIONAL]
 
-try:  # scalar-function surface (keys 34-39, 51)
-    from reactor_window_like_flink_spark.functions.scalar import REG as _SCALAR
+try:  # scalar-function + UDF/UDAF/UDTF surface (keys 34-39, 51)
+    from reactor_window_like_flink_spark.functions import (
+        EXTENSIONS_REG as _EXTENSIONS,
+    )
+    from reactor_window_like_flink_spark.functions import SCALAR_REG as _SCALAR
 
-    _ALL_REGS.append(_SCALAR)
+    _ALL_REGS.extend([_SCALAR, _EXTENSIONS])
 except ImportError:
     pass
 

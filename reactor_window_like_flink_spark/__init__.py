@@ -15,7 +15,7 @@ Layout:
     streaming   event-time windows + the count-or-time WindowedPublisher
     llm         dedup / similarity / text-analysis pipeline operators
     plans       plan introspection (pushdown/broadcast assertions)
-    registry    query-key registry consumed by __spark_entry__.py
+    contract    query-key registry consumed by __spark_entry__.py
 """
 
 from reactor_window_like_flink_spark.session import get_spark

@@ -9,6 +9,7 @@ map here to Spark resource/shuffle configs per SURVEY.md §4.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -53,6 +54,23 @@ def get_spark(
         DuckDB oracle and any parquet writer.
     """
     cpus = _cpus()
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # getOrCreate() would silently ignore every builder config here.
+        # Apply what is runtime-settable and warn about the rest so a
+        # caller passing per-call tuning is never no-op'd without notice.
+        runtime = dict(extra_conf or {})
+        if shuffle_partitions is not None:
+            runtime["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        for key, val in runtime.items():
+            try:
+                active.conf.set(key, val)
+            except Exception:  # noqa: BLE001 — static conf on a live session
+                warnings.warn(
+                    f"SparkSession already exists; static conf {key!r} not applied",
+                    stacklevel=2,
+                )
+        return active
     _ensure_driver_memory()
     builder = (
         SparkSession.builder.appName(app_name)

@@ -1,0 +1,55 @@
+"""Sink surface (SURVEY.md §2 Part B "sinks" row): parquet (partitioned),
+CSV/JSON, memory, console, and the streaming ``foreachBatch`` path already
+exposed by ``streaming.publisher``.
+
+The reference's only sink is a consumer callback fed by a thread pool
+(``WindowPublisher.java:132-169``); here sinks are Spark writers, so
+delivery parallelism, retries, and atomicity come from the task scheduler
+and the file-commit protocol instead of a SynchronousQueue.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink. ``partition_by`` produces hive-style directory
+    partitioning — the layout that turns downstream equality filters on
+    those columns into partition pruning (the single biggest scan lever at
+    100 TB). Writer-side, low-cardinality keys only: each task fans out
+    one file per (task, partition-value) pair."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def to_memory_table(
+    spark: SparkSession, df: DataFrame, name: str
+) -> DataFrame:
+    """Batch analog of the streaming memory sink: materialize into a
+    local-relation temp view (driver memory — debug/test scale only)."""
+    spark.createDataFrame(df.collect(), df.schema).createOrReplaceTempView(name)
+    return spark.table(name)
+
+
+def to_console(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
+    """Console sink (``df.show`` for batch; streaming uses
+    ``writeStream.format('console')``)."""
+    df.show(n, truncate=truncate)

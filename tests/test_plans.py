@@ -1,0 +1,71 @@
+"""Plan-shape regression tests: the scale properties (pruning, pushdown,
+broadcast, top-k short-circuits) asserted as code, so a plan regression
+fails CI even while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from reactor_window_like_flink_spark.plans import (
+    has_node,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    qs = entry_mod.queries()
+    return lambda key: qs[key](spark, sf_dir)
+
+
+def test_scan_pruned_reads_two_columns(q):
+    cols = read_schema_columns(q("q_scan_pruned"))
+    assert cols and set(cols[0]) == {"l_orderkey", "l_extendedprice"}
+
+
+def test_filter_pred_pushes_to_scan(q):
+    pushed = pushed_filters(q("q_filter_pred"))
+    assert any("l_shipdate" in f for f in pushed)
+    assert any("l_quantity" in f for f in pushed)
+
+
+def test_agg_group_pushes_shipdate(q):
+    pushed = pushed_filters(q("q_agg_group"))
+    assert any("l_shipdate" in f for f in pushed)
+
+
+def test_broadcast_join_is_broadcast(q):
+    assert has_node(q("q_join_broadcast"), "BroadcastHashJoin")
+
+
+def test_multi_join_broadcasts_dims(q):
+    assert has_node(q("q_join_multi"), "BroadcastHashJoin")
+
+
+def test_semi_anti_plan_shapes(q):
+    assert has_node(q("q_join_semi"), "LeftSemi")
+    assert has_node(q("q_join_anti"), "LeftAnti")
+
+
+def test_sort_limit_is_take_ordered(q):
+    assert has_node(q("q_sort_limit"), "TakeOrderedAndProject")
+
+
+def test_topk_uses_window_group_limit(q):
+    assert has_node(q("q_topk_per_group"), "WindowGroupLimit")
+
+
+def test_theta_join_is_not_cartesian(q):
+    """The band join must keep its equi key (hash join + range residual),
+    never degenerate to a cartesian product."""
+    df = q("q_join_theta")
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_similarity_scan_has_no_shuffle_before_topk(q):
+    """Brute-force cosine is one narrow scan + TakeOrdered — a shuffle of
+    the fact table here would be a 100 TB regression."""
+    df = q("q_similarity_cosine")
+    assert has_node(df, "TakeOrderedAndProject")
