@@ -1,0 +1,125 @@
+"""Live-stream count-or-time flush: count path, timeout path, and the
+no-loss invariant, on a real Structured Streaming query.
+
+Note: these tests poll the memory sink instead of calling
+``processAllAvailable()`` — with a ProcessingTimeTimeout armed, the
+scheduler keeps planning no-data batches to fire timeouts, so
+"all available processed" never settles.
+"""
+
+from __future__ import annotations
+
+import time
+
+from reactor_window_like_flink_spark.streaming.publisher import FileStreamInput
+from reactor_window_like_flink_spark.streaming.stateful import (
+    count_or_time_stateful,
+)
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def _rows(user: int, n: int, start: int = 0):
+    from datetime import datetime, timezone
+
+    return [
+        (start + i, datetime(2024, 1, 1, tzinfo=timezone.utc), user, "e", 1.0)
+        for i in range(n)
+    ]
+
+
+def _poll(predicate, timeout_s: float = 90.0, step: float = 0.5):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        result = predicate()
+        if result:
+            return result
+        time.sleep(step)
+    return predicate()
+
+
+def test_count_timeout_and_conservation(spark, tmp_path):
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = count_or_time_stateful(src.stream(), max_size=10, duration_seconds=2.0)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_cot")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # 35 rows for user 1: the count path must flush 3 full batches of
+        # 10 immediately; the held 5 must flush via the timeout path once
+        # the 2s window elapses — no further input required.
+        src.publish(_rows(user=1, n=35))
+
+        sized = _poll(
+            lambda: (
+                r
+                if len(
+                    r := spark.sql(
+                        "SELECT * FROM t_cot WHERE flush_reason = 'size'"
+                    ).collect()
+                )
+                >= 3
+                else None
+            )
+        )
+        assert sorted(r["n_events"] for r in sized) == [10, 10, 10]
+
+        timed = _poll(
+            lambda: spark.sql(
+                "SELECT * FROM t_cot WHERE flush_reason = 'timeout'"
+            ).collect()
+        )
+        assert [r["n_events"] for r in timed] == [5]
+
+        # conservation (the reference's own invariant): 35 in, 35 out,
+        # every batch within (0, max_size]
+        all_rows = spark.sql("SELECT * FROM t_cot WHERE key = 1").collect()
+        assert sum(r["n_events"] for r in all_rows) == 35
+        assert max(r["n_events"] for r in all_rows) <= 10
+        assert min(r["n_events"] for r in all_rows) >= 1
+        assert sorted(r["batch_seq"] for r in all_rows) == [0, 1, 2, 3]
+    finally:
+        query.stop()
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Key 44: events older than the watermark never reach the aggregate
+    (the deterministic upgrade over the reference's no-watermark design)."""
+    from datetime import datetime, timezone
+
+    from reactor_window_like_flink_spark.streaming.windows import stream_tumbling
+
+    def ts(hour, minute):
+        return datetime(2024, 1, 1, hour, minute, tzinfo=timezone.utc)
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = stream_tumbling(src.stream(), watermark="10 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish([(1, ts(10, 0), 1, "click", 1.0), (2, ts(10, 2), 1, "click", 1.0)])
+        query.processAllAvailable()
+        # advance event time far past the first window + watermark,
+        # finalizing the 10:00 window
+        src.publish([(3, ts(12, 0), 1, "click", 1.0)])
+        query.processAllAvailable()
+        # a very late event for the long-finalized 10:00 window: dropped
+        src.publish([(4, ts(10, 1), 1, "click", 99.0)])
+        query.processAllAvailable()
+        src.publish([(5, ts(14, 0), 1, "click", 1.0)])  # close the 12:00 window
+        query.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_late").collect()
+        by_window = {r["window_start"]: r["n_events"] for r in rows}
+        first_window = int(ts(10, 0).timestamp())
+        assert by_window.get(first_window) == 2  # late event NOT counted
+    finally:
+        query.stop()
