@@ -437,6 +437,38 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "q_agg_salted",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 groups on
+    (key, salt) spreading each hot key over 16 reducers, phase 2 merges the
+    partials per key. Identical result to the direct groupBy (the oracle
+    proves it); the win at 100 TB is that no single reducer ever owns a hot
+    key's full row stream. AQE's skew handling covers joins — aggregation
+    skew still needs this manual pattern when map-side partial agg can't
+    compress (e.g. high-cardinality downstream aggregates)."""
+    salt_buckets = 16
+    events = load(spark, sf_dir, "events")
+    partial = (
+        events.withColumn(
+            "salt", (F.xxhash64("event_id") % salt_buckets).cast("int")
+        )
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )
+
+
 @REG.add("q_agg_approx_distinct")  # rows-only: HLL estimates are not hash-stable
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). The 100 TB path: mergeable

@@ -19,7 +19,14 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     from reactor_window_like_flink_spark.session import get_spark
 
-    spark = get_spark(app_name="pytest", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="pytest",
+        shuffle_partitions=8,
+        extra_conf={
+            # keep saveAsTable artifacts (bucketing tests) out of the repo
+            "spark.sql.warehouse.dir": "/tmp/pytest-spark-warehouse",
+        },
+    )
     yield spark
 
 
