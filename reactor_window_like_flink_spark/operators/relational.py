@@ -715,6 +715,225 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- sort / limit / set ops
 
 @REG.add(
+    "q_pivot",
+    """
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (l_linestatus = 'F'), 0), 2) AS qty_F,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows → columns on l_linestatus. The explicit value list keeps
+    the plan a single-pass aggregate (Spark otherwise runs an extra
+    distinct-values job to discover the columns — a full scan at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@REG.add(
+    "q_window_distribution",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist /
+    first_value, per customer ordered by price (unique-key tie-break)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@REG.add(
+    "q_explode",
+    """
+    SELECT vec_id, CAST(dim AS INT) AS dim, val
+    FROM (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    ) WHERE dim < 4
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position (posexplode) — array rows → element
+    rows. Narrow generator, no shuffle; output here capped to the first 4
+    dims per vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .filter(F.col("dim") < 4)
+    )
+
+
+@REG.add(
+    "q_subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice,
+           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+             AS vs_avg
+    FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (above-average orders). Catalyst
+    evaluates the subquery once and broadcasts the scalar — one extra tiny
+    job, not a per-row re-evaluation."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM sq_orders), 4)
+                 AS vs_avg
+        FROM sq_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM sq_orders)
+        """
+    )
+
+
+@REG.add(
+    "q_subquery_in",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) AND o_orderstatus = 'F'
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — decorrelated by Catalyst into a left-semi join (same
+    physical shape as q_join_semi; the SQL front-door to it)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    orders.createOrReplaceTempView("sq_in_orders")
+    customer.createOrReplaceTempView("sq_in_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM sq_in_orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM sq_in_customer WHERE c_mktsegment = 'BUILDING'
+        ) AND o_orderstatus = 'F'
+        """
+    )
+
+
+@REG.add(
+    "q_tpch_q3_shape",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite integration query (TPC-H Q3 shape): selective dim filter →
+    two joins → grouped revenue → global top-10. Both date filters push to
+    their scans; the customer filter shrinks the build side before the
+    join; top-N is TakeOrderedAndProject."""
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@REG.add(
+    "q_tpch_q10_shape",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite integration query (TPC-H Q10 shape): returned-item revenue
+    by customer over one quarter; nation broadcast, returnflag + date range
+    pushed to scans."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@REG.add(
     "q_sort_limit",
     """
     SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
