@@ -263,23 +263,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", _shingles_from_toks(2).alias("bg")
     )
     a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect("a.bg", "b.bg")).cast("double")
-    union = (
-        F.size("a.bg") + F.size("b.bg") - F.size(F.array_intersect("a.bg", "b.bg"))
-    )
-    jacc = inter / union
-    return (
+    # One array_intersect per pair: compute |∩| in its own projection so
+    # the O(|bg|) set intersection isn't re-inlined into the union/filter
+    # expressions (it dominates the per-pair cost).
+    pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jacc >= 0.1)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jacc, 4).alias("jaccard"),
+            F.size(F.array_intersect("a.bg", "b.bg")).cast("double").alias("n_inter"),
+            (F.size("a.bg") + F.size("b.bg")).alias("n_total"),
         )
+    )
+    jacc = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
+    return (
+        pairs.filter(jacc >= 0.1)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 
 

@@ -247,3 +247,43 @@ def stream_dedup(stream_df: DataFrame, watermark: str = "10 minutes") -> DataFra
     return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def stream_sliding(stream_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming 10-min/5-min sliding windows (each event in exactly 2
+    open windows; watermark bounds how long both stay in state)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session(stream_df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming per-user session windows (5-min gap). Session state merges
+    as events arrive and finalizes once the watermark passes
+    session_end — append mode emits each session exactly once."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -149,6 +149,63 @@ def test_stream_tumbling_matches_batch(spark, tmp_path):
     assert sum(n for n, _ in got.values()) == len(rows)
 
 
+def test_stream_sliding_and_session_match_batch(spark, tmp_path):
+    """Streaming sliding + session aggs equal their batch equivalents on
+    the same replayed rows."""
+    from reactor_window_like_flink_spark.streaming.windows import (
+        stream_session,
+        stream_sliding,
+    )
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    rows = _rows(240)
+    src.publish(rows)
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+
+    q1 = (
+        stream_sliding(src.stream())
+        .writeStream.format("memory")
+        .queryName("t_sliding")
+        .outputMode("complete")
+        .start()
+    )
+    q2 = (
+        stream_session(src.stream())
+        .writeStream.format("memory")
+        .queryName("t_session")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        got_sliding = spark.sql(
+            "SELECT sum(n_events) AS n FROM t_sliding"
+        ).first()["n"]
+        got_sessions = spark.sql(
+            "SELECT sum(n_events) AS n FROM t_session"
+        ).first()["n"]
+    finally:
+        q1.stop()
+        q2.stop()
+    # conservation: sliding = each event in exactly 2 windows; session = 1
+    assert got_sliding == 2 * len(rows)
+    assert got_sessions == len(rows)
+    # cross-check shape vs batch session_window
+    batch_sessions = (
+        batch_df.groupBy(
+            __import__("pyspark.sql.functions", fromlist=["x"]).session_window(
+                "ts", "5 minutes"
+            ),
+            "user_id",
+        )
+        .count()
+        .count()
+    )
+    rows_sessions = spark.sql("SELECT count(*) AS n FROM t_session").first()["n"]
+    assert rows_sessions == batch_sessions
+
+
 def test_stream_dedup_drops_repeats(spark, tmp_path):
     src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
     # same (user_id, event_type) published twice within the watermark
