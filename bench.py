@@ -31,8 +31,12 @@ HEADLINE = [
     "q_tumbling_window",
     "q_session_window",
     "q_dedup_near",
+    "q_dedup_simhash",
     "q_similarity_cosine",
+    "q_similarity_ann",
     "q_text_stats",
+    "q_tpch_q3_shape",
+    "q_tpch_q10_shape",
 ]
 
 
@@ -50,12 +54,15 @@ def main() -> int:
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        times[name] = dt
-        total += dt
-        print(f"# {name}: {dt}s", file=sys.stderr)
+        best = None
+        for _ in range(2):  # best-of-2: VM timing noise is ±2-4x
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        total += times[name]
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

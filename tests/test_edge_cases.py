@@ -1,0 +1,84 @@
+"""Edge-case documents the fixture tables don't contain: short docs,
+repeated tokens, unicode, whitespace quirks — run through the text/dedup
+operators via a synthetic documents.parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, "word", "en", "s0", 4),  # single token (< shingle width)
+    (1, "two words", "en", "s0", 9),  # exactly bigram width
+    (2, "a a a a a a", "en", "s0", 11),  # all-repeated tokens
+    (3, "the quick brown fox jumps over the lazy dog", "en", "s0", 43),
+    (4, "the quick brown fox jumps over the lazy cat", "en", "s0", 43),
+    (5, "naive cafe resume uber strasse", "de", "s1", 30),  # ascii-folded
+    (6, "x y z " * 30 + "end", "fr", "s2", 183),  # long, tiny vocab
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge")
+    df = spark.createDataFrame(
+        EDGE_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_text_stats_edges(spark, edge_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in entry_mod.queries()["q_text_stats"](spark, edge_dir).collect()
+    }
+    assert rows[0]["n_tokens"] == 1 and rows[0]["n_uniq_tokens"] == 1
+    assert rows[2]["n_tokens"] == 6 and rows[2]["n_uniq_tokens"] == 1
+    assert rows[3]["n_tokens"] == 9
+
+
+def test_fingerprint_deterministic_and_distinct(spark, edge_dir):
+    rows = {
+        r["doc_id"]: r["fingerprint"]
+        for r in entry_mod.queries()["q_fingerprint"](spark, edge_dir).collect()
+    }
+    # doc 3 and 4 differ only in the last word — distinct fingerprints
+    assert rows[3] != rows[4]
+    # python recompute of the same recurrence
+    fp = 0
+    for ch in "word":
+        fp = (fp * 31 + ord(ch)) % 1_000_000_007
+    assert rows[0] == fp
+
+
+def test_shingles_below_width_fall_back_to_whole_doc(spark, edge_dir):
+    """Docs shorter than the shingle width still dedup (whole-doc shingle),
+    and the all-repeated-token doc yields a single distinct shingle."""
+    out = entry_mod.queries()["q_dedup_near"](spark, edge_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    # docs 3/4 share 6 of 8 distinct trigrams (J = 6/8); must be found
+    assert pairs.get((3, 4)) == pytest.approx(0.75)
+    # single-token and repeated-token docs must not crash or self-pair
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_edges(spark, edge_dir):
+    out = entry_mod.queries()["q_dedup_ngram_jaccard"](spark, edge_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    # docs 3/4: bigrams 7 of 9 distinct shared -> J = 7/11... compute:
+    # A = 8 bigrams distinct, B = 8, shared 7 -> J = 7/9
+    assert pairs.get((3, 4)) == pytest.approx(round(7 / 9, 4))
+
+
+def test_quality_and_langid_do_not_crash_on_edges(spark, edge_dir):
+    q = entry_mod.queries()
+    assert q["q_quality_score"](spark, edge_dir).count() == len(EDGE_DOCS)
+    lang = {
+        r["doc_id"]: r["lang_pred"]
+        for r in q["q_lang_id"](spark, edge_dir).collect()
+    }
+    assert lang[3] == "en"  # 'the' x2
+    assert lang[0] == "unknown"  # no markers
