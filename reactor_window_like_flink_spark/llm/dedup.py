@@ -189,16 +189,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(64)
         ]
     )
-    simhash_expr = None
-    for b in range(64):
-        term = F.shiftleft(
-            F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            b,
-        )
-        simhash_expr = term if simhash_expr is None else simhash_expr + term
-    with_sig = votes.select("doc_id", simhash_expr.alias("simhash"))
+    # Assemble the 64 vote columns into one long via array + HOF fold. A
+    # previous form chained 64 shiftleft additions inline; after Catalyst
+    # substituted each vote reference with its full sum(CASE ...) aggregate
+    # the generated projection method blew past the JIT code cache and
+    # poisoned the whole JVM (every later query ran ~5x slower). The HOF
+    # fold is evaluated interpreted, but only once per *document* row —
+    # the per-token hot path above stays in codegen.
+    votes_arr = F.array(*[F.col(f"v{b}") for b in range(64)])
+    with_sig = votes.select("doc_id", votes_arr.alias("vs")).select(
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(vs, sequence(0, 63),"
+            " (v, b) -> shiftleft(CASE WHEN v > 0 THEN CAST(1 AS BIGINT)"
+            "                     ELSE CAST(0 AS BIGINT) END, b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("simhash"),
+    )
     chunks = with_sig.select(
         "doc_id",
         "simhash",
@@ -210,7 +217,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_id", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # hint("merge"): a broadcast self-join would *recompute* the whole
+    # explode→64-sum signature pipeline for the build side; sort-merge makes
+    # both sides identical shuffle children so ReuseExchange computes the
+    # signatures exactly once — also the only join shape that survives at
+    # 100 TB, where neither side fits in a broadcast.
+    a, b = chunks.hint("merge").alias("a"), chunks.alias("b")
     return (
         a.join(
             b,
