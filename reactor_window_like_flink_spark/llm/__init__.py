@@ -13,10 +13,18 @@ from __future__ import annotations
 from reactor_window_like_flink_spark.llm.clustering import REG as CLUSTERING_REG
 from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
 from reactor_window_like_flink_spark.llm.multimodal import REG as MULTIMODAL_REG
+from reactor_window_like_flink_spark.llm.sampling import REG as SAMPLING_REG
 from reactor_window_like_flink_spark.llm.similarity import REG as SIMILARITY_REG
 from reactor_window_like_flink_spark.llm.text import REG as TEXT_REG
 
-REGS = [DEDUP_REG, CLUSTERING_REG, SIMILARITY_REG, TEXT_REG, MULTIMODAL_REG]
+REGS = [
+    DEDUP_REG,
+    CLUSTERING_REG,
+    SIMILARITY_REG,
+    TEXT_REG,
+    SAMPLING_REG,
+    MULTIMODAL_REG,
+]
 
 __all__ = [
     "REGS",
@@ -24,5 +32,6 @@ __all__ = [
     "CLUSTERING_REG",
     "SIMILARITY_REG",
     "TEXT_REG",
+    "SAMPLING_REG",
     "MULTIMODAL_REG",
 ]

@@ -1,0 +1,154 @@
+"""Deterministic sampling, splitting, and ordering for training-data
+pipelines.
+
+Random sampling is the wrong tool at 100 TB: re-runs must produce the SAME
+subset (caching, incremental rebuilds, reproducibility audits), and split
+membership must be a pure function of the record key so a document never
+migrates from test to train between pipeline versions. Every operator here
+derives its randomness from ``md5(key)`` — stable across engines, runs,
+partitionings, and cluster sizes; no ``rand()``, no seed plumbing.
+
+Scale design: each operator is a narrow projection + filter (no shuffle at
+all for sample/split — the hash is computed streaming over the scan);
+the deterministic global shuffle is one range-partitioned sort, Spark's
+standard distributed ORDER BY. All expressions are built-ins, inside
+whole-stage codegen.
+
+Reference parity note: the reference engine (WindowPublisher.java) has no
+sampling surface; north-star scope from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+SAMPLE_PCT = 20  # q_sample_hash keep rate
+TRAIN_PCT, VAL_PCT = 80, 10  # q_train_split: 80/10/10
+
+
+def _hash_bucket(key: F.Column) -> F.Column:
+    """Stable 0-99 bucket from md5 of the stringified key — first 8 hex
+    chars parsed base-16. Identical in DuckDB as
+    ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+
+
+def _duck_bucket(key_sql: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % 100"
+    )
+
+
+@REG.add(
+    "q_sample_hash",
+    f"""
+    SELECT doc_id, lang, source,
+           {_duck_bucket("doc_id")} AS bucket
+    FROM documents
+    WHERE {_duck_bucket("doc_id")} < {SAMPLE_PCT}
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample of documents keyed on md5(doc_id).
+    Stateless and shuffle-free: the filter rides the scan, so sampling
+    100 TB costs one pass and re-runs select the identical subset."""
+    docs = load(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    return docs.select("doc_id", "lang", "source", b.alias("bucket")).filter(
+        F.col("bucket") < SAMPLE_PCT
+    )
+
+
+@REG.add(
+    "q_train_split",
+    f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_duck_bucket("doc_id")} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_duck_bucket("doc_id")} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment as a pure function of doc_id —
+    a document can never hop splits between runs or cluster sizes. The
+    aggregate here audits the split balance per language; the per-row
+    ``split`` column is what a pipeline would write out."""
+    docs = load(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    assigned = docs.select(
+        "lang",
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+@REG.add(
+    "q_shuffle_rank",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for training: rank by
+    md5(doc_id) with doc_id tie-break — decorrelates training order from
+    any ingest/source ordering, identically on every run.
+
+    Scalable global-rank shape: ``row_number() OVER (ORDER BY ...)`` with
+    no PARTITION BY funnels every row through ONE task, so instead we
+    range-partition by the sort key (Spark's distributed ORDER BY), rank
+    *within* partitions, and add per-partition offsets computed from a
+    partition-count aggregate — the only driver-side data is one row per
+    partition. ``localCheckpoint`` pins the partitioning so the count job
+    and the final job see identical placement."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("k"))
+    parts = (
+        keyed.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "k", "doc_id"
+        )
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("k", "doc_id")
+    return (
+        parts.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            (F.row_number().over(w) + F.col("off")).cast("long").alias(
+                "shuffle_rank"
+            ),
+        )
+    )

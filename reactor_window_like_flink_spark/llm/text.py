@@ -251,3 +251,43 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@REG.add(
+    "q_pii_redact",
+    r"""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>',
+                            'g'),
+             '[0-9]+', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+             AS n_number_runs,
+           CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+                AS BIGINT) AS n_emails
+    FROM events
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""PII scrub pass over the raw ``events.props`` payload: mask email
+    addresses then numeric runs, and count what was masked (the audit
+    columns a redaction pipeline must emit). Pure ``regexp_replace`` /
+    ``regexp_extract_all`` projections — no shuffle, whole-stage codegen,
+    one streaming pass at any scale. Spark replaces all occurrences by
+    default; the DuckDB oracle needs the explicit 'g' flag — patterns are
+    kept RE2-compatible so both engines and a Kafka-side pre-filter agree."""
+    events = load(spark, sf_dir, "events")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    num = r"[0-9]+"
+    return events.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace("props", email, "<EMAIL>"), num, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("props", F.lit(num), F.lit(0)))
+        .cast("long")
+        .alias("n_number_runs"),
+        F.size(F.regexp_extract_all("props", F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+    )

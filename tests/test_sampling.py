@@ -1,0 +1,53 @@
+"""Deterministic sampling/split/ordering invariants at sf0.001 — the
+properties a training pipeline relies on: stability across runs, split
+exclusivity, and permutation correctness."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from reactor_window_like_flink_spark.llm.sampling import (
+    SAMPLE_PCT,
+    TRAIN_PCT,
+    VAL_PCT,
+)
+
+
+def test_sample_is_stable_and_roughly_sized(spark, sf_dir):
+    q = entry_mod.queries()["q_sample_hash"]
+    first = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    second = {r["doc_id"] for r in q(spark, sf_dir).collect()}
+    assert first == second  # re-run selects the identical subset
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # md5 is uniform: expect pct +- 6 sigma of binomial
+    expect = n_docs * SAMPLE_PCT / 100
+    sigma = (n_docs * (SAMPLE_PCT / 100) * (1 - SAMPLE_PCT / 100)) ** 0.5
+    assert abs(len(first) - expect) < 6 * sigma
+
+
+def test_split_partitions_every_doc_exactly_once(spark, sf_dir):
+    rows = entry_mod.queries()["q_train_split"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) == {"train", "val", "test"}
+    # 80/10/10 within binomial noise
+    assert abs(by_split["train"] / n_docs - TRAIN_PCT / 100) < 0.1
+    assert abs(by_split["val"] / n_docs - VAL_PCT / 100) < 0.08
+
+
+def test_shuffle_rank_is_a_permutation(spark, sf_dir):
+    rows = entry_mod.queries()["q_shuffle_rank"](spark, sf_dir).collect()
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))  # contiguous, no dups
+    # order is decorrelated from doc_id order: the permutation must not be
+    # the identity (P ~ 1/n! of a false failure)
+    by_rank = [r["doc_id"] for r in sorted(rows, key=lambda r: r["shuffle_rank"])]
+    assert by_rank != sorted(by_rank)
+
+
+def test_pii_redact_masks_all_digits(spark, sf_dir):
+    rows = entry_mod.queries()["q_pii_redact"](spark, sf_dir).collect()
+    assert all(not any(c.isdigit() for c in r["redacted"]) for r in rows)
+    assert any(r["n_number_runs"] > 0 for r in rows)
