@@ -27,9 +27,12 @@ except ImportError:
     pass
 
 try:  # streaming window surface (keys 40-45)
+    from reactor_window_like_flink_spark.streaming.joins import (
+        REG as _STREAMING_JOINS,
+    )
     from reactor_window_like_flink_spark.streaming.windows import REG as _STREAMING
 
-    _ALL_REGS.append(_STREAMING)
+    _ALL_REGS.extend([_STREAMING, _STREAMING_JOINS])
 except ImportError:
     pass
 

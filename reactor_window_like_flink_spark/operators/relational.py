@@ -1013,3 +1013,55 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select("c_custkey").subtract(
         orders.select(F.col("o_custkey").alias("c_custkey"))
     )
+
+
+RANGE_DELTA = 0.25  # q_join_range_bucket band half-width
+
+
+@REG.add(
+    "q_join_range_bucket",
+    f"""
+    SELECT CAST(floor(a.value / 50) AS BIGINT) AS val_band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON b.event_id > a.event_id AND abs(a.value - b.value) <= {RANGE_DELTA}
+    GROUP BY val_band
+    """,
+)
+def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join with NO equi key (|value_a - value_b| <= delta over all
+    event pairs), made scalable by manufacturing one: bucket = floor(value
+    / delta), explode the left side to its three adjacent buckets, and
+    equi-join on the bucket. A pair within delta always lands in the same
+    or adjacent bucket, and each qualifying pair matches on exactly one of
+    the three exploded values — no dedup pass needed.
+
+    Contrast with ``q_join_theta`` (which has a user_id equi key): the
+    naive plan here is a BroadcastNestedLoopJoin — O(n^2) comparisons and
+    a single-threaded build at 100 TB. The bucket equi-join shuffles both
+    sides by band (3x row inflation on one side only), turning it into an
+    ordinary hash join whose cost tracks the true output size. Same trick
+    spelled "overlap join binning" in DuckDB/Postgres literature."""
+    delta = RANGE_DELTA
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "value", F.floor(F.col("value") / delta).cast("long").alias("bk")
+    )
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("value").alias("a_value"),
+        F.explode(
+            F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+        ).alias("jb"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("value").alias("b_value"),
+        F.col("bk").alias("jb"),
+    )
+    pairs = a.join(b, "jb").filter(
+        (F.col("b_id") > F.col("a_id"))
+        & (F.abs(F.col("a_value") - F.col("b_value")) <= delta)
+    )
+    return pairs.groupBy(
+        F.floor(F.col("a_value") / 50).cast("long").alias("val_band")
+    ).agg(F.count("*").alias("n_pairs"))

@@ -69,3 +69,21 @@ def test_similarity_scan_has_no_shuffle_before_topk(q):
     the fact table here would be a 100 TB regression."""
     df = q("q_similarity_cosine")
     assert has_node(df, "TakeOrderedAndProject")
+
+
+def test_range_bucket_join_is_equi_not_bnlj(q):
+    """The manufactured bucket key must make this a hash/merge join;
+    BroadcastNestedLoopJoin here means the binning regressed to O(n^2)."""
+    df = q("q_join_range_bucket")
+    assert not has_node(df, "BroadcastNestedLoopJoin")
+    assert not has_node(df, "CartesianProduct")
+
+
+def test_sample_and_split_are_shuffle_free(q):
+    """Hash sampling/splitting must ride the scan: any Exchange means the
+    one-pass 100 TB property is gone (the split agg gets one shuffle)."""
+    assert not has_node(q("q_sample_hash"), "Exchange")
+
+
+def test_pii_redact_is_narrow(q):
+    assert not has_node(q("q_pii_redact"), "Exchange")

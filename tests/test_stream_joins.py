@@ -1,0 +1,93 @@
+"""Stream-stream interval join and stream-static enrichment: streaming
+results equal the shared batch expression tree on the same rows."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from reactor_window_like_flink_spark.streaming.joins import (
+    _interval_join,
+    stream_interval_join,
+    stream_static_join,
+)
+from reactor_window_like_flink_spark.streaming.publisher import FileStreamInput
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime(2024, 1, 1, 10, minute, second, tzinfo=timezone.utc)
+
+
+def _clicks():
+    # user 1: clicks at 10:00 and 10:04; user 2: click at 10:00
+    return [
+        (1, _ts(0), 1, "click", 1.0),
+        (2, _ts(4), 1, "click", 2.0),
+        (3, _ts(0), 2, "click", 3.0),
+        (4, _ts(30), 3, "click", 4.0),  # no purchase within window
+    ]
+
+
+def _purchases():
+    # user 1 purchase at 10:05 matches both clicks; user 2 purchase at
+    # 10:15 is outside the 10-minute interval from the 10:00 click
+    return [
+        (10, _ts(5), 1, "purchase", 9.0),
+        (11, _ts(15), 2, "purchase", 9.0),
+    ]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    clicks = FileStreamInput(spark, SCHEMA, str(tmp_path / "clicks"))
+    purchases = FileStreamInput(spark, SCHEMA, str(tmp_path / "purchases"))
+    clicks.publish(_clicks())
+    purchases.publish(_purchases())
+    out = stream_interval_join(clicks.stream(), purchases.stream())
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_sj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["click_id"], r["gap_s"])
+            for r in spark.sql("SELECT * FROM t_sj").collect()
+        }
+    finally:
+        query.stop()
+    want = {
+        (r["purchase_id"], r["click_id"], r["gap_s"])
+        for r in _interval_join(
+            spark.createDataFrame(_clicks(), SCHEMA),
+            spark.createDataFrame(_purchases(), SCHEMA),
+        ).collect()
+    }
+    assert got == want
+    # exactly the two user-1 attributions: purchase 10 <- clicks 1 and 2
+    assert got == {(10, 1, 300), (10, 2, 60)}
+
+
+def test_stream_static_join_enriches_every_event(spark, tmp_path):
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "ev"))
+    src.publish(_clicks())
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = stream_static_join(src.stream(), dim)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.sql("SELECT event_id, tier FROM t_ssj").collect()
+    finally:
+        query.stop()
+    tiers = {r["event_id"]: r["tier"] for r in rows}
+    # left join: every event survives; unknown users get NULL tier
+    assert tiers == {1: "gold", 2: "gold", 3: "silver", 4: None}
