@@ -152,3 +152,43 @@ def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Per-language keep rates: downsample the high-resource language, keep all
+# of the low-resource ones — the standard rebalancing move before training.
+STRATA_PCT = {"en": 10, "zh": 50}
+STRATA_DEFAULT_PCT = 80
+
+
+def _strata_rate(lang: F.Column) -> F.Column:
+    rate = F.lit(STRATA_DEFAULT_PCT)
+    for lg, pct in STRATA_PCT.items():
+        rate = F.when(lang == lg, pct).otherwise(rate)
+    return rate
+
+
+@REG.add(
+    "q_sample_stratified",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN {STRATA_PCT["en"]}
+                  WHEN lang = 'zh' THEN {STRATA_PCT["zh"]}
+                  ELSE {STRATA_DEFAULT_PCT} END AS rate,
+             {_duck_bucket("doc_id")} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM rated WHERE bucket < rate
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates over the
+    same md5 bucket as ``q_sample_hash``, so strata rates can be retuned
+    without reshuffling membership (a doc kept at 10% stays kept at 50%).
+    Still shuffle-free — rate lookup is a CASE expression on the scan."""
+    docs = load(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", b.alias("bucket"))
+        .filter(F.col("bucket") < _strata_rate(F.col("lang")))
+    )

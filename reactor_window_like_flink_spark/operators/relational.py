@@ -1065,3 +1065,67 @@ def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.floor(F.col("a_value") / 50).cast("long").alias("val_band")
     ).agg(F.count("*").alias("n_pairs"))
+
+
+@REG.add("q_hll_rollup")  # rows-only: sketch estimates are engine-specific
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    distinct counts tractable at 100 TB: build per-(event_type, day) HLL
+    sketches ONCE (``hll_sketch_agg``), then answer coarser rollups by
+    merging sketches (``hll_union_agg``) without ever touching the raw
+    rows again. A materialized daily sketch table turns "distinct users
+    this quarter" into a union over ~90 tiny binary blobs per key.
+    Estimates are Datasketches-HLL-specific, so the driver check is
+    rows-only; the pytest suite bounds the estimate against the exact
+    distinct count."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.count("*").alias("n_daily_sketches"),
+        )
+        .select("event_type", "est_users", "n_daily_sketches")
+    )
+
+
+@REG.add(
+    "q_reagg_rollup",
+    """
+    SELECT event_type,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(SUM(value) / count(*), 4) AS avg_value
+    FROM events GROUP BY event_type, month
+    """,
+)
+def q_reagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate correctness: monthly numbers
+    computed FROM a daily pre-aggregate (sum-of-sums / sum-of-counts, avg
+    re-derived at read time), verified hash-identical to the oracle's
+    direct monthly aggregation. This is the contract a materialized daily
+    rollup must satisfy for coarser windows to be served from it; only
+    algebraic aggregates (sum/count/min/max) re-aggregate — avg must be
+    stored as (sum, count), never as a ratio."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    return (
+        daily.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sv"))
+        .select(
+            "event_type",
+            "month",
+            "n_events",
+            F.round("sv", 2).alias("sum_value"),
+            F.round(F.col("sv") / F.col("n_events"), 4).alias("avg_value"),
+        )
+    )

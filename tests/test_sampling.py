@@ -51,3 +51,27 @@ def test_pii_redact_masks_all_digits(spark, sf_dir):
     rows = entry_mod.queries()["q_pii_redact"](spark, sf_dir).collect()
     assert all(not any(c.isdigit() for c in r["redacted"]) for r in rows)
     assert any(r["n_number_runs"] > 0 for r in rows)
+
+
+def test_stratified_rates_respected(spark, sf_dir):
+    rows = entry_mod.queries()["q_sample_stratified"](spark, sf_dir).collect()
+    from reactor_window_like_flink_spark.llm.sampling import (
+        STRATA_DEFAULT_PCT,
+        STRATA_PCT,
+    )
+
+    kept = {}
+    for r in rows:
+        kept.setdefault(r["lang"], set()).add(r["doc_id"])
+        rate = STRATA_PCT.get(r["lang"], STRATA_DEFAULT_PCT)
+        assert r["bucket"] < rate
+    # membership nests: both keys share one bucket function, so any doc in
+    # the flat 20% sample whose language keeps >= 20% must also be kept by
+    # the stratified sample
+    sample = {
+        (r["doc_id"], r["lang"])
+        for r in entry_mod.queries()["q_sample_hash"](spark, sf_dir).collect()
+    }
+    for doc_id, lang in sample:
+        if STRATA_PCT.get(lang, STRATA_DEFAULT_PCT) >= 20:  # SAMPLE_PCT
+            assert doc_id in kept.get(lang, set())
