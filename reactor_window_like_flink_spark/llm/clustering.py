@@ -26,10 +26,10 @@ Scale design:
   ``checkpoint()`` (HDFS-backed) — ``localCheckpoint`` trades executor-loss
   recovery for speed, the right call on local[32].
 
-The pair graph reuses the exact word-bigram Jaccard candidates from
-``dedup.q_dedup_ngram_jaccard`` at a stricter 0.5 threshold, so the whole
-chain (shingle → blocked pair join → component closure) is deterministic
-and DuckDB-checkable via a recursive CTE.
+The pair graph comes from ``dedup.exact_jaccard_pairs`` (prefix-filtered
+exact word-bigram Jaccard, threshold 0.5) — deterministic and lossless, so
+the whole chain (shingle → prefix-filtered pair join → component closure)
+is DuckDB-checkable via a recursive CTE over the equivalent all-pairs SQL.
 
 Reference parity note: the reference engine (WindowPublisher.java) has no
 dedup surface at all; this is north-star scope from BASELINE.json.
@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
-from reactor_window_like_flink_spark.llm.dedup import _shingles_from_toks, _tokenized
+from reactor_window_like_flink_spark.llm.dedup import exact_jaccard_pairs
 from reactor_window_like_flink_spark.sources.tables import load
 
 REG = Registry()
@@ -129,23 +129,9 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document labeled with its component's canonical survivor
     (``group_id = min(doc_id)``), the component size, and a keep flag.
     ``filter(~is_survivor)`` is the pipeline's drop list."""
-    t = _tokenized(spark, sf_dir).select(
-        "doc_id", "lang", _shingles_from_toks(2).alias("bg")
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect("a.bg", "b.bg")).cast("double")
-    union_sz = F.size("a.bg") + F.size("b.bg") - F.size(
-        F.array_intersect("a.bg", "b.bg")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(inter / union_sz >= GROUP_JACCARD_THRESHOLD)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
+    pairs = exact_jaccard_pairs(
+        spark, sf_dir, GROUP_JACCARD_THRESHOLD, shingle_n=2
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     comp = connected_components(pairs, nodes)
     out = comp.select(

@@ -360,3 +360,158 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cosine"),
         )
     )
+
+
+def exact_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, shingle_n: int = 2
+) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering (the PPJoin
+    family, Chaudhuri/Xiao et al.) — every pair with word-``shingle_n``-gram
+    Jaccard >= ``threshold``, with NO false negatives and no all-pairs
+    product.
+
+    How it scales:
+
+    1. Shingles are hashed to longs (``xxhash64``) once — every later
+       comparison is integer equality, not string hashing. Jaccard over
+       the hashed sets equals Jaccard over the raw sets barring a 2^-64
+       collision.
+    2. Each doc's shingles are sorted by GLOBAL document frequency
+       (rarest first — the (df, h) pair is a total order shared by all
+       docs), and only the first ``floor((1-t)*|set|) + 1`` are exploded
+       as candidate keys. The prefix-filter theorem guarantees two sets
+       with Jaccard >= t share at least one key in these prefixes, so
+       pruning is lossless; because the prefix holds each doc's RAREST
+       shingles, posting lists stay short exactly where the explosion
+       would hurt.
+    3. Candidates (pairs sharing a prefix key, same-lang block, id-ordered)
+       are deduped, then exact-verified with one ``array_intersect`` over
+       the hashed arrays.
+
+    Every stage is a keyed shuffle (freq count, per-doc sort, posting-list
+    join) — the shape survives a 1000-executor corpus, unlike the blocked
+    all-pairs join it replaces (which is Σ|block|² intersections)."""
+    t = threshold
+    hashed = (
+        _tokenized(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(
+                _shingles_from_toks(shingle_n), lambda x: F.xxhash64(x)
+            ).alias("hs"),
+        )
+    )
+    ex = hashed.select("doc_id", F.explode("hs").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, h))), s -> s.h)"
+            ).alias("sorted_hs")
+        )
+    )
+    docs2 = hashed.select("doc_id", "lang").join(ranked, "doc_id")
+    prefix = docs2.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"slice(sorted_hs, 1,"
+                f" CAST(floor((1.0 - {t}) * size(sorted_hs)) AS INT) + 1)"
+            )
+        ).alias("h"),
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.h") == F.col("pb.h"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = docs2.select("doc_id", "sorted_hs")
+    with_a = sets.join(cand, sets.doc_id == cand.doc_a).select(
+        "doc_a", "doc_b", F.col("sorted_hs").alias("hs_a")
+    )
+    paired = sets.join(with_a, sets.doc_id == with_a.doc_b).select(
+        "doc_a", "doc_b", "hs_a", F.col("sorted_hs").alias("hs_b")
+    )
+    scored = paired.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("hs_a", "hs_b")).cast("double").alias("n_inter"),
+        (F.size("hs_a") + F.size("hs_b")).alias("n_total"),
+    )
+    jacc = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
+    return scored.filter(jacc >= t).select(
+        "doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")
+    )
+
+
+def blocked_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    shingle_n: int = 2,
+    salt: int = 32,
+) -> DataFrame:
+    """Exact Jaccard pairs within ``lang`` blocks via a SALTED all-pairs
+    join over hashed shingles — the workhorse for corpora whose shingle
+    vocabulary is too dense for prefix filtering (``exact_jaccard_pairs``
+    degenerates when every shingle is common; measured slower on the
+    synthetic fixture's ~40-word vocabulary).
+
+    Two scale levers over the naive blocked join:
+
+    * **Salting fixes the parallelism collapse.** A join keyed on ``lang``
+      alone has ~5 distinct keys, so sort-merge enumerates each block's
+      |block|² pairs in at most 5 tasks. Replicating the left side to
+      ``salt`` pseudo-keys ((lang, peer_salt) == (lang, doc_id % salt))
+      spreads the same pair enumeration over 5 x salt tasks; each pair
+      still appears exactly once (one replica of A meets B's single salt).
+    * **Hashed shingles shrink the shuffle and the kernel.** Arrays of
+      xxhash64 longs are ~2.5x narrower than the string shingles and
+      intersect with long equality instead of string hashing; Jaccard over
+      the hashed sets equals Jaccard over raw sets barring 2^-64
+      collisions. ``array_intersect`` is evaluated once in its own
+      projection (it dominates per-pair cost)."""
+    t = _tokenized(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.transform(_shingles_from_toks(shingle_n), lambda x: F.xxhash64(x)).alias(
+            "hs"
+        ),
+    )
+    b = t.withColumn("b_salt", F.pmod("doc_id", F.lit(salt)).cast("int"))
+    a = t.withColumn(
+        "peer", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    scored = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.peer") == F.col("b.b_salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect("a.hs", "b.hs"))
+            .cast("double")
+            .alias("n_inter"),
+            (F.size("a.hs") + F.size("b.hs")).alias("n_total"),
+        )
+    )
+    jacc = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
+    return scored.filter(jacc >= threshold).select(
+        "doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")
+    )
