@@ -15,6 +15,7 @@ implementations differ.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -234,7 +235,9 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("string")
     def qty_class(qty: pd.Series) -> pd.Series:
-        return pd.Series(["bulk" if q >= 25 else "unit" for q in qty])
+        # np.where keeps the batch vectorized end-to-end; a per-element
+        # Python comprehension would forfeit the Arrow batching win.
+        return pd.Series(np.where(qty >= 25, "bulk", "unit"))
 
     li = load(spark, sf_dir, "lineitem")
     return li.select(

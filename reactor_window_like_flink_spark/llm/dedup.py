@@ -170,40 +170,57 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add("q_dedup_simhash")  # rows-only: DuckDB has no xxhash64 to mirror
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit bit-vote signature per doc, candidate pairs
-    via pigeonhole chunk buckets, confirmed by Hamming distance ≤ 7
-    (``bit_count(a XOR b)`` — one JVM instruction per pair).
+    via pigeonhole chunk buckets, confirmed by Hamming distance ≤
+    ``HAMMING_THRESHOLD`` (= 3 — the bound the 4-chunk pigeonhole argument
+    above guarantees full recall for) via ``bit_count(a XOR b)`` — one JVM
+    instruction per pair.
 
-    The bit votes are 64 plain SUM aggregates over exploded token hashes —
-    map-side partial sums inside whole-stage codegen (an earlier nested
-    higher-order-function form fell out of codegen and was ~30x slower)."""
+    Bit-vote layout: instead of 64 ``sum(CASE)`` aggregate columns (whose
+    generated aggregate method was the repo's largest codegen unit and
+    degraded badly under JIT code-cache pressure), each token packs its 64
+    bits into 16 longs × 4 lanes of 16 bits, and the aggregate is 16 plain
+    ``sum(long)`` columns + ``count(*)``. Lane ``l`` of packed column ``j``
+    accumulates the ones-count of bit ``4j+l``; bit b of the signature is
+    set iff 2·ones(b) > n (identical to the +1/-1 vote-sum sign, ties →
+    0). 16-bit lanes hold ones-counts up to 65,535 tokens per document —
+    cap or distinct tokens first for documents beyond that."""
     exploded = (
         _tokenized(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
     )
-    votes = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
+    h = F.col("h")
+    packed = []
+    for j in range(16):
+        lanes = None
+        for lane in range(4):
+            bit = F.shiftright(h, j * 4 + lane).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, lane * 16)
+            lanes = term if lanes is None else lanes + term
+        packed.append(lanes.alias(f"p{j}"))
+    votes = (
+        exploded.select("doc_id", *packed)
+        .groupBy("doc_id")
+        .agg(
+            *[F.sum(f"p{j}").alias(f"s{j}") for j in range(16)],
+            F.count("*").alias("n"),
+        )
     )
-    # Assemble the 64 vote columns into one long via array + HOF fold. A
-    # previous form chained 64 shiftleft additions inline; after Catalyst
-    # substituted each vote reference with its full sum(CASE ...) aggregate
-    # the generated projection method blew past the JIT code cache and
-    # poisoned the whole JVM (every later query ran ~5x slower). The HOF
-    # fold is evaluated interpreted, but only once per *document* row —
-    # the per-token hot path above stays in codegen.
-    votes_arr = F.array(*[F.col(f"v{b}") for b in range(64)])
-    with_sig = votes.select("doc_id", votes_arr.alias("vs")).select(
+    # Unpack the 64 lane counts into the signature via one HOF fold —
+    # interpreted, but evaluated once per *document* row; the per-token hot
+    # path above stays in whole-stage codegen. (A previous form chained 64
+    # inline shiftleft additions; Catalyst substituted each reference with
+    # its full aggregate expression and the generated projection blew past
+    # the JIT code cache, poisoning the whole JVM.)
+    sv = F.array(*[F.col(f"s{j}") for j in range(16)])
+    with_sig = votes.select("doc_id", sv.alias("sv"), "n").select(
         "doc_id",
         F.expr(
-            "aggregate(zip_with(vs, sequence(0, 63),"
-            " (v, b) -> shiftleft(CASE WHEN v > 0 THEN CAST(1 AS BIGINT)"
-            "                     ELSE CAST(0 AS BIGINT) END, b)),"
-            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
+            " (acc, b) -> acc + shiftleft("
+            "   CASE WHEN 2 * (shiftright(element_at(sv, CAST(b DIV 4 AS INT) + 1),"
+            "                             (b % 4) * 16) & 65535) > n"
+            "        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, b))"
         ).alias("simhash"),
     )
     chunks = with_sig.select(
