@@ -282,100 +282,199 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard over blocked pairs (same ``lang``) —
+    """Exact word-bigram Jaccard pairs (same ``lang``, Jaccard >= 0.1) —
     the deterministic, oracle-checkable complement to the probabilistic
-    MinHash key. Blocking is the scale lever: the join shuffles on the
-    block key, and pair count is Σ|block|², not |docs|². At 100 TB the
-    block key would be an LSH band; here it's ``lang`` so the oracle can
-    reproduce the exact pair set."""
-    t = _tokenized(spark, sf_dir).select(
-        "doc_id", "lang", _shingles_from_toks(2).alias("bg")
-    )
-    a, b = t.alias("a"), t.alias("b")
-    # One array_intersect per pair: compute |∩| in its own projection so
-    # the O(|bg|) set intersection isn't re-inlined into the union/filter
-    # expressions (it dominates the per-pair cost).
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect("a.bg", "b.bg")).cast("double").alias("n_inter"),
-            (F.size("a.bg") + F.size("b.bg")).alias("n_total"),
-        )
-    )
-    jacc = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
-    return (
-        pairs.filter(jacc >= 0.1)
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
-    )
+    MinHash key.
+
+    The plan is the prefix-filtered set-similarity join
+    (``exact_jaccard_pairs``): candidates come from a posting-list join on
+    individual shingle hashes — a high-cardinality key that spreads across
+    every executor — not from an all-pairs join blocked on the ~5-value
+    ``lang`` column (whose Σ|block|² pair enumeration ran in at most 5
+    tasks). ``lang`` equality remains as a *predicate* on the candidate
+    join, so the output is identical to the oracle's blocked formulation.
+    Prefix pruning strengthens with the threshold (at t=0.1 the prefix is
+    90% of each set; at near-dup thresholds it collapses to a handful of
+    rare shingles), but the join-key cardinality — the scale property —
+    holds at any threshold."""
+    return exact_jaccard_pairs(spark, sf_dir, threshold=0.1, shingle_n=2)
 
 
-@REG.add(
-    "q_dedup_embedding",
-    """
+# Sign-LSH (random-hyperplane) banding for embedding near-dup candidates.
+# EMB_LSH_BITS per band → 2^bits bucket values per band; a pair is a
+# candidate iff it collides in >= 1 of EMB_LSH_BANDS bands. P(bit agrees) =
+# 1 - θ/π for angle θ, so recall = 1 - (1 - p^bits)^bands rises toward 1 as
+# cosine → 1 (the near-dup regime) while unrelated pairs collide at ~
+# bands·2^-bits. The fixture uses 4-bit bands so the weak 0.3 demo
+# threshold still yields pairs; at 100 TB with a true near-dup threshold
+# (cos >= 0.95) raise bits per band (e.g. 16 bits → 65,536-value buckets,
+# unrelated-pair collision ~1e-4, recall 96% at 16 bands).
+# Hyperplanes are literal constants (seeded, rounded) so the DuckDB oracle
+# reproduces the exact bucket assignment bit-for-bit.
+EMB_DIM = 64  # testdata embeddings schema (TESTDATA.md)
+EMB_LSH_SEED = 20260813
+EMB_LSH_BANDS = 8
+EMB_LSH_BITS = 4
+EMB_COSINE_THRESHOLD = 0.3
+
+
+def _emb_hyperplanes() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(EMB_LSH_SEED)
+    return np.round(
+        rng.standard_normal((EMB_LSH_BANDS * EMB_LSH_BITS, EMB_DIM)), 6
+    ).tolist()
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB mirror of the sign-LSH bucket + exact-cosine confirm. The
+    hyperplane literals and left-fold dot products are identical to the
+    Spark expressions, so bucket bits and the >= threshold row set match
+    bit-for-bit."""
+    planes = _emb_hyperplanes()
+
+    def dot_sql(h: list[float]) -> str:
+        lit = "CAST([" + ", ".join(repr(v) for v in h) + "] AS DOUBLE[])"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, {EMB_DIM}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), (x, y) -> x + y)"
+        )
+
+    band_selects = []
+    for j in range(EMB_LSH_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql(planes[j * EMB_LSH_BITS + lane])} > 0"
+            f" THEN {1 << lane} ELSE 0 END)"
+            for lane in range(EMB_LSH_BITS)
+        )
+        band_selects.append(
+            f"SELECT vec_id, {j} AS band, {bits} AS bucket FROM embeddings"
+        )
+    buckets = "\n      UNION ALL ".join(band_selects)
+    return f"""
     WITH e AS (
-      SELECT vec_id, label, embedding,
+      SELECT vec_id, embedding,
              sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                   (a, b) -> a + b)) AS nrm
       FROM embeddings
-    ), pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    ), buckets AS (
+      {buckets}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT c.vec_a, c.vec_b,
              list_reduce(list_prepend(0.0, list_transform(
-               generate_series(1, len(a.embedding)),
-               i -> CAST(a.embedding[i] AS DOUBLE)
-                    * CAST(b.embedding[i] AS DOUBLE))),
-               (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+               generate_series(1, {EMB_DIM}),
+               i -> CAST(ea.embedding[i] AS DOUBLE)
+                    * CAST(eb.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b
     )
-    SELECT vec_a, vec_b, label, ROUND(cosine, 4) AS cosine
-    FROM pairs WHERE cosine >= 0.3
-    """,
-)
+    SELECT vec_a, vec_b, ROUND(cosine, 4) AS cosine
+    FROM scored WHERE cosine >= {EMB_COSINE_THRESHOLD}
+    """
+
+
+@REG.add("q_dedup_embedding", _emb_lsh_oracle())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by ``label`` (at 100 TB the
-    block key is an ANN bucket — IVF cell or LSH sign-chunk; see
-    similarity.py). The cosine kernel is ``zip_with``+``aggregate`` on
-    ``array<float>`` upcast to double — left-to-right summation matches the
-    oracle's ``list_reduce`` fold bit-for-bit, so the ≥ threshold row set
-    is identical across engines."""
+    """Embedding-cosine near-dup pairs: sign-LSH banded candidate buckets
+    + exact-cosine confirm (>= ``EMB_COSINE_THRESHOLD``).
+
+    Candidates come from a self-join on (band, bucket) — an LSH bucket key,
+    not a low-cardinality data column, so the shuffle spreads by signature
+    and the key cardinality is a *dial* (2^bits per band) rather than a
+    property of the data. The previous plan blocked on the ~5-value
+    ``label`` column: Σ|block|² comparisons ≈ O(n²/5) in at most 5 tasks.
+
+    The cosine kernel is ``zip_with``+``aggregate`` on ``array<float>``
+    upcast to double — left-to-right summation matches the oracle's
+    ``list_reduce`` fold bit-for-bit, and the hyperplane literals are
+    shared, so the full row set is oracle-hash-checked despite the
+    probabilistic candidate stage. Scale note: the 32 interpreted HOF dot
+    products per row are the oracle-exact form; a production signature pass
+    is one numpy matmul in an Arrow-batched ``mapInPandas`` (bucket
+    assignment itself needs no cross-engine bit-exactness)."""
+    planes = _emb_hyperplanes()
     emb = load(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    e = emb.select("vec_id", "label", "embedding", F.sqrt(sq_sum).alias("nrm"))
-    a, b = e.alias("a"), e.alias("b")
+    e = emb.select("vec_id", "embedding", F.sqrt(sq_sum).alias("nrm"))
+
+    def plane_dot(h: list[float]) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(v) for v in h]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def band_bucket(j: int) -> F.Column:
+        bucket = F.lit(0)
+        for lane in range(EMB_LSH_BITS):
+            bit = F.when(
+                plane_dot(planes[j * EMB_LSH_BITS + lane]) > 0, 1 << lane
+            ).otherwise(0)
+            bucket = bucket + bit
+        return bucket
+
+    buckets = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[band_bucket(j) for j in range(EMB_LSH_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    # hint("merge"): sort-merge makes both self-join sides identical
+    # shuffle children, so ReuseExchange evaluates the 32-dot signature
+    # pass once; a broadcast build would recompute it for the build side.
+    a, b = buckets.hint("merge").alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     dot = F.aggregate(
         F.zip_with(
-            "a.embedding",
-            "b.embedding",
-            lambda x, y: x.cast("double") * y.cast("double"),
+            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cos_raw", cosine)
-        .filter(F.col("cos_raw") >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round("cos_raw", 4).alias("cosine"),
-        )
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_raw", dot / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cos_raw") >= EMB_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
     )
 
 

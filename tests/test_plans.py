@@ -4,14 +4,28 @@ fails CI even while results stay correct."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entry_mod
 from reactor_window_like_flink_spark.plans import (
+    formatted_plan,
     has_node,
     pushed_filters,
     read_schema_columns,
 )
+
+
+def _join_key_lists(df) -> list[list[str]]:
+    """Equi-join key column names per join side, from the formatted plan."""
+    out = []
+    for m in re.finditer(
+        r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", formatted_plan(df)
+    ):
+        cols = [c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
 
 
 @pytest.fixture(scope="module")
@@ -87,3 +101,22 @@ def test_sample_and_split_are_shuffle_free(q):
 
 def test_pii_redact_is_narrow(q):
     assert not has_node(q("q_pii_redact"), "Exchange")
+
+
+def test_ngram_jaccard_candidates_join_on_shingle_hash(q):
+    """Candidate generation must be keyed by the high-cardinality shingle
+    hash (posting-list join), never by the ~5-value lang block alone —
+    a lang-only equi key replays the Σ|block|² all-pairs collapse."""
+    key_lists = _join_key_lists(q("q_dedup_ngram_jaccard"))
+    assert key_lists
+    assert all(set(k) != {"lang"} for k in key_lists)
+    assert any("h" in k for k in key_lists)
+
+
+def test_embedding_candidates_join_on_lsh_bucket(q):
+    """Embedding near-dup candidates must join on the sign-LSH
+    (band, bucket) key; the raw ~10-value label column must not appear as
+    a join key anywhere in the plan."""
+    key_lists = _join_key_lists(q("q_dedup_embedding"))
+    assert any({"band", "bucket"} <= set(k) for k in key_lists)
+    assert all("label" not in k for k in key_lists)
