@@ -59,3 +59,21 @@ def test_ann_exact_within_probed_cells(spark, sf_dir, vectors):
     in_cells = {v for v, lab, _ in vectors if lab in probed_labels}
     want = _brute_topk(vectors, candidate_ids=in_cells)
     assert [r["vec_id"] for r in got] == [v for v, _ in want]
+
+
+def test_ivf_index_trains_once_and_query_plan_has_no_training(spark, sf_dir):
+    """Index lifecycle: train_ivf persists and is served from cache on
+    every later call; the ANN query plan itself is a pruned fact scan —
+    no posexplode/aggregate of the fact table (that would be re-training
+    inside the query)."""
+    from reactor_window_like_flink_spark.llm.similarity import train_ivf
+    from reactor_window_like_flink_spark.plans import formatted_plan
+
+    first = train_ivf(spark, sf_dir)
+    assert first.storageLevel.useMemory
+    assert train_ivf(spark, sf_dir) is first
+
+    df = entry_mod.queries()["q_similarity_ann"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan  # no posexplode of the fact table
+    assert "HashAggregate" not in plan  # no centroid (re)aggregation
