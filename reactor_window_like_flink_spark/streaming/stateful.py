@@ -57,25 +57,37 @@ def count_or_time_stateful(
         out: list[tuple[int, int, int, float, str]] = []
 
         if state.hasTimedOut:
-            # time path: windowDuration elapsed with a non-empty open batch
+            # time path: windowDuration elapsed since the open batch OPENED
             if n > 0:
                 out.append((key[0], seq, n, round(total, 2), "timeout"))
-            state.remove()
+                seq += 1
+            # keep the state row (not remove()) so batch_seq stays
+            # monotonic per key across timeout flushes; no timeout armed —
+            # an empty open batch can never emit
+            state.update((seq, 0, 0.0, 0))
         else:
+            now_ms = state.getCurrentProcessingTimeMs()
             for pdf in pdfs:
                 for v in pdf[value_col]:
+                    if n == 0:
+                        opened_ms = now_ms  # batch opens at first element
                     n += 1
                     total += float(v)
                     if n >= max_size:  # count path: flush at maxSize
                         out.append((key[0], seq, n, round(total, 2), "size"))
                         seq += 1
-                        n, total = 0, 0.0
+                        n, total, opened_ms = 0, 0.0, 0
+            state.update((seq, n, total, opened_ms))
             if n > 0:
-                state.update((seq, n, total, opened_ms))
-                state.setTimeoutDuration(timeout_ms)
-            elif state.exists:
-                state.update((seq, n, total, opened_ms))
-                # nothing buffered: no timeout armed, nothing can emit empty
+                # Arm the flush-on-time clock against when the open batch
+                # OPENED (reference bufferTimeout semantics): re-arming
+                # with the full duration on every micro-batch would reset
+                # the clock per arrival, leaving latency unbounded under a
+                # steady sub-max_size trickle. Remaining time, not full
+                # duration, keeps the bound at `duration` from first
+                # element.
+                remaining = max(1, opened_ms + timeout_ms - now_ms)
+                state.setTimeoutDuration(int(remaining))
         if out:
             yield pd.DataFrame(
                 out,

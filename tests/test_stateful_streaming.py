@@ -86,6 +86,54 @@ def test_count_timeout_and_conservation(spark, tmp_path):
         query.stop()
 
 
+def test_trickle_still_time_flushes(spark, tmp_path):
+    """Opened-based flush-on-time: under a steady sub-max_size trickle
+    arriving faster than the window duration, a batch must still flush
+    ~duration after it opened. (Inactivity-reset timing — re-arming the
+    full duration on every arrival — never fires here, leaving latency
+    unbounded; this is the reference's bufferTimeout contract.)"""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = count_or_time_stateful(src.stream(), max_size=100, duration_seconds=2.0)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_trickle")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        published = 0
+        saw_mid_trickle = False
+        deadline = time.time() + 45.0
+        while time.time() < deadline:
+            src.publish(_rows(user=7, n=2, start=published))
+            published += 2
+            if (
+                spark.sql(
+                    "SELECT count(*) c FROM t_trickle WHERE flush_reason = 'timeout'"
+                ).collect()[0]["c"]
+                > 0
+            ):
+                saw_mid_trickle = True  # fired while arrivals kept coming
+                break
+            time.sleep(0.5)
+        assert saw_mid_trickle, "no timeout flush fired during a steady trickle"
+        flushed = spark.sql(
+            "SELECT * FROM t_trickle WHERE flush_reason = 'timeout'"
+        ).collect()
+        assert all(0 < r["n_events"] < 100 for r in flushed)
+        # conservation: once quiet, the remaining open batch time-flushes too
+        assert _poll(
+            lambda: (
+                spark.sql("SELECT sum(n_events) s FROM t_trickle").collect()[0]["s"]
+                or 0
+            )
+            == published
+        )
+    finally:
+        query.stop()
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """Key 44: events older than the watermark never reach the aggregate
     (the deterministic upgrade over the reference's no-watermark design)."""
