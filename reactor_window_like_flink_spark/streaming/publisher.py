@@ -44,6 +44,14 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def _progress_field(progress: Any, name: str) -> Any:
+    """Field access across PySpark progress representations (attribute
+    object or json dict, varies by version)."""
+    if isinstance(progress, dict):
+        return progress.get(name)
+    return getattr(progress, name)
+
+
 class FileStreamInput:
     """Push-style producer facade over Spark's pull-based file source.
 
@@ -53,6 +61,16 @@ class FileStreamInput:
     are durably admitted and will be delivered exactly once.
     ``max_files_per_trigger`` is the admission-control knob standing in
     for the reference's bounded queue (``WindowPublisher.java:66-68``).
+
+    With a ``queue_capacity``, ``try_publish`` adds the reference's
+    best-effort admission mode (``asyncPublish``/``tryEmitNext``,
+    ``WindowPublisher.java:100-111``): it refuses — returns ``False``
+    without side effects — when the unprocessed backlog would exceed
+    capacity, instead of admitting unboundedly. ``queue_size()`` /
+    ``queue_capacity()`` mirror ``getQueueSize``/``getQueueCapacity``
+    (``WindowPublisher.java:116-125``); backlog is measured as
+    published-minus-processed rows, with processed counts read from the
+    attached query's streaming progress (``attach(query)``).
     """
 
     def __init__(
@@ -61,12 +79,17 @@ class FileStreamInput:
         schema: StructType | str,
         directory: str,
         max_files_per_trigger: int | None = None,
+        queue_capacity: int | None = None,
     ) -> None:
         self._spark = spark
         self._schema = schema
         self._dir = directory
         self._max_files = max_files_per_trigger
+        self._capacity = queue_capacity
         self._lock = threading.Lock()
+        self._published_rows = 0
+        self._query: StreamingQuery | None = None
+        self._rows_by_batch: dict[int, int] = {}
         os.makedirs(directory, exist_ok=True)
 
     def publish(self, rows: Sequence[Any]) -> None:
@@ -74,12 +97,82 @@ class FileStreamInput:
         df = self._spark.createDataFrame(list(rows), self._schema)
         with self._lock:  # serialized admission, like the unicast emit path
             df.coalesce(1).write.mode("append").parquet(self._dir)
+            self._published_rows += len(rows)
+
+    def try_publish(self, rows: Sequence[Any]) -> bool:
+        """Best-effort admission: admit and return ``True`` iff the
+        backlog stays within ``queue_capacity``; otherwise return
+        ``False`` without writing (the ``tryEmitNext`` analog — the
+        caller chooses to retry, drop, or route elsewhere). Unbounded
+        (capacity ``None``) inputs always admit."""
+        if self._capacity is not None:
+            if self.queue_size() + len(rows) > self._capacity:
+                return False
+        self.publish(rows)
+        return True
+
+    def attach(self, query: StreamingQuery) -> StreamingQuery:
+        """Bind the consuming query so backlog introspection can read its
+        progress; returns the query for chaining."""
+        self._query = query
+        return query
+
+    def _processed_rows(self) -> int:
+        if self._query is None:
+            return 0
+        # recentProgress is a bounded window; fold batch row counts into a
+        # dict so totals survive progress-object eviction.
+        for p in self._query.recentProgress:
+            batch_id = _progress_field(p, "batchId")
+            if batch_id is not None:
+                self._rows_by_batch[int(batch_id)] = int(
+                    _progress_field(p, "numInputRows") or 0
+                )
+        return sum(self._rows_by_batch.values())
+
+    def queue_size(self) -> int:
+        """Rows admitted but not yet read by the attached query — the
+        ``getQueueSize`` analog (0 when no query is attached yet counts
+        only as 'nothing processed', so the backlog equals everything
+        published)."""
+        return max(0, self._published_rows - self._processed_rows())
+
+    def queue_capacity(self) -> int | None:
+        """The admission bound ``try_publish`` enforces (``None`` =
+        unbounded) — the ``getQueueCapacity`` analog."""
+        return self._capacity
 
     def stream(self) -> DataFrame:
         reader = self._spark.readStream.schema(self._schema)
         if self._max_files is not None:
             reader = reader.option("maxFilesPerTrigger", self._max_files)
         return reader.parquet(self._dir)
+
+
+def progress_stats(query: StreamingQuery) -> dict[str, Any] | None:
+    """Depth/throughput snapshot of the delivery loop from the last
+    completed micro-batch — the introspection surface the reference
+    exposes as ``getQueueSize``/``getQueueCapacity``
+    (``WindowPublisher.java:116-125``), widened to what a micro-batch
+    engine can actually report: batch id, rows admitted this batch, input
+    and processing rates, and trigger latency. ``None`` until the first
+    batch completes. Pair with ``FileStreamInput.queue_size()`` for the
+    backlog depth itself."""
+    p = query.lastProgress
+    if p is None:
+        return None
+    durations = _progress_field(p, "durationMs")
+    return {
+        "batch_id": _progress_field(p, "batchId"),
+        "num_input_rows": _progress_field(p, "numInputRows"),
+        "input_rows_per_second": _progress_field(p, "inputRowsPerSecond"),
+        "processed_rows_per_second": _progress_field(p, "processedRowsPerSecond"),
+        "batch_duration_ms": (
+            durations.get("triggerExecution")
+            if isinstance(durations, dict)
+            else None
+        ),
+    }
 
 
 class WindowedPublisher:

@@ -13,6 +13,7 @@ import pytest
 from reactor_window_like_flink_spark.streaming.publisher import (
     FileStreamInput,
     WindowedPublisher,
+    progress_stats,
 )
 from reactor_window_like_flink_spark.streaming.windows import (
     stream_dedup,
@@ -23,7 +24,11 @@ SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DO
 
 
 def _ts(minute: int, second: int = 0):
-    return datetime(2024, 1, 1, 10, minute, second, tzinfo=timezone.utc)
+    from datetime import timedelta
+
+    return datetime(2024, 1, 1, 10, 0, 0, tzinfo=timezone.utc) + timedelta(
+        minutes=minute, seconds=second
+    )
 
 
 def _rows(n: int, start_minute: int = 0):
@@ -105,6 +110,115 @@ def test_publisher_error_channel(spark, tmp_path):
     finally:
         query.stop()
     assert errors and isinstance(errors[0], RuntimeError)
+
+
+def test_try_publish_backpressure_and_introspection(spark, tmp_path):
+    """Best-effort admission (A3/A4) + queue introspection (A9): with a
+    bounded queue, try_publish refuses once the unprocessed backlog would
+    exceed capacity, and admits again after the consumer drains it;
+    queue_size/queue_capacity/progress_stats expose the depth and rates
+    (``WindowPublisher.java:100-125``)."""
+    src = FileStreamInput(
+        spark, SCHEMA, str(tmp_path / "in"), queue_capacity=20
+    )
+    assert src.queue_capacity() == 20
+    assert src.queue_size() == 0
+    assert src.try_publish(_rows(15))  # within capacity: admitted
+    assert src.queue_size() == 15  # nothing consuming yet
+    assert not src.try_publish(_rows(10, start_minute=30))  # 25 > 20: refused
+    assert src.queue_size() == 15  # refusal has no side effects
+    assert src.try_publish(_rows(5, start_minute=40))  # exactly at capacity
+    assert src.queue_size() == 20
+
+    delivered: list[list] = []
+    lock = threading.Lock()
+
+    def consumer(chunk):
+        with lock:
+            delivered.append(chunk)
+
+    pub = WindowedPublisher(window_max_batch_size=15, window_duration_seconds=0.5)
+    query = src.attach(
+        pub.subscribe(
+            src.stream(), consumer=consumer, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and src.queue_size() > 0:
+            query.processAllAvailable()
+            time.sleep(0.2)
+        assert src.queue_size() == 0  # backlog drained
+        assert src.try_publish(_rows(10, start_minute=50))  # admits again
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            query.processAllAvailable()
+            with lock:
+                if sum(len(c) for c in delivered) >= 30:
+                    break
+            time.sleep(0.2)
+        stats = progress_stats(query)
+    finally:
+        query.stop()
+    assert sum(len(c) for c in delivered) == 30
+    assert max(len(c) for c in delivered) <= 15
+    assert stats is not None and stats["batch_id"] >= 0
+    assert stats["batch_duration_ms"] is None or stats["batch_duration_ms"] >= 0
+
+
+def test_publisher_soak_reference_scale(spark, tmp_path):
+    """The reference's integration test at its own numbers
+    (``WindowPublisherTest.java:22-46``): 50,000 events through 10
+    concurrent producers, exactly-once delivery, every chunk within
+    (0, max_batch_size]."""
+    item_count, thread_count = 50_000, 10
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    delivered: list[list] = []
+    lock = threading.Lock()
+
+    def consumer(chunk):
+        with lock:
+            delivered.append(chunk)
+
+    pub = WindowedPublisher(window_max_batch_size=15, window_duration_seconds=0.5)
+    query = pub.subscribe(
+        src.stream(), consumer=consumer, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        per = item_count // thread_count
+        all_rows = _rows(item_count)
+
+        def produce(k: int) -> None:
+            # each producer admits its share in sub-batches, like the
+            # reference's per-thread publish loop (batch publish = A2)
+            mine = all_rows[k * per : (k + 1) * per]
+            step = 2500
+            for i in range(0, len(mine), step):
+                src.publish(mine[i : i + step])
+
+        threads = [
+            threading.Thread(target=produce, args=(k,)) for k in range(thread_count)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            query.processAllAvailable()
+            with lock:
+                if sum(len(c) for c in delivered) >= item_count:
+                    break
+            time.sleep(0.2)
+    finally:
+        query.stop()
+
+    sizes = [len(c) for c in delivered]
+    assert sum(sizes) == item_count  # exact no-loss delivery
+    assert max(sizes) <= 15
+    assert min(sizes) >= 1
+    ids = sorted(r["event_id"] for c in delivered for r in c)
+    assert ids == list(range(item_count))  # exactly-once
 
 
 def test_publisher_validates_args(spark):
