@@ -28,15 +28,17 @@ from reactor_window_like_flink_spark.streaming.joins import (
 from reactor_window_like_flink_spark.streaming.windows import REG as _STREAMING
 
 # Registration order = the order a budget-limited sweep visits keys. The
-# extension/streaming/LLM groups go first: the relational+scalar groups were
-# fully verified in an earlier sweep that ran out of budget at key 50, so
+# streaming/LLM/extension groups go first: the relational+scalar groups were
+# fully verified in an earlier sweep that stopped at key 50, so
 # front-loading the previously-unrecorded groups makes any prefix of this
-# order maximally informative.
+# order maximally informative. Within that, the Python-extension group
+# (grouped-agg pandas UDF / UDTF) runs after the pure-JVM groups so an
+# environment-specific Python-worker failure can't mask them.
 _ALL_REGS = [
-    _EXTENSIONS,
     _STREAMING,
     _STREAMING_JOINS,
     *_LLM_REGS,
+    _EXTENSIONS,
     _RELATIONAL,
     _SCALAR,
 ]

@@ -52,17 +52,24 @@ def main() -> int:
     qs["q_scan_parquet"](spark, sf_dir).collect()
 
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        best = None
-        for _ in range(2):  # best-of-2: VM timing noise is ±2-4x
+        # median-of-3 with recorded spread: this VM's block-device timings
+        # vary ±2x run-to-run, so a single sample (or best-of-2) can both
+        # falsely fail and falsely pass the regression bar.
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[1], 3)
+        spread[name] = round(samples[-1] - samples[0], 3)
         total += times[name]
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+        print(
+            f"# {name}: {times[name]}s (spread {spread[name]}s)", file=sys.stderr
+        )
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -73,6 +80,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -87,7 +87,10 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
 
     n_pass = n_fail = n_rows_only = 0
-    for name, fn in sorted(qs.items()):
+    t_start = time.time()
+    # registration order, not sorted: the driver's sweep visits keys in
+    # queries() insertion order, so budget/abort behavior reproduces here
+    for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
@@ -99,7 +102,10 @@ def main() -> int:
             continue
         if name not in oracles:
             nrows = len(spark_pdf)
-            print(f"ROWS-ONLY {name}: {nrows} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"ROWS-ONLY {name}: {nrows} rows ({time.time()-t0:.1f}s,"
+                f" cum {time.time()-t_start:.0f}s)"
+            )
             n_rows_only += 1
             continue
         try:
@@ -115,9 +121,15 @@ def main() -> int:
                 print(f"   {p}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s,"
+                f" cum {time.time()-t_start:.0f}s)"
+            )
             n_pass += 1
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only"
+        f" in {time.time()-t_start:.0f}s =="
+    )
     return 1 if n_fail else 0
 
 
