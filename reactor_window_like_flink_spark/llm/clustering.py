@@ -15,10 +15,11 @@ Scale design:
   product. Rounds needed = graph diameter; near-dup clusters are
   near-cliques (diameter 2-3), so the loop settles in a handful of rounds
   even at corpus scale. For adversarial long-chain graphs the published
-  O(log n) alternative is the large-star/small-star alternation
-  (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14) — same join/groupBy primitives, documented here as the upgrade
-  path.
+  O(log n) alternative — large-star/small-star alternation (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) — is
+  implemented as ``connected_components_star`` on the same join/groupBy
+  primitives and proven on a diameter-199 path the min-label loop cannot
+  close (tests/test_clustering.py).
 * **Driver controls only the loop**, data never leaves the cluster: the
   per-round convergence signal is a single ``count()`` of changed labels,
   and lineage is truncated every round with ``localCheckpoint`` so plans
@@ -72,12 +73,89 @@ _DUCK_PAIRS = """
 """
 
 
+def connected_components_star(
+    edges: DataFrame, nodes: DataFrame, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round kernel for adversarial graphs whose
+    diameter defeats per-round label propagation (long chains, sparse
+    bridges). Returns ``(node, comp)`` with ``comp = min(node)``
+    reachable.
+
+    Round = two keyed groupBy/join passes over the edge list:
+
+    * **large-star**: per node u with m = min(neighbors ∪ {u}), re-point
+      every neighbor v > u at m — halves the height of tall subtrees.
+    * **small-star**: on the (big → small) directed edge list, per node u
+      with m = min(neighbors), re-point u and its smaller neighbors at m —
+      flattens what large-star staged.
+
+    The edge list contracts toward a star forest rooted at each
+    component's minimum; convergence is edge-set stability (a
+    ``subtract().isEmpty()`` check per round, same cost class as the
+    per-round shuffles). Each pass shuffles by node id only — no
+    all-pairs products — and ``localCheckpoint`` truncates lineage, so
+    the shape survives a 1000-executor graph. Prefer
+    ``connected_components`` (min-label) when components are known
+    near-cliques (dedup graphs: diameter 2-3); this kernel when diameter
+    is unknown or adversarial."""
+    # directed convention: src > dst, deduped
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # large-star over the symmetrized list: (v, m) for v > u
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        m_large = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.join(m_large, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the directed (big -> small) list
+        m_small = large.groupBy("src").agg(F.min("dst").alias("m"))
+        nbrs = large.join(m_small, "src")
+        new = (
+            nbrs.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m_small.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if new.subtract(e).isEmpty() and e.subtract(new).isEmpty():
+            e = new
+            break
+        e = new
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+    # final star forest: every non-root points at its component root
+    roots = e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+    return (
+        nodes.join(roots, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+    )
+
+
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_rounds: int = MAX_ROUNDS
 ) -> DataFrame:
     """Close an undirected edge list ``(src, dst)`` over ``nodes (node)``
     into components; returns ``(node, comp)`` with ``comp = min(node)``
-    reachable. Pure DataFrame ops — each round is one keyed shuffle."""
+    reachable. Pure DataFrame ops — each round is one keyed shuffle.
+    Rounds needed = graph diameter, so use this for near-clique dedup
+    graphs; ``connected_components_star`` is the O(log n)-round kernel
+    for adversarial/long-chain graphs."""
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()  # materialize once; reused every round

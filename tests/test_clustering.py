@@ -10,6 +10,7 @@ import __spark_entry__ as entry_mod
 from reactor_window_like_flink_spark.llm.clustering import (
     GROUP_JACCARD_THRESHOLD,
     connected_components,
+    connected_components_star,
 )
 
 
@@ -38,6 +39,43 @@ def test_component_kernel_transitive_chain(spark):
         r["node"]: r["comp"] for r in connected_components(edges, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_star_kernel_matches_label_propagation(spark):
+    """Both kernels agree on a mixed graph (chain + clique + singletons)."""
+    raw = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 20, 21, 99)], "node long"
+    )
+    label = {
+        r["node"]: r["comp"] for r in connected_components(edges, nodes).collect()
+    }
+    star = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(edges, nodes).collect()
+    }
+    assert star == label
+    assert star[99] == 99  # isolated node survives as its own component
+
+
+def test_star_kernel_handles_adversarial_chain(spark):
+    """A 200-node path has diameter 199: per-round label propagation
+    cannot close it within MAX_ROUNDS (it would need 199 rounds), while
+    star contraction converges in O(log n) rounds. This is the named
+    adversarial case the star kernel exists for."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_rounds=5)
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_star(edges, nodes, max_rounds=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_dedup_groups_match_union_find(spark, sf_dir):
