@@ -154,6 +154,96 @@ def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_TOKEN_BUDGET = 256  # tokens per packed training sequence
+
+
+@REG.add(
+    "q_pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {SEQ_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+           ((start_offset + n_tokens - 1) // {SEQ_TOKEN_BUDGET}
+            > start_offset // {SEQ_TOKEN_BUDGET}) AS spans_boundary
+    FROM offs
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing — the standard LM-pretraining
+    move: lay documents out as one deterministic token stream (md5 shuffle
+    order, same key as ``q_shuffle_rank``) and cut it into
+    ``SEQ_TOKEN_BUDGET``-token training sequences. Emits each document's
+    stream offset, owning sequence id, and whether it straddles a cut
+    (the attention-masking case).
+
+    Scalable global-cumsum shape: a plain ``SUM() OVER (ORDER BY ...)``
+    with no PARTITION BY funnels 100 TB through ONE task, so the stream
+    offset is computed as range-partitioned per-partition cumulative sums
+    plus per-partition token offsets (one aggregate row per partition to
+    the driver — same pattern as ``q_shuffle_rank``). ``localCheckpoint``
+    pins partition placement so the offset job and the final job agree."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    parts = (
+        sized.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "k", "doc_id"
+        )
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["pid"], r["tok"])
+        for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("tok")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tok in counts:
+        offsets.append((pid, acc))
+        acc += int(tok)
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("off")).cast(
+        "long"
+    )
+    return (
+        parts.join(F.broadcast(off_df), "pid")
+        .withColumn("start_offset", start)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            F.expr(f"start_offset DIV {SEQ_TOKEN_BUDGET}").alias("seq_id"),
+            F.expr(
+                f"(start_offset + n_tokens - 1) DIV {SEQ_TOKEN_BUDGET}"
+                f" > start_offset DIV {SEQ_TOKEN_BUDGET}"
+            ).alias("spans_boundary"),
+        )
+    )
+
+
 # Per-language keep rates: downsample the high-resource language, keep all
 # of the low-resource ones — the standard rebalancing move before training.
 STRATA_PCT = {"en": 10, "zh": 50}

@@ -75,3 +75,47 @@ def test_stratified_rates_respected(spark, sf_dir):
     for doc_id, lang in sample:
         if STRATA_PCT.get(lang, STRATA_DEFAULT_PCT) >= 20:  # SAMPLE_PCT
             assert doc_id in kept.get(lang, set())
+
+
+def test_pack_sequences_matches_brute_force(spark, sf_dir):
+    """Per-doc offsets/seq assignment equal a pure-Python concat-then-chunk
+    over the same md5 stream order; every sequence except the last is
+    exactly full by construction."""
+    import duckdb
+    import hashlib
+
+    from reactor_window_like_flink_spark.llm.sampling import SEQ_TOKEN_BUDGET
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    stream = sorted(
+        (hashlib.md5(str(d).encode()).hexdigest(), d, len(t.split(" ")))
+        for d, t in rows
+    )
+    want, off = {}, 0
+    for _, d, n in stream:
+        seq = off // SEQ_TOKEN_BUDGET
+        want[d] = (
+            n,
+            off,
+            seq,
+            (off + n - 1) // SEQ_TOKEN_BUDGET > seq,
+        )
+        off += n
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_offset"],
+            r["seq_id"],
+            r["spans_boundary"],
+        )
+        for r in entry_mod.queries()["q_pack_sequences"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # stream is gapless: offsets tile [0, total) exactly
+    total = sum(n for _, _, n in stream)
+    assert sorted(o for _, o, _, _ in got.values())[0] == 0
+    assert max(o + n for n, o, _, _ in got.values()) == total
