@@ -33,3 +33,13 @@ def read_json(
     mode: str = "PERMISSIVE",
 ) -> DataFrame:
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """ORC source — the other columnar format with predicate pushdown and
+    column pruning built into Spark's scan (same PushedFilters/ReadSchema
+    machinery as parquet; self-describing, so the schema here is a
+    contract check rather than an inference-avoidance necessity)."""
+    return spark.read.schema(schema).orc(path)

@@ -32,6 +32,19 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same hive-style partitioning lever as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

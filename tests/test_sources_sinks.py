@@ -58,3 +58,23 @@ def test_memory_table(spark, sf_dir):
     out = to_memory_table(spark, top, "t_top_orders")
     assert out.count() == 5
     assert spark.sql("SELECT count(*) FROM t_top_orders").first()[0] == 5
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from reactor_window_like_flink_spark.sources.formats import read_orc
+    from reactor_window_like_flink_spark.sources.sinks import write_orc
+
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    path = str(tmp_path / "customer_orc")
+    write_orc(customer, path)
+    back = read_orc(
+        spark, path, "c_custkey bigint, c_name string, c_acctbal double"
+    )
+    assert back.count() == customer.count()
+    # predicate pushdown + column pruning reach the ORC scan, like parquet
+    filtered = back.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    plan = formatted_plan(filtered)
+    assert "PushedFilters" in plan and "c_acctbal" in plan
+    assert filtered.count() == customer.filter(F.col("c_acctbal") > 0).count()
