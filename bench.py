@@ -32,9 +32,12 @@ HEADLINE = [
     "q_session_window",
     "q_dedup_near",
     "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
     "q_similarity_cosine",
     "q_similarity_ann",
     "q_text_stats",
+    "q_pack_sequences",
     "q_tpch_q3_shape",
     "q_tpch_q10_shape",
 ]
