@@ -5,9 +5,12 @@ embedding-cosine near-dup.
 Scale design (the whole point of these operators at 100 TB):
 
 * **Never all-pairs.** Every near-dup variant generates candidates through
-  a bucket join — LSH bands (MinHash), pigeonhole chunks (SimHash), or a
-  blocking key (lang / label) — so the shuffle is keyed and the pair count
-  is bounded by bucket co-occupancy, not |docs|².
+  a high-cardinality bucket join — LSH bands (MinHash), pigeonhole chunks
+  (SimHash), sign-LSH bands (embeddings), or prefix-filtered posting
+  lists (exact Jaccard) — so the shuffle is keyed and the pair count is
+  bounded by bucket co-occupancy, not |docs|² (and never by a ~5-value
+  data column like lang/label, whose Σ|block|² enumeration collapses to a
+  handful of tasks).
 * **JVM expressions end-to-end.** Shingling, 32-permutation MinHash,
   64-bit SimHash bit-voting, and Jaccard/cosine kernels are all built from
   ``transform``/``aggregate``/``array_*`` higher-order functions — no
@@ -576,66 +579,5 @@ def exact_jaccard_pairs(
     )
     jacc = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
     return scored.filter(jacc >= t).select(
-        "doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")
-    )
-
-
-def blocked_jaccard_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold: float,
-    shingle_n: int = 2,
-    salt: int = 32,
-) -> DataFrame:
-    """Exact Jaccard pairs within ``lang`` blocks via a SALTED all-pairs
-    join over hashed shingles — the workhorse for corpora whose shingle
-    vocabulary is too dense for prefix filtering (``exact_jaccard_pairs``
-    degenerates when every shingle is common; measured slower on the
-    synthetic fixture's ~40-word vocabulary).
-
-    Two scale levers over the naive blocked join:
-
-    * **Salting fixes the parallelism collapse.** A join keyed on ``lang``
-      alone has ~5 distinct keys, so sort-merge enumerates each block's
-      |block|² pairs in at most 5 tasks. Replicating the left side to
-      ``salt`` pseudo-keys ((lang, peer_salt) == (lang, doc_id % salt))
-      spreads the same pair enumeration over 5 x salt tasks; each pair
-      still appears exactly once (one replica of A meets B's single salt).
-    * **Hashed shingles shrink the shuffle and the kernel.** Arrays of
-      xxhash64 longs are ~2.5x narrower than the string shingles and
-      intersect with long equality instead of string hashing; Jaccard over
-      the hashed sets equals Jaccard over raw sets barring 2^-64
-      collisions. ``array_intersect`` is evaluated once in its own
-      projection (it dominates per-pair cost)."""
-    t = _tokenized(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.transform(_shingles_from_toks(shingle_n), lambda x: F.xxhash64(x)).alias(
-            "hs"
-        ),
-    )
-    b = t.withColumn("b_salt", F.pmod("doc_id", F.lit(salt)).cast("int"))
-    a = t.withColumn(
-        "peer", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
-    scored = (
-        a.alias("a")
-        .join(
-            b.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.peer") == F.col("b.b_salt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect("a.hs", "b.hs"))
-            .cast("double")
-            .alias("n_inter"),
-            (F.size("a.hs") + F.size("b.hs")).alias("n_total"),
-        )
-    )
-    jacc = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
-    return scored.filter(jacc >= threshold).select(
         "doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")
     )
