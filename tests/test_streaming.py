@@ -221,6 +221,60 @@ def test_publisher_soak_reference_scale(spark, tmp_path):
     assert ids == list(range(item_count))  # exactly-once
 
 
+def test_publisher_checkpoint_resume_no_redelivery(spark, tmp_path):
+    """Exactly-once across restart: a subscriber restarted on the same
+    checkpoint must not re-deliver batches the stopped query already
+    committed — the durability upgrade over the reference, which loses
+    queue + in-flight contents on crash (``README.md:100``)."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    delivered: list[list] = []
+    lock = threading.Lock()
+
+    def consumer(chunk):
+        with lock:
+            delivered.append(chunk)
+
+    pub = WindowedPublisher(window_max_batch_size=15, window_duration_seconds=0.5)
+    ckpt = str(tmp_path / "ckpt")
+
+    query = pub.subscribe(src.stream(), consumer=consumer, checkpoint_dir=ckpt)
+    try:
+        src.publish(_rows(30))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            query.processAllAvailable()
+            with lock:
+                if sum(len(c) for c in delivered) >= 30:
+                    break
+            time.sleep(0.2)
+    finally:
+        query.stop()
+    assert sum(len(c) for c in delivered) == 30
+
+    # restart on the same checkpoint; only NEW rows may arrive
+    query = pub.subscribe(src.stream(), consumer=consumer, checkpoint_dir=ckpt)
+    try:
+        src.publish(
+            [
+                (1000 + i, _ts(200 + i // 60, i % 60), i % 7, "click", float(i))
+                for i in range(20)
+            ]
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            query.processAllAvailable()
+            with lock:
+                if sum(len(c) for c in delivered) >= 50:
+                    break
+            time.sleep(0.2)
+    finally:
+        query.stop()
+    ids = sorted(r["event_id"] for c in delivered for r in c)
+    assert len(ids) == 50
+    assert len(set(ids)) == 50  # nothing re-delivered, nothing lost
+    assert sorted(set(ids)) == list(range(30)) + list(range(1000, 1020))
+
+
 def test_publisher_validates_args(spark):
     with pytest.raises(ValueError):
         WindowedPublisher(window_max_batch_size=0)
