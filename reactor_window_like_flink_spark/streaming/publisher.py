@@ -9,8 +9,11 @@ reference                       here
 ``publish(item)`` /             ``FileStreamInput.publish(rows)`` — append
 ``publish(Collection)``         a file to the watched source dir; Spark's
 (``WindowPublisher.java:80-93``) file source admits it on the next trigger
-``asyncPublish`` ack map        not needed — pull-based sources + exactly-
-(``:100-111``)                  once checkpointing subsume per-record acks
+``asyncPublish`` ack map        ``try_publish`` best-effort admission
+(``:100-111``)                  (refuse-on-full); per-record acks subsumed
+                                by exactly-once checkpointing
+``getQueueSize/Capacity``       ``queue_size()``/``queue_capacity()`` +
+(``:116-125``)                  ``progress_stats(query)``
 ``bufferTimeout(maxSize, dur)`` trigger(processingTime=duration) = time
 (``:70-72``)                    path; in-batch re-chunking to <= max_size
                                 = count path; empty chunks never delivered
