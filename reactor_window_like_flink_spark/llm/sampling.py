@@ -195,16 +195,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus per-partition token offsets (one aggregate row per partition to
     the driver — same pattern as ``q_shuffle_rank``). ``localCheckpoint``
     pins partition placement so the offset job and the final job agree."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     sized = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
+    return pack_token_stream(spark, sized, SEQ_TOKEN_BUDGET)
+
+
+def pack_token_stream(
+    spark: SparkSession, sized: DataFrame, budget: int
+) -> DataFrame:
+    """Core of ``q_pack_sequences`` over any ``(doc_id, n_tokens)``
+    DataFrame: md5-ordered token stream, distributed cumsum, chunk into
+    ``budget``-token sequences. See ``q_pack_sequences`` for the oracle
+    contract and scale rationale."""
+    from pyspark.sql import Window
+
+    keyed = sized.withColumn("k", F.md5(F.col("doc_id").cast("string")))
     parts = (
-        sized.repartitionByRange(
+        keyed.repartitionByRange(
             spark.sparkContext.defaultParallelism, "k", "doc_id"
         )
         .sortWithinPartitions("k", "doc_id")
@@ -212,14 +221,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     counts = sorted(
-        (r["pid"], r["tok"])
+        (r["pid"], r["tok"] or 0)
         for r in parts.groupBy("pid").agg(F.sum("n_tokens").alias("tok")).collect()
     )
     offsets, acc = [], 0
     for pid, tok in counts:
         offsets.append((pid, acc))
         acc += int(tok)
-    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
     w = (
         Window.partitionBy("pid")
         .orderBy("k", "doc_id")
@@ -235,10 +244,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "start_offset",
-            F.expr(f"start_offset DIV {SEQ_TOKEN_BUDGET}").alias("seq_id"),
+            F.expr(f"start_offset DIV {budget}").alias("seq_id"),
             F.expr(
-                f"(start_offset + n_tokens - 1) DIV {SEQ_TOKEN_BUDGET}"
-                f" > start_offset DIV {SEQ_TOKEN_BUDGET}"
+                f"(start_offset + n_tokens - 1) DIV {budget}"
+                f" > start_offset DIV {budget}"
             ).alias("spans_boundary"),
         )
     )

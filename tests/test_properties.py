@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): the distributed kernels must agree
+with sequential reference models on arbitrary inputs, not just the
+fixture — connected components vs union-find, sequence packing vs a
+pure-Python fold.
+
+Example counts are kept small because every example runs Spark jobs; the
+properties themselves (full output equality against an independent
+model) are strong enough that a handful of generated cases plus
+hypothesis's shrinking covers far more structure than fixture tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from reactor_window_like_flink_spark.llm.clustering import (
+    connected_components,
+    connected_components_star,
+)
+from reactor_window_like_flink_spark.llm.sampling import pack_token_stream
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(nodes, edges):
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in nodes}
+
+
+@st.composite
+def graphs(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    nodes = list(range(n))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ).filter(lambda e: e[0] != e[1]),
+            max_size=25,
+        )
+    )
+    return nodes, edges
+
+
+@SETTINGS
+@given(graphs())
+def test_cc_kernels_match_union_find(spark, g):
+    nodes, edges = g
+    truth = _union_find(nodes, edges)
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    ).filter("src != dst")
+    for kernel in (connected_components, connected_components_star):
+        got = {
+            r["node"]: r["comp"]
+            for r in kernel(edges_df, nodes_df, max_rounds=30).collect()
+        }
+        assert got == truth, kernel.__name__
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=40),
+)
+def test_pack_token_stream_matches_fold(spark, token_counts, budget):
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    sized = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["start_offset"],
+            r["seq_id"],
+            r["spans_boundary"],
+        )
+        for r in pack_token_stream(spark, sized, budget).collect()
+    }
+    stream = sorted(
+        (hashlib.md5(str(d).encode()).hexdigest(), d, n) for d, n in rows
+    )
+    want, off = {}, 0
+    for _, d, n in stream:
+        seq = off // budget
+        want[d] = (n, off, seq, (off + n - 1) // budget > seq)
+        off += n
+    assert got == want
