@@ -517,18 +517,23 @@ def exact_jaccard_pairs(
     recomputing tokenization per pass is pure waste, and the 100 TB analog
     is writing the intermediate to a scratch table. Measured ~40% faster
     than the recompute form even at toy scale."""
-    t = threshold
-    hashed = (
-        _tokenized(spark, sf_dir)
-        .select(
-            "doc_id",
-            "lang",
-            F.transform(
-                _shingles_from_toks(shingle_n), lambda x: F.xxhash64(x)
-            ).alias("hs"),
-        )
-        .localCheckpoint()
+    hashed = _tokenized(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.transform(
+            _shingles_from_toks(shingle_n), lambda x: F.xxhash64(x)
+        ).alias("hs"),
     )
+    return prefix_jaccard_join(hashed, threshold)
+
+
+def prefix_jaccard_join(hashed: DataFrame, threshold: float) -> DataFrame:
+    """Core of ``exact_jaccard_pairs`` over any ``(doc_id, lang,
+    hs: array<long>)`` DataFrame (``hs`` = the hashed element set, distinct
+    values). Split out so property tests can drive it with generated sets;
+    see ``exact_jaccard_pairs`` for the algorithm and scale rationale."""
+    t = threshold
+    hashed = hashed.localCheckpoint()
     ex = hashed.select("doc_id", F.explode("hs").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
     ranked = (

@@ -20,6 +20,7 @@ from reactor_window_like_flink_spark.llm.clustering import (
     connected_components,
     connected_components_star,
 )
+from reactor_window_like_flink_spark.llm.dedup import prefix_jaccard_join
 from reactor_window_like_flink_spark.llm.sampling import pack_token_stream
 
 SETTINGS = settings(
@@ -76,6 +77,38 @@ def test_cc_kernels_match_union_find(spark, g):
             for r in kernel(edges_df, nodes_df, max_rounds=30).collect()
         }
         assert got == truth, kernel.__name__
+
+
+@SETTINGS
+@given(
+    st.lists(  # per-doc element sets from a small universe, to force overlap
+        st.sets(st.integers(min_value=0, max_value=15), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.1, 0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_join_is_lossless(spark, doc_sets, threshold):
+    """The prefix-filter theorem in code: the posting-list join with
+    pruned prefixes must return EXACTLY the pairs with Jaccard >=
+    threshold — no false negatives from pruning, no false positives from
+    candidate generation."""
+    rows = [(i, "xx", sorted(s)) for i, s in enumerate(doc_sets)]
+    hashed = spark.createDataFrame(
+        rows, "doc_id long, lang string, hs array<long>"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_join(hashed, threshold).collect()
+    }
+    want = {}
+    for i, a in enumerate(doc_sets):
+        for j in range(i + 1, len(doc_sets)):
+            b = doc_sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 4)
+    assert got == want
 
 
 @SETTINGS
