@@ -141,3 +141,21 @@ def test_embedding_pairs_vs_brute_force(spark, sf_dir):
     assert found == lsh_truth
     assert found <= all_truth
     assert len(found) / len(all_truth) >= 0.5  # banded recall on the fixture
+
+
+def test_embedding_fast_kernel_matches_exact_form(spark, sf_dir):
+    """The Arrow/numpy production kernel and the oracle-exact HOF form
+    make identical keep/drop decisions on the fixture (margins far exceed
+    float-summation error), with cosines equal to ~1e-9."""
+    from reactor_window_like_flink_spark.llm.dedup import lsh_cosine_pairs_fast
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in entry_mod.queries()["q_dedup_embedding"](spark, sf_dir).collect()
+    }
+    fast = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in lsh_cosine_pairs_fast(spark, sf_dir).collect()
+    }
+    assert fast.keys() == exact.keys()
+    assert all(abs(fast[k] - exact[k]) <= 1e-4 for k in exact)
