@@ -201,6 +201,7 @@ class WindowedPublisher:
         consumer_df: Callable[[DataFrame, int], None] | None = None,
         checkpoint_dir: str | None = None,
         query_name: str | None = None,
+        drain: bool = False,
     ) -> StreamingQuery:
         """Start delivery. Exactly one of ``consumer`` (driver-side row
         chunks of <= max_batch_size, the reference shape) or
@@ -208,6 +209,13 @@ class WindowedPublisher:
         shape) must be given. Errors route to ``on_error`` if provided,
         mirroring ``subscribe(consumer, errorConsumer)``
         (``WindowPublisher.java:142-150``); otherwise they fail the query.
+
+        ``drain=True`` runs in backfill mode (``Trigger.AvailableNow``):
+        deliver everything already admitted — still in bounded
+        micro-batches, still checkpointed — then stop on its own. The
+        standard catch-up pattern after downtime, and something the
+        reference's always-on queue has no analog for; pair with
+        ``awaitTermination()``.
         """
         if (consumer is None) == (consumer_df is None):
             raise ValueError("pass exactly one of consumer / consumer_df")
@@ -228,10 +236,15 @@ class WindowedPublisher:
                     raise
                 on_error(exc)
 
-        writer = (
-            stream_df.writeStream.foreachBatch(handle)
-            .trigger(processingTime=f"{self.window_duration_seconds} seconds")
-            .queryName(query_name or f"windowed-publisher-{uuid.uuid4().hex[:8]}")
+        writer = stream_df.writeStream.foreachBatch(handle)
+        if drain:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(
+                processingTime=f"{self.window_duration_seconds} seconds"
+            )
+        writer = writer.queryName(
+            query_name or f"windowed-publisher-{uuid.uuid4().hex[:8]}"
         )
         if checkpoint_dir is not None:
             writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -221,6 +221,27 @@ def test_publisher_soak_reference_scale(spark, tmp_path):
     assert ids == list(range(item_count))  # exactly-once
 
 
+def test_publisher_drain_mode_delivers_backlog_and_stops(spark, tmp_path):
+    """Backfill mode: with drain=True the subscriber processes everything
+    already admitted (in bounded chunks) and terminates on its own —
+    no manual stop, no hanging trigger loop."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    src.publish(_rows(40))
+    delivered: list[list] = []
+    pub = WindowedPublisher(window_max_batch_size=15, window_duration_seconds=0.5)
+    query = pub.subscribe(
+        src.stream(),
+        consumer=delivered.append,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        drain=True,
+    )
+    assert query.awaitTermination(120)  # stops by itself
+    assert sum(len(c) for c in delivered) == 40
+    assert max(len(c) for c in delivered) <= 15
+    ids = sorted(r["event_id"] for c in delivered for r in c)
+    assert ids == list(range(40))
+
+
 def test_publisher_checkpoint_resume_no_redelivery(spark, tmp_path):
     """Exactly-once across restart: a subscriber restarted on the same
     checkpoint must not re-deliver batches the stopped query already
