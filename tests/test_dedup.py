@@ -159,3 +159,46 @@ def test_embedding_fast_kernel_matches_exact_form(spark, sf_dir):
     }
     assert fast.keys() == exact.keys()
     assert all(abs(fast[k] - exact[k]) <= 1e-4 for k in exact)
+
+
+def test_simhash_pairs_match_python_vote_model(spark, sf_dir):
+    """The packed-lane signature aggregate equals the definitional
+    bit-vote model: recompute every signature in Python from the same
+    exploded token hashes (majority vote per bit, ties -> 0) and compare
+    the full pair set at the Hamming threshold — locks the 16-lane
+    shift/mask arithmetic against regressions."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.llm.dedup import _tokenized
+
+    ex = (
+        _tokenized(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    ones = defaultdict(lambda: [0] * 64)
+    n_toks = defaultdict(int)
+    for r in ex:
+        n_toks[r.doc_id] += 1
+        h = r.h & 0xFFFFFFFFFFFFFFFF
+        for b in range(64):
+            ones[r.doc_id][b] += (h >> b) & 1
+    sigs = {
+        d: sum(1 << b for b in range(64) if 2 * c[b] > n_toks[d])
+        for d, c in ones.items()
+    }
+    ids = sorted(sigs)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= HAMMING_THRESHOLD:
+                truth.add((a, b, ham))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in entry_mod.queries()["q_dedup_simhash"](spark, sf_dir).collect()
+    }
+    assert got == truth
