@@ -50,30 +50,101 @@ def test_cosine_topk_matches_brute_force(spark, sf_dir, vectors):
 
 def test_ann_exact_within_probed_cells(spark, sf_dir, vectors):
     """The ANN result must be the *exact* top-k over the probed cells (the
-    approximation is cell pruning, never scoring), and probed recall is
-    bounded below by the per-cell population."""
+    approximation is cell pruning, never scoring). Cells come from the
+    learned k-means index, not any data column."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        _probe_cells,
+        train_ivf,
+    )
+
     got = entry_mod.queries()["q_similarity_ann"](spark, sf_dir).collect()
     assert len(got) == TOP_K
-    probed_labels = {r["label"] for r in got}
-    assert len(probed_labels) <= IVF_PROBES
-    in_cells = {v for v, lab, _ in vectors if lab in probed_labels}
+    index = train_ivf(spark, sf_dir)
+    qe = [float(x) for v, _, e in vectors if v == QUERY_VEC_ID for x in e]
+    probes = set(_probe_cells(index.centroids, qe, IVF_PROBES))
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in index.assigned.select("vec_id", "cell").collect()
+    }
+    in_cells = {v for v, _, _ in vectors if cell_of[v] in probes}
     want = _brute_topk(vectors, candidate_ids=in_cells)
     assert [r["vec_id"] for r in got] == [v for v, _ in want]
 
 
 def test_ivf_index_trains_once_and_query_plan_has_no_training(spark, sf_dir):
     """Index lifecycle: train_ivf persists and is served from cache on
-    every later call; the ANN query plan itself is a pruned fact scan —
-    no posexplode/aggregate of the fact table (that would be re-training
-    inside the query)."""
+    every later call; the ANN query plan itself is a pruned scan of the
+    assigned-vector table — no posexplode/aggregate of the fact table
+    (that would be re-training inside the query)."""
     from reactor_window_like_flink_spark.llm.similarity import train_ivf
     from reactor_window_like_flink_spark.plans import formatted_plan
 
     first = train_ivf(spark, sf_dir)
-    assert first.storageLevel.useMemory
+    assert first.assigned.storageLevel.useMemory
     assert train_ivf(spark, sf_dir) is first
 
     df = entry_mod.queries()["q_similarity_ann"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Generate" not in plan  # no posexplode of the fact table
     assert "HashAggregate" not in plan  # no centroid (re)aggregation
+
+
+def test_ivf_cache_rebuilds_for_new_session(spark, sf_dir):
+    """A cached index is bound to the session that built it; a stale
+    entry (session restarted) must be rebuilt, not served."""
+    from reactor_window_like_flink_spark.llm import similarity as S
+
+    live = S.train_ivf(spark, sf_dir)
+    stale = S.IVFIndex(object(), live.centroids, live.assigned)
+    S._IVF_CACHE[sf_dir] = stale
+    rebuilt = S.train_ivf(spark, sf_dir)
+    assert rebuilt is not stale
+    assert rebuilt.session is spark
+
+
+def test_ivf_recall_on_clustered_vectors(spark):
+    """The IVF contract — high recall at a small probed fraction — holds
+    whenever the data has neighborhood structure. The bundled testdata
+    embeddings are isotropic random (no index can beat probed-fraction
+    recall there), so the recall property is asserted on a clustered
+    fixture: 16 gaussian clusters in 64-dim, k-means-learned cells, top
+    IVF_PROBES probes must recover >= 0.9 of the true cosine top-10."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        IVF_PROBES,
+        _probe_cells,
+        fit_ivf,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 16, 90, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vecs = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.25 * rng.standard_normal((per_cluster, dim))
+        for i, p in enumerate(pts):
+            vid = c * per_cluster + i
+            rows.append((vid, c, [float(x) for x in p]))
+            vecs.append((vid, p.astype("float64")))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    index = fit_ivf(spark, df)
+
+    qid, q = vecs[0]
+    scored = sorted(
+        (
+            (float(e @ q) / (np.linalg.norm(e) * np.linalg.norm(q)), v)
+            for v, e in vecs
+            if v != qid
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    true10 = {v for _, v in scored[:10]}
+    probes = set(_probe_cells(index.centroids, [float(x) for x in q], IVF_PROBES))
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in index.assigned.select("vec_id", "cell").collect()
+    }
+    recall = sum(1 for v in true10 if cell_of[v] in probes) / 10
+    index.assigned.unpersist()
+    assert recall >= 0.9, f"recall@10 = {recall} with {IVF_PROBES} probes"
