@@ -34,9 +34,12 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
+    "q_dedup_embedding_fast",
     "q_similarity_cosine",
     "q_similarity_ann",
     "q_text_stats",
+    "q_fingerprint",
+    "q_fingerprint_fast",
     "q_pack_sequences",
     "q_tpch_q3_shape",
     "q_tpch_q10_shape",

@@ -47,6 +47,16 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_CHUNKS = 4
 SIMHASH_CHUNK_BITS = 64 // SIMHASH_CHUNKS
 HAMMING_THRESHOLD = 3
+# Packed-lane vote capacity. Two bounds: (1) each 16-bit lane accumulates
+# a per-bit ones-count, so counts past 2^16 - 1 carry into the neighbor
+# lane (corrupted signature); (2) stricter, the packed per-token sum lives
+# in a SIGNED 64-bit long whose top lane is weighted 2^48 — with all four
+# lane counts at n the aggregate reaches n·(2^48 + 2^32 + 2^16 + 1),
+# which crosses Long.MAX at n = 32,767 (ANSI mode throws
+# ARITHMETIC_OVERFLOW; non-ANSI would wrap silently). Enforced by slicing
+# toks before the vote — a beyond-cap document is signed on its first
+# 32,766 tokens (graceful truncation) instead of corrupting or throwing.
+SIMHASH_MAX_TOKENS = (1 << 15) - 2
 
 
 def _shingles_from_toks(n: int) -> F.Column:
@@ -150,11 +160,15 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Confirm pass. At 100 TB collect xxhash64(shingle) longs instead of
-    # raw strings — hashed-set Jaccard is exact modulo 2^-64 collisions and
-    # shrinks the rows ~10x; raw strings kept here so tests confirm against
-    # the literal shingle sets.
-    sets = toks.select("doc_id", _shingles_from_toks(3).alias("sh"))
+    # Confirm pass over xxhash64(shingle) longs, not raw strings: hashed-set
+    # Jaccard equals raw-set Jaccard barring a 2^-64 collision, and the
+    # confirm shuffle carries 8-byte elements instead of full shingle text
+    # (~10x smaller rows). The brute-force test compares against literal
+    # string sets, keeping the hashed form honest.
+    sets = toks.select(
+        "doc_id",
+        F.transform(_shingles_from_toks(3), lambda x: F.xxhash64(x)).alias("sh"),
+    )
     with_a = sets.join(candidates, sets.doc_id == candidates.doc_a).select(
         "doc_a", "doc_b", F.col("sh").alias("sh_a")
     )
@@ -170,28 +184,18 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add("q_dedup_simhash")  # rows-only: DuckDB has no xxhash64 to mirror
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit bit-vote signature per doc, candidate pairs
-    via pigeonhole chunk buckets, confirmed by Hamming distance ≤
-    ``HAMMING_THRESHOLD`` (= 3 — the bound the 4-chunk pigeonhole argument
-    above guarantees full recall for) via ``bit_count(a XOR b)`` — one JVM
-    instruction per pair.
-
-    Bit-vote layout: instead of 64 ``sum(CASE)`` aggregate columns (whose
-    generated aggregate method was the repo's largest codegen unit and
-    degraded badly under JIT code-cache pressure), each token packs its 64
-    bits into 16 longs × 4 lanes of 16 bits, and the aggregate is 16 plain
-    ``sum(long)`` columns + ``count(*)``. Lane ``l`` of packed column ``j``
-    accumulates the ones-count of bit ``4j+l``; bit b of the signature is
-    set iff 2·ones(b) > n (identical to the +1/-1 vote-sum sign, ties →
-    0). 16-bit lanes hold ones-counts up to 65,535 tokens per document —
-    cap or distinct tokens first for documents beyond that."""
-    exploded = (
-        _tokenized(spark, sf_dir)
-        .select("doc_id", F.explode("toks").alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
-    )
+def simhash_signatures(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) → (doc_id, simhash): the packed-lane 64-bit bit-vote
+    signature aggregate shared by ``q_dedup_simhash`` and the token-cap
+    tests. ``toks`` is sliced to ``SIMHASH_MAX_TOKENS`` before the vote —
+    beyond that the packed sum overflows signed 64-bit (see the constant's
+    comment), so the cap trades a crash/corruption for deterministic
+    truncation (recall loss only; the Hamming confirm still rejects false
+    positives)."""
+    exploded = toks_df.select(
+        "doc_id",
+        F.explode(F.slice("toks", 1, SIMHASH_MAX_TOKENS)).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
     h = F.col("h")
     packed = []
     for j in range(16):
@@ -216,7 +220,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its full aggregate expression and the generated projection blew past
     # the JIT code cache, poisoning the whole JVM.)
     sv = F.array(*[F.col(f"s{j}") for j in range(16)])
-    with_sig = votes.select("doc_id", sv.alias("sv"), "n").select(
+    return votes.select("doc_id", sv.alias("sv"), "n").select(
         "doc_id",
         F.expr(
             "aggregate(sequence(0, 63), CAST(0 AS BIGINT),"
@@ -226,6 +230,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, b))"
         ).alias("simhash"),
     )
+
+
+@REG.add("q_dedup_simhash")  # rows-only: DuckDB has no xxhash64 to mirror
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit bit-vote signature per doc, candidate pairs
+    via pigeonhole chunk buckets, confirmed by Hamming distance ≤
+    ``HAMMING_THRESHOLD`` (= 3 — the bound the 4-chunk pigeonhole argument
+    above guarantees full recall for) via ``bit_count(a XOR b)`` — one JVM
+    instruction per pair.
+
+    Bit-vote layout: instead of 64 ``sum(CASE)`` aggregate columns (whose
+    generated aggregate method was the repo's largest codegen unit and
+    degraded badly under JIT code-cache pressure), each token packs its 64
+    bits into 16 longs × 4 lanes of 16 bits, and the aggregate is 16 plain
+    ``sum(long)`` columns + ``count(*)``. Lane ``l`` of packed column ``j``
+    accumulates the ones-count of bit ``4j+l``; bit b of the signature is
+    set iff 2·ones(b) > n (identical to the +1/-1 vote-sum sign, ties →
+    0). ``simhash_signatures`` slices toks to ``SIMHASH_MAX_TOKENS``
+    (32,766 — the signed-64 bound of the packed sum) so an oversized
+    document is signed on its truncated prefix instead of overflowing."""
+    with_sig = simhash_signatures(_tokenized(spark, sf_dir))
     chunks = with_sig.select(
         "doc_id",
         "simhash",
@@ -481,6 +506,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add("q_dedup_embedding_fast")  # rows-only: numpy SIMD summation is
+# not bit-identical to the oracle's left fold; pair-set equality with the
+# oracle-checked HOF form is asserted in tests/test_dedup.py instead.
 def lsh_cosine_pairs_fast(
     spark: SparkSession, sf_dir: str, threshold: float = EMB_COSINE_THRESHOLD
 ) -> DataFrame:

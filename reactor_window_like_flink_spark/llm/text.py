@@ -253,6 +253,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add("q_fingerprint_fast")  # rows-only: DuckDB has no xxhash64
+def q_fingerprint_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production fingerprint: ``xxhash64(text)`` — one JVM hash call per
+    row instead of ``q_fingerprint``'s per-character interpreted
+    ``aggregate(sequence(...))`` fold (O(chars) of interpreted expression
+    per row). Identical use: equal texts get equal fingerprints, so
+    grouping by the fingerprint partitions documents into the same
+    duplicate groups (modulo a 2^-64 collision; the polynomial form
+    collides at ~2^-30, so the fast path is strictly stronger). This is
+    the fingerprint to run at scale; the polynomial key stays registered
+    because the oracle must reproduce the arithmetic exactly."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 @REG.add(
     "q_pii_redact",
     r"""

@@ -161,6 +161,54 @@ def test_embedding_fast_kernel_matches_exact_form(spark, sf_dir):
     assert all(abs(fast[k] - exact[k]) <= 1e-4 for k in exact)
 
 
+def test_simhash_token_cap_prevents_lane_overflow(spark):
+    """A beyond-cap document must produce a correct (truncated) signature,
+    not an overflow. 70,000 copies of one token drive its per-bit
+    ones-counts past both packed-sum bounds (signed-64 at 32,767, lane
+    carry at 65,536) — without the ``slice`` cap the aggregate throws
+    ARITHMETIC_OVERFLOW under ANSI mode (this test found that: the real
+    bound is the SIGNED packed sum, not the 16-bit lane) — while with the
+    cap the vote is unanimous over the truncated prefix and the signature
+    equals ``xxhash64(token)`` bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.llm.dedup import (
+        SIMHASH_MAX_TOKENS,
+        simhash_signatures,
+    )
+
+    mask = 0xFFFFFFFFFFFFFFFF
+    oversized = ["dup"] * 70_000
+    assert 70_000 > SIMHASH_MAX_TOKENS
+    df = spark.createDataFrame(
+        [(1, oversized), (2, ["alpha", "beta", "gamma"])],
+        "doc_id long, toks array<string>",
+    )
+    sigs = {
+        r["doc_id"]: r["simhash"] & mask
+        for r in simhash_signatures(df).collect()
+    }
+    tok_hash = (
+        spark.range(1)
+        .select(F.xxhash64(F.lit("dup")).alias("h"))
+        .collect()[0]["h"]
+        & mask
+    )
+    assert sigs[1] == tok_hash
+    # the small doc is a sanity check that the cap is a no-op below it:
+    # recompute its majority vote from the same Spark token hashes
+    hrows = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "tok string"
+    ).select("tok", F.xxhash64("tok").alias("h")).collect()
+    ones = [0] * 64
+    for r in hrows:
+        h = r["h"] & mask
+        for b in range(64):
+            ones[b] += (h >> b) & 1
+    want = sum(1 << b for b in range(64) if 2 * ones[b] > 3) & mask
+    assert sigs[2] == want
+
+
 def test_simhash_pairs_match_python_vote_model(spark, sf_dir):
     """The packed-lane signature aggregate equals the definitional
     bit-vote model: recompute every signature in Python from the same

@@ -54,6 +54,25 @@ def test_fingerprint_deterministic_and_distinct(spark, edge_dir):
     assert rows[0] == fp
 
 
+def test_fingerprint_fast_agrees_on_duplicate_detection(spark, sf_dir):
+    """The xxhash64 production path and the oracle-exact polynomial fold
+    must induce the same duplicate partition of the corpus: texts equal
+    iff fingerprints equal, under either hash."""
+    slow = {
+        r["doc_id"]: r["fingerprint"]
+        for r in entry_mod.queries()["q_fingerprint"](spark, sf_dir).collect()
+    }
+    fast = {
+        r["doc_id"]: r["fingerprint"]
+        for r in entry_mod.queries()["q_fingerprint_fast"](spark, sf_dir).collect()
+    }
+    assert slow.keys() == fast.keys()
+    ids = sorted(slow)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            assert (slow[a] == slow[b]) == (fast[a] == fast[b])
+
+
 def test_shingles_below_width_fall_back_to_whole_doc(spark, edge_dir):
     """Docs shorter than the shingle width still dedup (whole-doc shingle),
     and the all-repeated-token doc yields a single distinct shingle."""
