@@ -95,23 +95,36 @@ class FileStreamInput:
         self._rows_by_batch: dict[int, int] = {}
         os.makedirs(directory, exist_ok=True)
 
+    def _admit(self, rows: Sequence[Any]) -> None:
+        """Write one parquet file and bump the published counter. Caller
+        must hold ``self._lock``."""
+        df = self._spark.createDataFrame(list(rows), self._schema)
+        df.coalesce(1).write.mode("append").parquet(self._dir)
+        self._published_rows += len(rows)
+
     def publish(self, rows: Sequence[Any]) -> None:
         """Durably admit a batch of rows (lossless, like sync publish)."""
-        df = self._spark.createDataFrame(list(rows), self._schema)
         with self._lock:  # serialized admission, like the unicast emit path
-            df.coalesce(1).write.mode("append").parquet(self._dir)
-            self._published_rows += len(rows)
+            self._admit(rows)
 
     def try_publish(self, rows: Sequence[Any]) -> bool:
         """Best-effort admission: admit and return ``True`` iff the
         backlog stays within ``queue_capacity``; otherwise return
         ``False`` without writing (the ``tryEmitNext`` analog — the
         caller chooses to retry, drop, or route elsewhere). Unbounded
-        (capacity ``None``) inputs always admit."""
-        if self._capacity is not None:
-            if self.queue_size() + len(rows) > self._capacity:
-                return False
-        self.publish(rows)
+        (capacity ``None``) inputs always admit.
+
+        Capacity check and write happen under one admission lock —
+        concurrent producers passing the check together could otherwise
+        both admit and overshoot the bound (the module's stated scenario
+        is many producer threads), which would break the bounded-queue
+        contract exactly the way a check-then-act ``tryEmitNext`` race
+        would."""
+        with self._lock:
+            if self._capacity is not None:
+                if self.queue_size() + len(rows) > self._capacity:
+                    return False
+            self._admit(rows)
         return True
 
     def attach(self, query: StreamingQuery) -> StreamingQuery:
@@ -119,6 +132,25 @@ class FileStreamInput:
         progress; returns the query for chaining."""
         self._query = query
         return query
+
+    def _source_rows(self, progress: Any) -> int:
+        """Rows this batch read from THIS input's directory. The query's
+        top-level numInputRows aggregates every source, so a query that
+        joins this stream with another would inflate processed counts,
+        under-report the backlog, and let try_publish over-admit — match
+        on the per-source description (FileStreamSource[<path>]) instead.
+        Falls back to the top-level number only when the progress has no
+        per-source breakdown to read."""
+        sources = _progress_field(progress, "sources")
+        if not sources:
+            return int(_progress_field(progress, "numInputRows") or 0)
+        me = os.path.abspath(self._dir)
+        for s in sources:
+            if me in str(_progress_field(s, "description") or ""):
+                return int(_progress_field(s, "numInputRows") or 0)
+        if len(sources) == 1:
+            return int(_progress_field(sources[0], "numInputRows") or 0)
+        return 0
 
     def _processed_rows(self) -> int:
         if self._query is None:
@@ -128,9 +160,7 @@ class FileStreamInput:
         for p in self._query.recentProgress:
             batch_id = _progress_field(p, "batchId")
             if batch_id is not None:
-                self._rows_by_batch[int(batch_id)] = int(
-                    _progress_field(p, "numInputRows") or 0
-                )
+                self._rows_by_batch[int(batch_id)] = self._source_rows(p)
         return sum(self._rows_by_batch.values())
 
     def queue_size(self) -> int:
@@ -176,6 +206,16 @@ def progress_stats(query: StreamingQuery) -> dict[str, Any] | None:
             else None
         ),
     }
+
+
+# One live query per checkpoint directory (process-wide): two queries
+# sharing a checkpoint would corrupt its offset/commit state. This keeps
+# the reference's unicast safety (only the first subscribe succeeds,
+# WindowPublisher.java:68) where it still matters — multiple queries on
+# the same SOURCE are fine and documented as an upgrade; multiple queries
+# on the same CHECKPOINT are not.
+_ACTIVE_CHECKPOINTS: dict[str, StreamingQuery] = {}
+_CHECKPOINT_LOCK = threading.Lock()
 
 
 class WindowedPublisher:
@@ -246,6 +286,20 @@ class WindowedPublisher:
         writer = writer.queryName(
             query_name or f"windowed-publisher-{uuid.uuid4().hex[:8]}"
         )
-        if checkpoint_dir is not None:
-            writer = writer.option("checkpointLocation", checkpoint_dir)
-        return writer.start()
+        if checkpoint_dir is None:
+            return writer.start()
+        cp = os.path.abspath(checkpoint_dir)
+        writer = writer.option("checkpointLocation", cp)
+        with _CHECKPOINT_LOCK:
+            existing = _ACTIVE_CHECKPOINTS.get(cp)
+            if existing is not None and existing.isActive:
+                raise ValueError(
+                    f"checkpoint dir {cp!r} is already owned by live query "
+                    f"{existing.name!r}; a second query on the same "
+                    "checkpoint would corrupt its state (unicast safety, "
+                    "ref WindowPublisher.java:68). Stop the owning query "
+                    "or use a distinct checkpoint_dir."
+                )
+            query = writer.start()
+            _ACTIVE_CHECKPOINTS[cp] = query
+        return query

@@ -16,6 +16,15 @@ happens inline as rows stream through, and the flush-on-time rides the
 processing-time timeout. The key is the unit of parallelism; state lives
 in the state store, so a 1000-executor cluster runs this with per-key
 exactly-once semantics.
+
+State retention: by default a key's state row is kept forever after its
+last flush so ``batch_seq`` stays monotonic per key across the stream's
+lifetime — an O(1)-per-key cost that grows with the LIFETIME key
+cardinality, which is a real leak on a long-running stream over an
+unbounded key space (e.g. session ids). For those deployments pass
+``idle_state_ttl_seconds``: a key idle that long after its last flush
+has its state removed (and its ``batch_seq`` restarts at 0 if the key
+ever returns — the documented trade for bounded state).
 """
 
 from __future__ import annotations
@@ -40,12 +49,31 @@ def count_or_time_stateful(
     value_col: str = "value",
     max_size: int = 16,
     duration_seconds: float = 1.0,
+    idle_state_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Per-``key_col`` hybrid count-or-time batch summaries over a
     streaming DataFrame. Emits one row per closed batch:
     (key, batch_seq, n_events, sum_value, flush_reason ∈ {size, timeout}).
+
+    ``idle_state_ttl_seconds``: optional retention bound for per-key
+    state (see module docstring) — a key idle that long after its last
+    flush is evicted from the state store; its ``batch_seq`` restarts at
+    0 if it returns. ``opened_ms == -1`` in the state row marks "idle,
+    TTL armed" so a TTL expiry is distinguishable from a batch timeout.
     """
     timeout_ms = int(duration_seconds * 1000)
+    ttl_ms = (
+        None if idle_state_ttl_seconds is None else int(idle_state_ttl_seconds * 1000)
+    )
+
+    def _settle_idle(state: Any, seq: int) -> None:
+        """No open batch: either keep state forever (default — monotonic
+        batch_seq) or arm the idle TTL so the key can be evicted."""
+        if ttl_ms is None:
+            state.update((seq, 0, 0.0, 0))
+        else:
+            state.update((seq, 0, 0.0, -1))
+            state.setTimeoutDuration(ttl_ms)
 
     def flush(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: Any
@@ -57,14 +85,20 @@ def count_or_time_stateful(
         out: list[tuple[int, int, int, float, str]] = []
 
         if state.hasTimedOut:
-            # time path: windowDuration elapsed since the open batch OPENED
             if n > 0:
+                # time path: windowDuration elapsed since the open batch
+                # OPENED
                 out.append((key[0], seq, n, round(total, 2), "timeout"))
                 seq += 1
-            # keep the state row (not remove()) so batch_seq stays
-            # monotonic per key across timeout flushes; no timeout armed —
-            # an empty open batch can never emit
-            state.update((seq, 0, 0.0, 0))
+                _settle_idle(state, seq)
+            elif ttl_ms is not None and opened_ms == -1:
+                # idle TTL expired with nothing buffered since the last
+                # flush: evict the key (batch_seq resets if it returns)
+                state.remove()
+            else:
+                # stray timeout with no open batch (e.g. armed before a
+                # count-path flush emptied the buffer)
+                _settle_idle(state, seq)
         else:
             now_ms = state.getCurrentProcessingTimeMs()
             for pdf in pdfs:
@@ -77,8 +111,8 @@ def count_or_time_stateful(
                         out.append((key[0], seq, n, round(total, 2), "size"))
                         seq += 1
                         n, total, opened_ms = 0, 0.0, 0
-            state.update((seq, n, total, opened_ms))
             if n > 0:
+                state.update((seq, n, total, opened_ms))
                 # Arm the flush-on-time clock against when the open batch
                 # OPENED (reference bufferTimeout semantics): re-arming
                 # with the full duration on every micro-batch would reset
@@ -88,6 +122,10 @@ def count_or_time_stateful(
                 # element.
                 remaining = max(1, opened_ms + timeout_ms - now_ms)
                 state.setTimeoutDuration(int(remaining))
+            else:
+                # arrivals exactly filled the last count-path batch: no
+                # open buffer remains — settle (keep or arm TTL)
+                _settle_idle(state, seq)
         if out:
             yield pd.DataFrame(
                 out,

@@ -134,6 +134,57 @@ def test_trickle_still_time_flushes(spark, tmp_path):
         query.stop()
 
 
+def test_idle_state_ttl_evicts_and_resets_seq(spark, tmp_path):
+    """With idle_state_ttl_seconds, a key idle past the TTL after its
+    last flush is evicted from the state store — bounded state for
+    unbounded key spaces — and its batch_seq restarts at 0 on return
+    (the documented trade; without the TTL, existing tests pin the
+    monotonic 0,1,2,... sequence)."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = count_or_time_stateful(
+        src.stream(),
+        max_size=10,
+        duration_seconds=1.0,
+        idle_state_ttl_seconds=3.0,
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish(_rows(user=1, n=10))  # exactly one count-path flush
+        first = _poll(
+            lambda: spark.sql(
+                "SELECT * FROM t_ttl WHERE flush_reason = 'size'"
+            ).collect()
+        )
+        assert [r["batch_seq"] for r in first] == [0]
+        # idle well past the TTL: the armed timeout keeps no-data batches
+        # coming, so the eviction fires without further input
+        time.sleep(8.0)
+        src.publish(_rows(user=1, n=10, start=100))
+        both = _poll(
+            lambda: (
+                r
+                if len(
+                    r := spark.sql(
+                        "SELECT * FROM t_ttl WHERE flush_reason = 'size'"
+                    ).collect()
+                )
+                >= 2
+                else None
+            )
+        )
+        # state was evicted in between: the second flush restarts at 0
+        assert [r["batch_seq"] for r in both] == [0, 0]
+        assert sum(r["n_events"] for r in both) == 20
+    finally:
+        query.stop()
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """Key 44: events older than the watermark never reach the aggregate
     (the deterministic upgrade over the reference's no-watermark design)."""

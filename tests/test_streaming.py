@@ -166,6 +166,95 @@ def test_try_publish_backpressure_and_introspection(spark, tmp_path):
     assert stats["batch_duration_ms"] is None or stats["batch_duration_ms"] >= 0
 
 
+def test_try_publish_atomic_under_concurrent_producers(spark, tmp_path):
+    """Admission is check+write under ONE lock: many producers racing
+    try_publish must never over-admit past capacity (a check-then-act
+    race would let two producers both pass the capacity check and both
+    write). With no consumer attached, exactly `capacity` single-row
+    admissions can succeed."""
+    capacity = 6
+    src = FileStreamInput(
+        spark, SCHEMA, str(tmp_path / "in"), queue_capacity=capacity
+    )
+    results: list[bool] = []
+    lock = threading.Lock()
+    start = threading.Barrier(12)
+
+    def produce(k: int) -> None:
+        start.wait()
+        ok = src.try_publish(_rows(1, start_minute=k))
+        with lock:
+            results.append(ok)
+
+    threads = [threading.Thread(target=produce, args=(k,)) for k in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(results) == capacity  # exactly capacity admissions, ever
+    assert src.queue_size() == capacity  # never over-admitted
+
+
+def test_backlog_counts_only_this_sources_rows(spark, tmp_path):
+    """queue_size must subtract rows processed from THIS directory, not
+    the query-level numInputRows (which aggregates all sources of a
+    join): otherwise a joined second stream inflates processed counts and
+    try_publish over-admits."""
+    src = FileStreamInput(
+        spark, SCHEMA, str(tmp_path / "in"), queue_capacity=100
+    )
+    src.publish(_rows(50))
+
+    me = str(tmp_path / "in")
+
+    class FakeQuery:
+        recentProgress = [
+            {
+                "batchId": 0,
+                "numInputRows": 50,  # this + 30 from another source
+                "sources": [
+                    {
+                        "description": f"FileStreamSource[file:{me}]",
+                        "numInputRows": 20,
+                    },
+                    {
+                        "description": "FileStreamSource[file:/elsewhere]",
+                        "numInputRows": 30,
+                    },
+                ],
+            }
+        ]
+
+    src.attach(FakeQuery())
+    # 50 published - 20 processed from THIS source = 30 backlog (the
+    # query-level total would wrongly report 0)
+    assert src.queue_size() == 30
+
+
+def test_second_subscribe_on_live_checkpoint_raises(spark, tmp_path):
+    """Unicast safety (ref WindowPublisher.java:68): a second query on a
+    checkpoint owned by a live query must be refused — it would corrupt
+    the checkpoint state — while restart after stop stays allowed (the
+    resume test covers that separately)."""
+    import pytest
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    src.publish(_rows(5))
+    pub = WindowedPublisher(window_max_batch_size=15, window_duration_seconds=0.5)
+    ckpt = str(tmp_path / "ckpt")
+    query = pub.subscribe(src.stream(), consumer=lambda c: None, checkpoint_dir=ckpt)
+    try:
+        with pytest.raises(ValueError, match="already owned by live query"):
+            pub.subscribe(
+                src.stream(), consumer=lambda c: None, checkpoint_dir=ckpt
+            )
+    finally:
+        query.stop()
+    # after the owner stops, the same checkpoint may be re-acquired
+    query2 = pub.subscribe(src.stream(), consumer=lambda c: None, checkpoint_dir=ckpt)
+    query2.stop()
+
+
 def test_publisher_soak_reference_scale(spark, tmp_path):
     """The reference's integration test at its own numbers
     (``WindowPublisherTest.java:22-46``): 50,000 events through 10
