@@ -127,6 +127,30 @@ class FileStreamInput:
             self._admit(rows)
         return True
 
+    def try_publish_each(self, rows: Sequence[Any]) -> list[bool]:
+        """Per-item best-effort admission — the reference's
+        ``asyncPublish(Collection) -> Map<T, Boolean>``
+        (``WindowPublisher.java:109-111``), which tries each element in
+        iteration order until the queue fills. Returns one ack per input
+        row, aligned by position: the admitted prefix is ``True``, the
+        rows refused for capacity are ``False``. Positional acks instead
+        of a row-keyed map keep duplicate rows well-defined (the
+        reference's Map collapses duplicates and throws on the merge —
+        a crash SURVEY.md §2 A4 deliberately does not replicate).
+
+        The admitted prefix lands as ONE parquet file under the same
+        admission lock as ``publish``/``try_publish``, so concurrent
+        producers can never jointly overshoot capacity."""
+        with self._lock:
+            if self._capacity is None:
+                admitted = len(rows)
+            else:
+                room = self._capacity - self.queue_size()
+                admitted = max(0, min(len(rows), room))
+            if admitted > 0:
+                self._admit(rows[:admitted])
+        return [True] * admitted + [False] * (len(rows) - admitted)
+
     def attach(self, query: StreamingQuery) -> StreamingQuery:
         """Bind the consuming query so backlog introspection can read its
         progress; returns the query for chaining."""

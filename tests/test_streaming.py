@@ -195,6 +195,36 @@ def test_try_publish_atomic_under_concurrent_producers(spark, tmp_path):
     assert src.queue_size() == capacity  # never over-admitted
 
 
+def test_try_publish_each_returns_per_item_acks(spark, tmp_path):
+    """Reference A4 (asyncPublish(Collection) -> Map<T,Boolean>,
+    WindowPublisher.java:109-111): each element is tried in order until
+    the queue fills — the admitted prefix acks True, the overflow acks
+    False, and only the admitted rows are ever durably written."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"), queue_capacity=5)
+    acks = src.try_publish_each(_rows(8))
+    assert acks == [True] * 5 + [False] * 3
+    assert src.queue_size() == 5
+    # queue full: every further item refused, nothing written
+    assert src.try_publish_each(_rows(3, start_minute=9)) == [False] * 3
+    assert src.queue_size() == 5
+    # unbounded input: everything admits
+    free = FileStreamInput(spark, SCHEMA, str(tmp_path / "in2"))
+    assert free.try_publish_each(_rows(4)) == [True] * 4
+    # the admitted prefix is exactly what the stream delivers
+    out = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(str(tmp_path / "in"))
+        .writeStream.format("memory")
+        .queryName("t_each")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(60)
+    got = spark.sql("SELECT event_id FROM t_each ORDER BY event_id").collect()
+    assert [r["event_id"] for r in got] == [0, 1, 2, 3, 4]
+
+
 def test_backlog_counts_only_this_sources_rows(spark, tmp_path):
     """queue_size must subtract rows processed from THIS directory, not
     the query-level numInputRows (which aggregates all sources of a
