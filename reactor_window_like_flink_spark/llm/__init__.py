@@ -11,6 +11,7 @@ BASELINE.json, built expression-first so the hot path stays JVM-side.
 from __future__ import annotations
 
 from reactor_window_like_flink_spark.llm.clustering import REG as CLUSTERING_REG
+from reactor_window_like_flink_spark.llm.curation import REG as CURATION_REG
 from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
 from reactor_window_like_flink_spark.llm.multimodal import REG as MULTIMODAL_REG
 from reactor_window_like_flink_spark.llm.sampling import REG as SAMPLING_REG
@@ -22,6 +23,7 @@ REGS = [
     CLUSTERING_REG,
     SIMILARITY_REG,
     TEXT_REG,
+    CURATION_REG,
     SAMPLING_REG,
     MULTIMODAL_REG,
 ]
@@ -30,6 +32,7 @@ __all__ = [
     "REGS",
     "DEDUP_REG",
     "CLUSTERING_REG",
+    "CURATION_REG",
     "SIMILARITY_REG",
     "TEXT_REG",
     "SAMPLING_REG",

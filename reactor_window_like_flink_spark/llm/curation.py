@@ -1,0 +1,299 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, repetition scoring, weighted domain mixing, and
+boilerplate (shared-prefix) detection over the ``documents`` table.
+
+These extend the dedup/quality family (SURVEY.md §2 Part B extras) with
+the remaining passes a large-scale pretraining pipeline runs between raw
+crawl and tokenizer:
+
+  * decontamination — drop training docs that overlap the eval benchmark
+    (n-gram collision against a tiny eval index; the index side is
+    benchmark-sized, so at 100 TB the join is a broadcast against a
+    full-corpus narrow scan);
+  * repetition scoring — flag degenerate docs whose n-gram distribution
+    collapses (the "same trigram 400 times" crawl failure mode); counts
+    shuffle as (doc_id, trigram) with map-side combine, never documents;
+  * domain mixing — deterministic per-source downsampling to a target
+    mixture; rates derive from one tiny per-source aggregate and the
+    membership test is a pure hash function of doc_id, so re-runs and
+    engine changes keep the identical subset (same posture as
+    ``llm/sampling.py``);
+  * boilerplate prefixes — exact shared-k-token-prefix groups (template
+    headers, licence banners); groups on an 8-token prefix string, a
+    16-70 byte shuffle key, with the same min-id keep rule as exact dedup.
+
+Reference parity note: the reference engine (``WindowPublisher.java``) has
+no curation surface; north-star scope from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.llm.dedup import _shingles_from_toks, _tokenized
+from reactor_window_like_flink_spark.llm.sampling import _duck_bucket, _hash_bucket
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+EVAL_BUCKET_MIN = 95  # md5 buckets 95-99 (~5%) act as the "benchmark" set
+DECON_NGRAM = 3  # shingle width for the contamination check
+REPETITION_FLAG_FRAC = 0.25  # rep_frac at/above this flags the doc
+PREFIX_TOKENS = 8  # boilerplate prefix width
+
+
+def decontaminate(shingled: DataFrame, eval_pred: F.Column) -> DataFrame:
+    """Training docs sharing >= 1 shingle with the eval split.
+
+    ``shingled`` is (doc_id, sh: array<string>) with per-doc DISTINCT
+    shingles; ``eval_pred`` marks eval membership. The eval shingle index
+    is DISTINCT-exploded and joined against the exploded training side on
+    the shingle string; at corpus scale the index is benchmark-sized
+    (thousands of docs), so AQE turns the join into a broadcast and the
+    training side stays a narrow scan -> explode -> local count. No hint
+    is forced: an explicit broadcast of a *computed* subplan pins the
+    build outside AQE's adaptive path (see ``llm/dedup.py``'s measured
+    note)."""
+    sh = shingled.withColumn("_eval", eval_pred)
+    ev = sh.filter(F.col("_eval")).select(F.explode("sh").alias("s")).distinct()
+    tr = sh.filter(~F.col("_eval")).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
+    return (
+        tr.join(ev, "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_hit"))
+        .select(
+            "doc_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_shingles"), 4
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+@REG.add(
+    "q_decontaminate",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, {_duck_bucket("doc_id")} AS bkt FROM documents
+    ),
+    t AS (
+      SELECT doc_id, bkt,
+             list_distinct(CASE WHEN len(string_split(lower(text), ' ')) < 3
+               THEN [lower(text)]
+               ELSE list_transform(
+                 generate_series(1, len(string_split(lower(text), ' ')) - 2),
+                 i -> string_split(lower(text), ' ')[i] || ' '
+                      || string_split(lower(text), ' ')[i + 1] || ' '
+                      || string_split(lower(text), ' ')[i + 2]) END) AS sh
+      FROM b
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS s FROM t WHERE bkt >= {EVAL_BUCKET_MIN}
+    ),
+    tr AS (
+      SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+      FROM t WHERE bkt < {EVAL_BUCKET_MIN}
+    )
+    SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           ROUND(CAST(count(*) AS DOUBLE) / n_shingles, 4)
+             AS contamination_frac
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id, tr.n_shingles
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing a
+    word trigram with the held-out "benchmark" split (md5 buckets
+    95-99 of doc_id — the same deterministic split machinery as
+    ``q_train_split``, so eval membership never drifts between runs)."""
+    toks = _tokenized(spark, sf_dir)
+    shingled = toks.select(
+        "doc_id", _shingles_from_toks(DECON_NGRAM).alias("sh")
+    )
+    return decontaminate(
+        shingled, _hash_bucket(F.col("doc_id")) >= EVAL_BUCKET_MIN
+    )
+
+
+def repetition_stats(toks_df: DataFrame) -> DataFrame:
+    """Per-doc trigram repetition statistics from (doc_id, toks).
+
+    Counts NON-distinct trigram occurrences: explode -> count per
+    (doc_id, trigram) -> per-doc rollup. Both aggregations benefit from
+    map-side partial combine, and the shuffle rows are (doc_id, trigram,
+    count) — bounded by the doc's distinct-trigram count, never the
+    document text. ``rep_frac`` = 1 - distinct/total trigram ratio: 0 for
+    a no-repeat doc, -> 1 as the doc degenerates to one repeated phrase."""
+    tris = F.expr(
+        "CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))"
+        " ELSE transform(sequence(1, size(toks) - 2),"
+        "      i -> array_join(slice(toks, i, 3), ' ')) END"
+    )
+    per_tri = (
+        toks_df.select("doc_id", F.explode(tris).alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count("*").alias("c"))
+    )
+    uniq = F.count("*").cast("double")
+    total = F.sum("c")
+    frac = F.lit(1.0) - uniq / total
+    return per_tri.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tri"),
+        F.count("*").cast("long").alias("n_uniq_tri"),
+        F.max("c").cast("long").alias("max_tri_count"),
+        F.round(frac, 4).alias("rep_frac"),
+        (frac >= REPETITION_FLAG_FRAC).alias("is_repetitive"),
+    )
+
+
+@REG.add(
+    "q_repetition_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+               ELSE list_transform(generate_series(1, len(tk) - 2),
+                 i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) END)
+               AS tri
+      FROM s
+    ),
+    c AS (SELECT doc_id, tri, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tri,
+           CAST(count(*) AS BIGINT) AS n_uniq_tri,
+           CAST(max(c) AS BIGINT) AS max_tri_count,
+           ROUND(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS rep_frac,
+           (1 - CAST(count(*) AS DOUBLE) / sum(c))
+             >= {REPETITION_FLAG_FRAC} AS is_repetitive
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-repetition quality pass: the crawl failure mode where a
+    page degenerates into one repeated phrase shows up as a collapsed
+    trigram distribution (high ``rep_frac``, high ``max_tri_count``)."""
+    return repetition_stats(_tokenized(spark, sf_dir))
+
+
+def domain_mix(docs: DataFrame, weight: F.Column) -> DataFrame:
+    """Deterministic weighted mixture sample across ``source`` domains.
+
+    Target: kept docs distribute across sources proportionally to
+    ``weight``. The feasible total is capped by the scarcest source
+    (T = min over sources of count/weight); each source then keeps
+    ``rate = weight * T / count`` of its docs, selected by a pure hash of
+    doc_id (md5 first 8 hex / 2^32 — exactly representable in a double,
+    so Spark and the oracle pick the identical subset). One tiny
+    per-source aggregate + a broadcast join of ~|sources| rows onto a
+    narrow scan: no full shuffle at any size."""
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    counts = counts.withColumn("w", weight.cast("double"))
+    # T over a global window: the window input is the per-source aggregate
+    # (|sources| rows, one task) — cheaper and simpler than a 1-row
+    # crossJoin, which planned as a duplicated BroadcastNestedLoopJoin.
+    t = F.min(F.col("cnt") / F.col("w")).over(Window.partitionBy())
+    rates = counts.select(
+        "source", (F.col("w") * t / F.col("cnt")).alias("rate")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 4).alias("rate"))
+    )
+
+
+# Demo weights: sources src0..src19 get weight 1 + (num % 4) — a stand-in
+# for the "web 60% / code 20% / books 20%" mixture config a real pipeline
+# reads from its recipe file.
+_W_SPARK = "1 + CAST(substring(source, 4) AS INT) % 4"
+_W_DUCK = "1 + CAST(substr(source, 4) AS INT) % 4"
+
+
+@REG.add(
+    "q_domain_mix",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS cnt,
+             CAST({_W_DUCK} AS DOUBLE) AS w
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT MIN(cnt / w) AS t FROM counts),
+    rates AS (SELECT source, w * t.t / cnt AS rate FROM counts, t)
+    SELECT d.doc_id, d.source, ROUND(r.rate, 4) AS rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 < r.rate
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: deterministically downsample each
+    ``source`` so kept docs hit a target mixture (weights 1-4 by source
+    number), capped by the scarcest source."""
+    docs = load(spark, sf_dir, "documents")
+    return domain_mix(docs, F.expr(_W_SPARK))
+
+
+def prefix_groups(docs: DataFrame, n_tokens: int) -> DataFrame:
+    """Groups of docs sharing an identical ``n_tokens``-token prefix —
+    template headers / licence banners / boilerplate. Exact-dedup shape:
+    group on the prefix string (a short shuffle key), min-id keep rule,
+    plus source provenance (cross-source groups reveal syndicated
+    boilerplate)."""
+    p = F.array_join(
+        F.slice(F.split(F.lower("text"), " "), 1, n_tokens), " "
+    )
+    return (
+        docs.groupBy(p.alias("prefix"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.array_join(
+                F.sort_array(F.collect_set("source")), ","
+            ).alias("sources_csv"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@REG.add(
+    "q_boilerplate_prefix",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             array_to_string(
+               (string_split(lower(text), ' '))[1:{PREFIX_TOKENS}], ' ')
+               AS prefix
+      FROM documents
+    )
+    SELECT prefix,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list_distinct(list(source))), ',')
+             AS sources_csv
+    FROM t GROUP BY prefix HAVING count(*) > 1
+    """,
+)
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-8-token-prefix boilerplate groups over documents."""
+    return prefix_groups(load(spark, sf_dir, "documents"), PREFIX_TOKENS)

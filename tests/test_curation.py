@@ -1,0 +1,116 @@
+"""Unit tests for the curation operators (llm/curation.py) on handcrafted
+fixtures with hand-computed expectations; the sf0.01 oracle differential
+covers the registered q_* forms end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.llm.curation import (
+    decontaminate,
+    domain_mix,
+    prefix_groups,
+    repetition_stats,
+)
+
+
+def _toks_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+
+
+def test_decontaminate_counts_shared_trigrams(spark):
+    # doc 99 is the "benchmark"; doc 1 contains its trigram verbatim,
+    # doc 2 shares tokens but no trigram, doc 3 is disjoint.
+    rows = [
+        (99, "alpha beta gamma delta"),
+        (1, "x y alpha beta gamma z"),
+        (2, "alpha x beta y gamma"),
+        (3, "p q r s"),
+    ]
+    df = _toks_df(spark, rows)
+    shingled = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))"
+                " ELSE transform(sequence(1, size(toks) - 2),"
+                "      i -> array_join(slice(toks, i, 3), ' ')) END"
+            )
+        ).alias("sh"),
+    )
+    out = decontaminate(shingled, F.col("doc_id") == 99).collect()
+    got = {r["doc_id"]: (r["n_hit"], r["n_shingles"]) for r in out}
+    # doc 1 has 4 trigrams, exactly "alpha beta gamma" hits
+    assert got == {1: (1, 4)}
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    # "ho hum" * safe vs "spam spam spam...": the degenerate doc collapses
+    # to ONE distinct trigram repeated n-2 times -> rep_frac -> 1.
+    rows = [
+        (1, " ".join(["spam"] * 12)),  # 10 trigram slots, 1 distinct
+        (2, "a b c d e f"),  # 4 trigram slots, all distinct
+        (3, "xy"),  # < 3 tokens: whole text is the single shingle
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(_toks_df(spark, rows)).collect()
+    }
+    assert (out[1]["n_tri"], out[1]["n_uniq_tri"], out[1]["max_tri_count"]) == (
+        10,
+        1,
+        10,
+    )
+    assert out[1]["rep_frac"] == 0.9 and out[1]["is_repetitive"]
+    assert (out[2]["n_tri"], out[2]["n_uniq_tri"]) == (4, 4)
+    assert out[2]["rep_frac"] == 0.0 and not out[2]["is_repetitive"]
+    assert (out[3]["n_tri"], out[3]["max_tri_count"]) == (1, 1)
+
+
+def test_domain_mix_hits_target_proportions(spark):
+    # 400 docs of "web" (w=3) + 200 of "code" (w=1): scarcest-source cap
+    # T = min(400/3, 200/1) = 133.3 -> keep ALL of web is infeasible;
+    # expected kept ~ web:code = 3:1 with web rate 1.0, code rate 2/3*...
+    # (exact expectation: T=133.33, web keeps 400*(3*T/400)=3T=400 ->
+    # rate 1.0; code keeps 1*T/200 -> rate ~0.667).
+    rows = [(i, "web") for i in range(400)] + [
+        (i, "code") for i in range(1000, 1200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    w = F.when(F.col("source") == "web", F.lit(3)).otherwise(F.lit(1))
+    out = domain_mix(docs, w)
+    kept = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["web"] == 400  # rate 1.0: every web doc kept
+    # hash selection is approximate around rate*count = 133; generous band
+    assert 100 <= by_src.get("code", 0) <= 166
+    # determinism: the identical subset on a re-run
+    again = domain_mix(docs, w)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    rates = {
+        r["source"]: r["rate"]
+        for r in out.select("source", "rate").distinct().collect()
+    }
+    assert rates["web"] == 1.0 and abs(rates["code"] - 0.6667) < 1e-9
+
+
+def test_prefix_groups_find_shared_boilerplate(spark):
+    rows = [
+        (1, "terms of service apply to all users here one"),
+        (2, "terms of service apply to all users here two and more"),
+        (3, "totally different document text with no twin at all"),
+        (4, "Terms Of Service Apply To All Users Here THREE"),  # case-folds
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING"
+    ).withColumn("source", F.concat(F.lit("s"), F.col("doc_id") % 2))
+    out = prefix_groups(docs, 8).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["prefix"] == "terms of service apply to all users here"
+    assert (g["keep_id"], g["n_docs"], g["n_sources"]) == (1, 3, 2)
+    assert g["sources_csv"] == "s0,s1"
