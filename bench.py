@@ -38,6 +38,10 @@ HEADLINE = [
     "q_similarity_cosine",
     "q_similarity_ann",
     "q_text_stats",
+    "q_decontaminate",
+    "q_repetition_score",
+    "q_domain_mix",
+    "q_boilerplate_prefix",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

@@ -137,3 +137,79 @@ def test_pack_token_stream_matches_fold(spark, token_counts, budget):
         want[d] = (n, off, seq, (off + n - 1) // budget > seq)
         off += n
     assert got == want
+
+
+def _trigrams(tokens: list[str]) -> list[str]:
+    if len(tokens) < 3:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + 3]) for i in range(len(tokens) - 2)]
+
+
+_words = st.sampled_from(["a", "b", "c", "dog", "cat", "sun"])
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=12), min_size=2, max_size=10
+)
+
+
+@SETTINGS
+@given(_docs)
+def test_repetition_stats_matches_counter_model(spark, docs):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.llm.curation import repetition_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    toks_df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    got = {
+        r["doc_id"]: (r["n_tri"], r["n_uniq_tri"], r["max_tri_count"])
+        for r in repetition_stats(toks_df).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        c = Counter(_trigrams([t.lower() for t in toks]))
+        want[i] = (sum(c.values()), len(c), max(c.values()))
+    assert got == want
+
+
+@SETTINGS
+@given(_docs)
+def test_decontaminate_matches_set_model(spark, docs):
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.llm.curation import decontaminate
+
+    # last doc is the eval split; model: per-train-doc distinct-shingle
+    # intersection with the union of eval shingles
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    toks_df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING"
+    ).select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    shingled = toks_df.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))"
+                " ELSE transform(sequence(1, size(toks) - 2),"
+                "      i -> array_join(slice(toks, i, 3), ' ')) END"
+            )
+        ).alias("sh"),
+    )
+    eval_id = len(docs) - 1
+    got = {
+        r["doc_id"]: (r["n_hit"], r["n_shingles"])
+        for r in decontaminate(
+            shingled, F.col("doc_id") == eval_id
+        ).collect()
+    }
+    ev = set(_trigrams([t.lower() for t in docs[eval_id]]))
+    want = {}
+    for i, toks in enumerate(docs[:-1]):
+        sh = set(_trigrams([t.lower() for t in toks]))
+        hit = len(sh & ev)
+        if hit:
+            want[i] = (hit, len(sh))
+    assert got == want
