@@ -42,6 +42,12 @@ HEADLINE = [
     "q_repetition_score",
     "q_domain_mix",
     "q_boilerplate_prefix",
+    "q_dedup_cross_source",
+    "q_dedup_incremental",
+    "q_profile_stats",
+    "q_histogram",
+    "q_upsert_latest",
+    "q_embed_quantize",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

@@ -297,3 +297,115 @@ def prefix_groups(docs: DataFrame, n_tokens: int) -> DataFrame:
 def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-8-token-prefix boilerplate groups over documents."""
     return prefix_groups(load(spark, sf_dir, "documents"), PREFIX_TOKENS)
+
+
+HEAD_TOKENS = 32  # mirror-detection key width
+
+
+def cross_source_dups(docs: DataFrame) -> DataFrame:
+    """Duplicate groups that span MORE THAN ONE ``source`` — syndicated /
+    mirrored content, the provenance-aware slice of dedup (a pipeline
+    usually keeps one copy but also wants the mirror report to
+    down-weight scraper domains). Keys on ``md5`` of the normalized
+    32-token HEAD rather than the full text: mirrors re-host the body but
+    append their own footer chrome, so head-keying is the standard
+    mirror-detection relaxation — and the shuffle still carries a 32-hex
+    key, never the document."""
+    head = F.array_join(
+        F.slice(F.split(F.lower("text"), " "), 1, HEAD_TOKENS), " "
+    )
+    return (
+        docs.groupBy(F.md5(head).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.array_join(
+                F.sort_array(F.collect_set("source")), ","
+            ).alias("sources_csv"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+@REG.add(
+    "q_dedup_cross_source",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               (string_split(lower(text), ' '))[1:{HEAD_TOKENS}], ' '))
+               AS text_hash
+      FROM documents
+    )
+    SELECT text_hash,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           array_to_string(list_sort(list_distinct(list(source))), ',')
+             AS sources_csv
+    FROM t GROUP BY text_hash HAVING count(DISTINCT source) > 1
+    """,
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-keyed duplicate groups spanning multiple sources (see
+    ``cross_source_dups``)."""
+    return cross_source_dups(load(spark, sf_dir, "documents"))
+
+
+INCREMENTAL_BATCH_SOURCE = "src0"  # stand-in for "today's crawl"
+
+
+def incremental_dedup(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Continuous-ingestion dedup: admit only batch docs whose text is
+    (a) new vs the existing corpus and (b) unique within the batch
+    (min-doc_id keep rule). Both passes key on ``md5(text)``:
+    the corpus side projects to the bare hash column — at 100 TB that is
+    a narrow one-column scan (or, in production, a pre-built hash index
+    table bucketed on the hash so the anti-join is co-located and
+    shuffle-free) — and the in-batch winner pass is a batch-sized
+    aggregate, so per-increment cost scales with the increment plus one
+    corpus hash scan, never a corpus rewrite."""
+    h = F.md5(F.col("text")).alias("text_hash")
+    corpus_hashes = corpus.select(h).distinct()
+    batch_winners = (
+        batch.select("doc_id", h)
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("long").alias("n_in_batch"),
+        )
+    )
+    return (
+        batch_winners.join(corpus_hashes, "text_hash", "left_anti")
+        .select("doc_id", "text_hash", "n_in_batch")
+    )
+
+
+@REG.add(
+    "q_dedup_incremental",
+    f"""
+    WITH batch AS (
+      SELECT doc_id, md5(text) AS text_hash FROM documents
+      WHERE source = '{INCREMENTAL_BATCH_SOURCE}'
+    ),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents
+      WHERE source <> '{INCREMENTAL_BATCH_SOURCE}'
+    ),
+    winners AS (
+      SELECT text_hash, min(doc_id) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_in_batch
+      FROM batch GROUP BY text_hash
+    )
+    SELECT doc_id, text_hash, n_in_batch
+    FROM winners WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup: ``source='src0'`` plays
+    the incoming crawl batch, every other source the existing corpus
+    (see ``incremental_dedup``)."""
+    docs = load(spark, sf_dir, "documents")
+    is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
+    return incremental_dedup(docs.filter(is_batch), docs.filter(~is_batch))

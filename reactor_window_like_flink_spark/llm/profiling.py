@@ -1,0 +1,151 @@
+"""Dataset profiling operators: per-column quality stats and fixed-width
+value histograms — the "look at your data before you train on it" passes
+of a large-scale pipeline (null-rate drift, cardinality explosions,
+value-distribution shifts between crawl snapshots).
+
+Scale shape: both operators are single-pass aggregations whose outputs are
+O(columns) / O(buckets) rows regardless of input size. ``profile_columns``
+computes every per-column stat in ONE aggregate (Spark plans the multiple
+count-distincts via expand — ~(n_cols+1)× the scan rows through a
+map-side-combined hash aggregate, never a per-column rescan); the wide
+1-row result is then unpivoted driver-free with ``stack``. At 100 TB the
+exact count-distinct expand is the oracle-exact form; the production swap
+is ``approx_count_distinct`` (HLL, one pass, no expand), which drops the
+expand factor entirely and is noted per-stat below.
+
+Reference parity note: the reference engine (``WindowPublisher.java``) has
+no profiling surface; north-star scope from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+# Histogram contract: fixed bounds keep the pass single-scan (a data-driven
+# min/max would add a tiny 1-row pre-pass; fixed bounds are what a
+# production pipeline pins in config so histograms compare across runs).
+HIST_LO = 0.0
+HIST_WIDTH = 5_000.0
+HIST_BUCKETS = 22  # covers l_extendedprice's [901, 104998] domain
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format per-column profile: (column, n_rows, n_nulls,
+    n_distinct, min_val, max_val) with min/max cast to string so the
+    schema is uniform across column types.
+
+    One wide aggregate (4 stats x n_cols, single scan) unpivoted with
+    ``stack`` — no driver-side loop over columns, no per-column job."""
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return wide.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+            " AS (column, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select(
+        "column",
+        "n_rows",
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+@REG.add(
+    "q_profile_stats",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
+    SELECT 'lang' AS "column", n.n_rows,
+           CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+           CAST(min(lang) AS VARCHAR) AS min_val,
+           CAST(max(lang) AS VARCHAR) AS max_val
+    FROM documents, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'source', n.n_rows,
+           CAST(count(*) FILTER (source IS NULL) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents, n GROUP BY n.n_rows
+    UNION ALL
+    SELECT 'n_chars', n.n_rows,
+           CAST(count(*) FILTER (n_chars IS NULL) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents, n GROUP BY n.n_rows
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-quality profile of ``documents`` (lang, source, n_chars):
+    null counts, exact distinct cardinality, min/max — the pre-training
+    sanity pass. Production swap at 100 TB: ``approx_count_distinct``
+    instead of exact (drops the expand; documented in the module doc)."""
+    docs = load(spark, sf_dir, "documents")
+    return profile_columns(docs, ["lang", "source", "n_chars"])
+
+
+def histogram(df: DataFrame, col: str, lo: float, width: float, n: int) -> DataFrame:
+    """Fixed-width value histogram: one map-side-combined aggregate to
+    O(n) rows. Out-of-range values clamp into the edge buckets so mass is
+    conserved (a production run alerts on edge-bucket growth)."""
+    x = F.col(col).cast("double")
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum(x), 2).alias("sum_val"),
+        )
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 2).alias("bucket_lo"),
+            "n_rows",
+            "sum_val",
+        )
+    )
+
+
+@REG.add(
+    "q_histogram",
+    f"""
+    SELECT bucket,
+           ROUND({HIST_LO} + bucket * {HIST_WIDTH}, 2) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_val
+    FROM (
+      SELECT l_extendedprice,
+             GREATEST(0, LEAST({HIST_BUCKETS - 1},
+               CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {HIST_LO})
+                          / {HIST_WIDTH}) AS INT))) AS bucket
+      FROM lineitem
+    ) GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """22-bucket fixed-width histogram of ``l_extendedprice`` — the
+    distribution-drift monitor; single aggregate, 22-row output at any
+    scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", HIST_LO, HIST_WIDTH, HIST_BUCKETS)

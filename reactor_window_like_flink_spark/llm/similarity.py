@@ -254,3 +254,77 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def quantize_int8(vectors: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization of ``embedding``: scale =
+    max(|x|), q_i = floor(x_i * 127 / scale + 0.5) — the storage/transport
+    compression step before an ANN index ships vectors (4 bytes -> 1 byte
+    per dim). ``floor(x + 0.5)`` instead of ``round`` pins the tie rule
+    to one exact IEEE expression both engines evaluate identically (Spark
+    HALF_UP vs DuckDB ties-away would otherwise be an oracle hazard).
+
+    Pure per-row higher-order functions — a narrow scan, no shuffle, no
+    Python; at 100 TB this is a map-only rewrite of the vector column.
+    The quantized vector is emitted as a CSV string plus scalar stats
+    (saturation count, quantized L1) so the driver's value hash is
+    type-stable across engines."""
+    absmax = F.aggregate(
+        F.expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    qvec = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / _scale"
+        " + 0.5D) AS INT))"
+    )
+    return (
+        vectors.withColumn("_scale", absmax)
+        .withColumn("qvec", F.when(F.col("_scale") == 0.0, F.expr(
+            "transform(embedding, x -> 0)"
+        )).otherwise(qvec))
+        .select(
+            "vec_id",
+            F.round("_scale", 6).alias("scale"),
+            F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+                "qvec_csv"
+            ),
+            F.size(F.filter("qvec", lambda x: F.abs(x) == 127))
+            .cast("long")
+            .alias("n_sat"),
+            F.aggregate(
+                "qvec", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x).cast("long")
+            ).alias("q_l1"),
+        )
+    )
+
+
+@REG.add(
+    "q_embed_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS s,
+             embedding
+      FROM embeddings
+    ), qq AS (
+      SELECT vec_id, s,
+             CASE WHEN s = 0
+               THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS INT))
+             END AS qv
+      FROM q
+    )
+    SELECT vec_id,
+           ROUND(s, 6) AS scale,
+           array_to_string(qv, ',') AS qvec_csv,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+    FROM qq
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantize every embedding (see ``quantize_int8``)."""
+    return quantize_int8(load(spark, sf_dir, "embeddings"))

@@ -1129,3 +1129,52 @@ def q_reagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sv") / F.col("n_events"), 4).alias("avg_value"),
         )
     )
+
+
+@REG.add(
+    "q_upsert_latest",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: the latest event per ``user_id`` — the
+    keep-newest-record-per-key pass that materializes a changelog into a
+    snapshot (Flink's upsert sink / Delta MERGE latest-wins analog).
+
+    Implemented as ``max(struct(ts_us, event_id, ...))``, a single
+    map-side-combined hash aggregate whose shuffle carries ONE row per
+    key per map partition — at 100 TB of changelog with a bounded key
+    space this is the plan that works, where the oracle's
+    ROW_NUMBER-over-window form would sort-shuffle every event. Ordering
+    compares microseconds then event_id (struct comparison is
+    lexicographic), matching the oracle's ORDER BY exactly; ts is emitted
+    as epoch seconds per the contract's timestamp rule."""
+    events = load(spark, sf_dir, "events")
+    latest = events.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+                F.col("value").alias("v"),
+            )
+        ).alias("m")
+    )
+    return latest.select(
+        "user_id",
+        F.expr("m.us div 1000000").alias("last_ts"),
+        F.col("m.eid").alias("last_event_id"),
+        F.col("m.et").alias("last_event_type"),
+        F.col("m.v").alias("last_value"),
+    )
