@@ -48,6 +48,10 @@ HEADLINE = [
     "q_histogram",
     "q_upsert_latest",
     "q_embed_quantize",
+    "q_join_fuzzy",
+    "q_outliers",
+    "q_vocab_topk",
+    "q_tfidf_topterms",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

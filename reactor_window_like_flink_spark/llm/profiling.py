@@ -149,3 +149,54 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     li = load(spark, sf_dir, "lineitem")
     return histogram(li, "l_extendedprice", HIST_LO, HIST_WIDTH, HIST_BUCKETS)
+
+
+OUTLIER_Z = 2.5  # |z| at/above this flags the row
+
+
+def zscore_outliers(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Rows whose ``val`` deviates from their group's mean by more than
+    ``OUTLIER_Z`` sample standard deviations — the statistical
+    quality-filter pass (drop corrupt metric rows before training).
+
+    Two-step shape: a tiny per-group (mean, stddev) aggregate — O(groups)
+    rows, map-side combined — broadcast-joined back onto the scan, then a
+    pure per-row predicate. The fact side never shuffles; at 100 TB this
+    is one narrow pass plus an O(groups) broadcast."""
+    stats = df.groupBy(key).agg(
+        F.avg(val).alias("_m"), F.stddev_samp(val).alias("_sd")
+    )
+    # zero-variance groups have no outliers by definition; dropping them
+    # here also keeps the division ANSI-safe (x/0 raises under ANSI mode)
+    stats = stats.filter(F.col("_sd") > 0)
+    z = (F.col(val) - F.col("_m")) / F.col("_sd")
+    return (
+        df.join(F.broadcast(stats), key)
+        .filter(F.abs(z) > OUTLIER_Z)
+        .select(
+            "event_id",
+            key,
+            val,
+            F.round(z, 3).alias("z"),
+        )
+    )
+
+
+@REG.add(
+    "q_outliers",
+    f"""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+      HAVING stddev_samp(value) > 0
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.m) / s.sd, 3) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) > {OUTLIER_Z}
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers over ``events.value`` (see
+    ``zscore_outliers``)."""
+    return zscore_outliers(load(spark, sf_dir, "events"), "event_type", "value")

@@ -10,7 +10,7 @@ functions inside whole-stage codegen) — zero Python in the row path, so a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
@@ -309,4 +309,107 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("props", F.lit(email), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
+    )
+
+
+VOCAB_TOP_K = 100
+TFIDF_TOP_TERMS = 3
+
+
+@REG.add(
+    "q_vocab_topk",
+    f"""
+    SELECT term, CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    )
+    GROUP BY term
+    ORDER BY freq DESC, term LIMIT {VOCAB_TOP_K}
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the {VOCAB_TOP_K} most frequent tokens with
+    collection and document frequency — the tokenizer-induction /
+    coverage-check pass.
+
+    One explode -> one combined (freq, doc_freq) aggregate keyed on the
+    term; map-side partial combine collapses each partition to its
+    distinct terms before the shuffle, and the final ORDER BY runs as
+    TakeOrderedAndProject over O(|vocab|) aggregated rows, never a global
+    sort of token occurrences. Ties at equal frequency break on the term
+    string so LIMIT is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+@REG.add(
+    "q_tfidf_topterms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
+                        tf.term) AS rn
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank
+    FROM scored WHERE rn <= {TFIDF_TOP_TERMS}
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_TERMS} TF-IDF terms per document — the classic
+    keyword/topic-surfacing pass.
+
+    Pipeline: explode -> (doc, term) tf aggregate -> term df aggregate
+    (re-aggregation of tf, so the token explode shuffles ONCE) -> keyed
+    join tf⋈df on the term -> per-doc top-k window. The document count N
+    joins in as a broadcast 1-row aggregate (scalar-subquery shape, no
+    driver collect). All shuffles are keyed on term or doc_id; the window
+    partitions by doc_id with (score, term) ordering so ranks are
+    deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    score = F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_s", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select(
+            "doc_id",
+            "term",
+            F.round("_s", 4).alias("tfidf"),
+            "rank",
+        )
     )

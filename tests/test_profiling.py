@@ -120,6 +120,64 @@ def test_cross_source_dups_head_keyed(spark):
     assert g["sources_csv"] == "sA,sB"
 
 
+def test_zscore_outliers_flags_and_skips_constant_groups(spark):
+    from reactor_window_like_flink_spark.llm.profiling import zscore_outliers
+
+    # group A: nine 0s and one 100 -> mean 10, sd sqrt(1000)~31.62,
+    # z(100) ~ 2.846 > 2.5 flagged, z(0) ~ -0.316 not.
+    # group B: constant -> sd 0 -> z NULL -> never flagged (no div crash).
+    rows = [(i, "A", 0.0) for i in range(9)] + [(9, "A", 100.0)] + [
+        (10 + i, "B", 5.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, event_type STRING, value DOUBLE")
+    out = zscore_outliers(df, "event_type", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_id"], r["event_type"], r["value"]) == (9, "A", 100.0)
+    assert abs(r["z"] - 2.846) < 1e-3
+
+
+def test_join_fuzzy_matches_brute_force(spark):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as PF
+
+    names = [
+        (1, "spark"),
+        (2, "spork"),   # substitution: lev 1 vs spark
+        (3, "sparks"),  # insertion: lev 1 vs spark
+        (4, "park"),    # deletion: lev 1 vs spark/spork(2)
+        (5, "spark"),   # identical: lev 0
+        (6, "quartz"),  # isolated
+        (7, "flink"),   # lev > 1 from everything
+    ]
+    df = spark.createDataFrame(names, "p_partkey LONG, p_name STRING")
+    import reactor_window_like_flink_spark.operators.relational as rel
+
+    # drive the registered builder on the fixture by monkeypatching load
+    orig = rel.load
+    rel.load = lambda s, d, t: df
+    try:
+        got = {
+            (r["key_a"], r["key_b"], r["dist"])
+            for r in entry_mod.queries()["q_join_fuzzy"](spark, "unused").collect()
+        }
+    finally:
+        rel.load = orig
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["ka"], r["kb"], r["d"])
+        for r in a.join(b, PF.col("a.p_partkey") < PF.col("b.p_partkey"))
+        .select(
+            PF.col("a.p_partkey").alias("ka"),
+            PF.col("b.p_partkey").alias("kb"),
+            PF.levenshtein(PF.col("a.p_name"), PF.col("b.p_name")).alias("d"),
+        )
+        .filter(PF.col("d") <= 1)
+        .collect()
+    }
+    assert got == brute and len(brute) >= 4
+
+
 def test_incremental_dedup_admits_only_new_unique(spark):
     corpus = spark.createDataFrame(
         [(100, "old doc one"), (101, "old doc two")],

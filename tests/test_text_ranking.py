@@ -1,0 +1,59 @@
+"""Unit tests for the vocabulary and TF-IDF ranking operators on
+handcrafted fixtures; the sf0.01 oracle differential covers the registered
+forms end-to-end."""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as entry_mod
+
+
+def _with_docs(spark, rows, key, fn=None):
+    """Run a registered documents-table query against a fixture frame."""
+    import reactor_window_like_flink_spark.llm.text as text_mod
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    orig = text_mod.load
+    text_mod.load = lambda s, d, t: df
+    try:
+        return entry_mod.queries()[key](spark, "unused").collect()
+    finally:
+        text_mod.load = orig
+
+
+def test_vocab_topk_orders_by_freq_then_term(spark):
+    rows = [
+        (1, "b b a c"),
+        (2, "b a"),
+    ]
+    out = _with_docs(spark, rows, "q_vocab_topk")
+    assert [(r["term"], r["freq"], r["doc_freq"]) for r in out] == [
+        ("b", 3, 2),
+        ("a", 2, 2),
+        ("c", 1, 1),
+    ]
+
+
+def test_tfidf_scores_and_ranks(spark):
+    # 3 docs; "rare" appears only in doc 1 (twice) -> tf-idf 2*ln(3);
+    # "common" is in every doc -> idf ln(1)=0 -> score 0.
+    rows = [
+        (1, "rare rare common x"),
+        (2, "common y"),
+        (3, "common z"),
+    ]
+    out = _with_docs(spark, rows, "q_tfidf_topterms")
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d: rs[0] for d, rs in ((d, sorted(rs, key=lambda r: r["rank"])) for d, rs in by_doc.items())}
+    assert top1[1]["term"] == "rare"
+    assert abs(top1[1]["tfidf"] - round(2 * math.log(3), 4)) < 1e-9
+    # every doc emits at most TFIDF_TOP_TERMS rows, ranks are 1..k dense
+    for d, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+    # common scores 0 everywhere it appears
+    commons = [r for r in out if r["term"] == "common"]
+    assert commons and all(r["tfidf"] == 0.0 for r in commons)
