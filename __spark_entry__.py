@@ -25,6 +25,9 @@ from reactor_window_like_flink_spark.functions import (
 )
 from reactor_window_like_flink_spark.functions import SCALAR_REG as _SCALAR
 from reactor_window_like_flink_spark.llm import REGS as _LLM_REGS
+from reactor_window_like_flink_spark.operators.analytics import (
+    REG as _ANALYTICS,
+)
 from reactor_window_like_flink_spark.operators.relational import REG as _RELATIONAL
 from reactor_window_like_flink_spark.streaming.joins import (
     REG as _STREAMING_JOINS,
@@ -40,6 +43,7 @@ _ALL_REGS = [
     *_LLM_REGS,
     _EXTENSIONS,
     _RELATIONAL,
+    _ANALYTICS,
     _SCALAR,
 ]
 

@@ -52,6 +52,8 @@ HEADLINE = [
     "q_outliers",
     "q_vocab_topk",
     "q_tfidf_topterms",
+    "q_funnel",
+    "q_cohort_retention",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

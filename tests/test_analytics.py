@@ -1,0 +1,72 @@
+"""Unit tests for funnel / cohort-retention on handcrafted event fixtures;
+the sf0.01 oracle differential covers the registered forms end-to-end."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from reactor_window_like_flink_spark.operators.analytics import (
+    cohort_retention,
+    funnel,
+)
+
+_T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP",
+    )
+
+
+def test_funnel_strict_first_touch_ordering(spark):
+    m = lambda k: _T0 + timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", m(0)), (1, "click", m(1)), (1, "purchase", m(2)),
+        # u2: view only
+        (2, "view", m(0)),
+        # u3: click BEFORE first view -> stage 2 not converted
+        (3, "click", m(0)), (3, "view", m(1)),
+        # u4: view, purchase, then click -> stage2 yes (click after view),
+        #     stage3 no (first purchase precedes first click)
+        (4, "view", m(0)), (4, "purchase", m(1)), (4, "click", m(2)),
+        # u5: never viewed -> not even stage 1
+        (5, "purchase", m(0)),
+    ]
+    out = {
+        r["stage"]: r
+        for r in funnel(
+            _events(spark, rows), ("view", "click", "purchase")
+        ).collect()
+    }
+    assert (out[1]["stage_name"], out[1]["n_users"]) == ("view", 4)
+    assert (out[2]["stage_name"], out[2]["n_users"]) == ("click", 2)
+    assert (out[3]["stage_name"], out[3]["n_users"]) == ("purchase", 1)
+    assert out[1]["conv_rate"] == 1.0
+    assert out[2]["conv_rate"] == 0.5
+    assert out[3]["conv_rate"] == 0.25
+
+
+def test_cohort_retention_offsets(spark):
+    wk = lambda w, d=0: datetime(2024, 1, 1) + timedelta(weeks=w, days=d)  # noqa: E731
+    rows = [
+        # u1 joins week 0 (Mon Jan 1), active weeks 0, 1, 3
+        (1, "view", wk(0)), (1, "view", wk(1, 2)), (1, "view", wk(3)),
+        # u2 joins week 0, active week 0 only (two events, one distinct week)
+        (2, "view", wk(0, 3)), (2, "click", wk(0, 4)),
+        # u3 joins week 1, active weeks 1 and 2
+        (3, "view", wk(1)), (3, "view", wk(2, 6)),
+    ]
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(_events(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
