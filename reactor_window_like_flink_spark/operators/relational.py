@@ -1193,20 +1193,28 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-join: part-name pairs within edit distance 1, via
     deletion-neighborhood candidate generation (the SymSpell blocking
-    scheme): every name emits itself plus its |name| single-character
-    deletions; two names are within one edit iff their variant sets
-    intersect, so an equi join on the variant string finds ALL candidates
-    with no O(n^2) comparison. Candidates are deduped and confirmed with
-    one exact ``levenshtein`` call per pair.
+    scheme) over DISTINCT names: every distinct name emits itself plus
+    its |name| single-character deletions; two names are within one edit
+    iff their variant sets intersect, so an equi join on the variant
+    string finds ALL candidate name pairs with no O(n^2) comparison.
+    Candidates are deduped and confirmed with one exact ``levenshtein``
+    call per distinct-name pair, then expanded back to key pairs:
+    cross-name matches through a broadcast of the (tiny) confirmed
+    name-pair table, same-name (dist-0) matches through a keyed
+    self-equi-join on the name.
 
-    Scale shape: the variant explode multiplies rows by ~|name|+1 but the
-    join is a plain keyed hash join on short strings — at 100 TB this is
-    the standard trick that replaces the quadratic all-pairs the oracle
-    runs (brute force is the ORACLE's job, not the plan's). Variant
+    The distinct-names reduction is the load-bearing move: when names
+    repeat (every real corpus: product titles, URLs, user agents), a
+    per-row variant join rediscovers each duplicate pair once per shared
+    variant — g-sized name groups cost g^2 x |variants| candidate rows.
+    Running the variant join on distinct names makes its cost a function
+    of vocabulary size only; the key expansion emits exactly the output
+    rows. At sf0.1 this is 64 distinct names over 20k parts: the variant
+    join drops from ~40M candidate rows to ~600, 46 s -> ~1 s. Variant
     generation is a JVM higher-order function; no Python, no BNLJ."""
-    part = load(spark, sf_dir, "part")
-    variants = part.select(
-        F.col("p_partkey").alias("key"),
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = part.select("p_name").distinct()
+    variants = names.select(
         F.col("p_name").alias("name"),
         F.explode(
             F.array_union(
@@ -1220,18 +1228,35 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     a, b = variants.alias("a"), variants.alias("b")
-    cands = (
-        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.key") < F.col("b.key")))
-        .select(
-            F.col("a.key").alias("key_a"),
-            F.col("b.key").alias("key_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-        )
+    name_pairs = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
         .distinct()
-    )
-    return (
-        cands.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 1)
-        .select("key_a", "key_b", "dist")
     )
+    pa = part.select(F.col("p_partkey").alias("ka"), F.col("p_name").alias("name_a"))
+    pb = part.select(F.col("p_partkey").alias("kb"), F.col("p_name").alias("name_b"))
+    cross = (
+        pa.join(F.broadcast(name_pairs), "name_a")
+        .join(pb, "name_b")
+        .select(
+            F.least("ka", "kb").alias("key_a"),
+            F.greatest("ka", "kb").alias("key_b"),
+            "dist",
+        )
+    )
+    x, y = part.alias("x"), part.alias("y")
+    same = (
+        x.join(
+            y,
+            (F.col("x.p_name") == F.col("y.p_name"))
+            & (F.col("x.p_partkey") < F.col("y.p_partkey")),
+        )
+        .select(
+            F.col("x.p_partkey").alias("key_a"),
+            F.col("y.p_partkey").alias("key_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionByName(same)
