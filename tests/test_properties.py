@@ -213,3 +213,58 @@ def test_decontaminate_matches_set_model(spark, docs):
         if hit:
             want[i] = (hit, len(sh))
     assert got == want
+
+
+def _lev1(a: str, b: str) -> bool:
+    """True iff levenshtein(a, b) <= 1 (reference model, O(len) scan)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a plus one inserted char
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fuzzy_join_matches_brute_force(spark, names):
+    """Deletion-neighborhood candidate generation is complete: the
+    distributed fuzzy join finds exactly the lev<=1 pairs a quadratic
+    scan finds, on adversarial low-alphabet strings (duplicates, empty
+    strings, prefix chains — the shapes that stress the blocking)."""
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.operators.relational as rel
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey LONG, p_name STRING"
+    )
+    orig = rel.load
+    rel.load = lambda s, d, t: df
+    try:
+        got = {
+            (r["key_a"], r["key_b"], r["dist"])
+            for r in entry_mod.queries()["q_join_fuzzy"](spark, "unused").collect()
+        }
+    finally:
+        rel.load = orig
+    want = {
+        (i, j, 0 if names[i] == names[j] else 1)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev1(names[i], names[j])
+    }
+    assert got == want
