@@ -54,6 +54,8 @@ HEADLINE = [
     "q_tfidf_topterms",
     "q_funnel",
     "q_cohort_retention",
+    "q_sessionize",
+    "q_unigram_logprob",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

@@ -413,3 +413,69 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@REG.add(
+    "q_unigram_logprob",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+    d AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+             sum(tf.tf * ln(CAST(c.c AS DOUBLE))) / sum(tf.tf) AS m
+      FROM tf JOIN c USING (term)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens, ROUND(m - ln(n.n), 4) AS avg_logprob
+    FROM d, n
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: per-document mean token log-probability
+    under the corpus's own unigram model (the CCNet-style
+    perplexity-proxy filter — documents far below the corpus mean are
+    boilerplate/garbage candidates, far above are degenerate repetition).
+
+    avg_logprob = (1/|doc|) * sum ln(count(tok)/N)
+                = sum(tf * ln count) / sum(tf) - ln N.
+
+    Pipeline: ONE token explode into a (doc, term) tf aggregate; corpus
+    counts re-aggregate tf per term (token shuffle happens once, same
+    trick as q_tfidf_topterms); keyed join tf⋈counts on the term; per-doc
+    aggregate; corpus total N joins as a broadcast 1-row aggregate. Every
+    shuffle is keyed on term or doc_id — no all-token global pass, fully
+    map-side combined.
+
+    Reference parity note: no text surface in the reference engine
+    (WindowPublisher.java); north-star scope per BASELINE.json."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    c = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n = c.agg(F.sum("c").cast("double").alias("n"))
+    d = (
+        tf.join(c, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("c").cast("double")))
+                / F.sum("tf")
+            ).alias("m"),
+        )
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("m") - F.log("n"), 4).alias("avg_logprob"),
+    )

@@ -14,7 +14,7 @@ no analytics surface; north-star scope from BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
@@ -170,3 +170,81 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention grid over events (see
     ``cohort_retention``)."""
     return cohort_retention(load(spark, sf_dir, "events"))
+
+
+# Fixture events are low-frequency (median inter-event gap ~7 h at
+# sf0.01), so the demo gap is 24 h; a web clickstream would use 30 min.
+SESSION_GAP_US = 24 * 3600 * 1_000_000
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessionization: consecutive events of a user belong to
+    one session while the inter-event gap stays <= ``gap_us``; a larger
+    gap opens the next session (the batch form of the streaming session
+    window, but emitting stable per-user session indexes).
+
+    Plan: ONE sort-shuffle keyed on user_id (the window); the lag flag
+    and running sum both run inside that single WindowExec, and the
+    per-session aggregate re-uses the user_id hash partitioning (its
+    grouping keys start with user_id), so no second exchange. At 100 TB
+    this is the canonical shape — per-user data sorts within its
+    partition, nothing global."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    flagged = e.withColumn(
+        "_new",
+        F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_idx", F.sum("_new").over(run) + 1)
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            "start_us",
+            "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )
+
+
+@REG.add(
+    "q_sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - lag(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id)
+                  > {SESSION_GAP_US} THEN 1 ELSE 0 END AS n
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(n) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) + 1 AS session_idx
+      FROM f
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) AS BIGINT) AS end_us,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24 h-gap sessionization of events with per-session stats (see
+    ``sessionize``)."""
+    return sessionize(load(spark, sf_dir, "events"))

@@ -70,3 +70,68 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_sessionize_gap_splits_and_stats(spark):
+    from datetime import timedelta
+
+    from reactor_window_like_flink_spark.operators.analytics import sessionize
+
+    h = lambda k: _T0 + timedelta(hours=k)  # noqa: E731
+    rows = [
+        # u1: two sessions with a 3h gap boundary (gap_us = 2h here)
+        (1, "view", h(0)), (1, "click", h(1)), (1, "view", h(1.5)),
+        (1, "view", h(5)), (1, "purchase", h(6)),
+        # u2: single-event session
+        (2, "view", h(0)),
+        # u3: events exactly at the gap boundary stay in ONE session
+        # (strict > opens a new one)
+        (3, "view", h(0)), (3, "view", h(2)),
+    ]
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"],
+            r["duration_us"],
+        )
+        for r in sessionize(
+            _events(spark, rows), gap_us=2 * 3600 * 1_000_000
+        ).collect()
+    }
+    us = 3600 * 1_000_000
+    assert got == {
+        (1, 1): (3, int(1.5 * us)),
+        (1, 2): (2, 1 * us),
+        (2, 1): (1, 0),
+        (3, 1): (2, 2 * us),
+    }
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    import math
+
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.llm.text as text_mod
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b"),   # counts: a=3(with doc1), b=2, c=1 ; N=6
+            (1, "a b c"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    orig = text_mod.load
+    text_mod.load = lambda s, d, t: docs
+    try:
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+            for r in entry_mod.queries()["q_unigram_logprob"](
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        text_mod.load = orig
+    n = 6.0
+    d0 = (2 * math.log(3) + math.log(2)) / 3 - math.log(n)
+    d1 = (math.log(3) + math.log(2) + math.log(1)) / 3 - math.log(n)
+    assert got[0] == (3, round(d0, 4))
+    assert got[1] == (3, round(d1, 4))
