@@ -150,3 +150,81 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_offset bigint, frame_bytes binary"
+)
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, out_width bigint, "
+    "out_height bigint, scale double"
+)
+
+_FRAME_BYTES = 64  # stub codec: fixed-size "frames" (matches _decode_payload)
+
+
+def sample_frames(media_df: DataFrame, every_k: int = 4) -> DataFrame:
+    """Frame-sampling stage: for video payloads, emit every ``every_k``-th
+    frame as its own row (doc_id, frame_idx, byte offset, frame bytes) —
+    the fan-out step that feeds per-frame embedding/captioning models.
+
+    Real pipeline: pyav keyframe iteration; the stub slices fixed
+    ``_FRAME_BYTES`` chunks so offsets and byte content are exactly
+    checkable in tests. The Spark shape is what matters at 100 TB:
+    ``mapInPandas`` fans one input row out into many output rows inside
+    the same Arrow batch stream (no explode of a materialized array —
+    frames never exist as one in-memory collection), stays
+    partition-parallel, and emits a long-friendly (id, idx) key for the
+    downstream per-frame stages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, chunks = [], [], [], []
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                if m["kind"] != "video":
+                    continue
+                payload = m["payload"]
+                n_frames = max(len(payload) // _FRAME_BYTES, 1)
+                for fi in range(0, n_frames, every_k):
+                    off = fi * _FRAME_BYTES
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    offs.append(off)
+                    chunks.append(bytes(payload[off : off + _FRAME_BYTES]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame_bytes": chunks,
+                }
+            )
+
+    return media_df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(media_df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize planning stage: compute the aspect-preserving target
+    dimensions that fit ``max_side`` (the normalization step before a
+    vision encoder). The arithmetic runs on the typed metadata columns as
+    pure JVM expressions — no payload byte is read and no Python runs,
+    because the stub "decoder" carries dimensions in metadata exactly as
+    a production table would. Swap in a real pixel resample by chaining
+    ``mapInPandas`` over (payload, out_width, out_height) afterwards."""
+    w, h = F.col("media.width"), F.col("media.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double")
+    )
+    return media_df.filter(F.col("media.kind") == "image").select(
+        "doc_id",
+        w.cast("long").alias("width"),
+        h.cast("long").alias("height"),
+        F.greatest(F.round(w * scale).cast("long"), F.lit(1)).alias(
+            "out_width"
+        ),
+        F.greatest(F.round(h * scale).cast("long"), F.lit(1)).alias(
+            "out_height"
+        ),
+        F.round(scale, 4).alias("scale"),
+    )

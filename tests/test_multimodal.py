@@ -46,3 +46,54 @@ def test_decode_matches_python_recompute(spark, sf_dir):
 def test_decode_unknown_kind_raises():
     with pytest.raises(NotImplementedError):
         _decode_payload(b"xx", "hologram")
+
+
+def test_sample_frames_offsets_and_bytes(spark):
+    from reactor_window_like_flink_spark.llm.multimodal import (
+        _FRAME_BYTES,
+        sample_frames,
+        with_media,
+    )
+
+    # doc_id=2 -> kind 'video' (doc_id % 3 == 2); 200-char text = 3 frames
+    docs = spark.createDataFrame(
+        [(2, "v" * 200), (0, "img"), (1, "aud")], "doc_id LONG, text STRING"
+    )
+    rows = sorted(
+        sample_frames(with_media(docs), every_k=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # 200 // 64 = 3 frames, sampled every 2nd -> idx 0 and 2
+    assert [(r["doc_id"], r["frame_idx"], r["frame_offset"]) for r in rows] == [
+        (2, 0, 0),
+        (2, 2, 2 * _FRAME_BYTES),
+    ]
+    payload = ("v" * 200).encode()
+    assert bytes(rows[0]["frame_bytes"]) == payload[:_FRAME_BYTES]
+    assert bytes(rows[1]["frame_bytes"]) == payload[2 * _FRAME_BYTES : 3 * _FRAME_BYTES]
+
+
+def test_resize_images_aspect_preserving(spark):
+    from reactor_window_like_flink_spark.llm.multimodal import (
+        resize_images,
+        with_media,
+    )
+
+    # doc_id=0 -> image, width 64, height 64 (<= 224: no upscale)
+    # doc_id=192 -> image (192%3==0), width 64+192=256, height 64+(192*7)%512=384
+    docs = spark.createDataFrame(
+        [(0, "a"), (192, "b"), (1, "audio-skipped")], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (
+            r["width"],
+            r["height"],
+            r["out_width"],
+            r["out_height"],
+            r["scale"],
+        )
+        for r in resize_images(with_media(docs), max_side=224).collect()
+    }
+    assert set(got) == {0, 192}
+    assert got[0] == (64, 64, 64, 64, 1.0)  # never upscale
+    assert got[192] == (256, 384, 149, 224, 0.5833)  # 224/384, round(256*scale)
