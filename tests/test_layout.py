@@ -1,0 +1,110 @@
+"""Z-order layout: written files must have narrow min-max footer ranges
+on EVERY clustered column (multi-dimensional skipping), where a linear
+sort is perfect on its sort key and useless on the other column. The
+assertion reads real parquet footers via pyarrow — the same stats a scan
+prunes with."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.sources.layout import (
+    zorder_value,
+    zorder_write,
+)
+from reactor_window_like_flink_spark.sources.tables import load
+
+N_FILES = 16
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        schema_idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }[col]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(schema_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def _candidates(ranges, probes) -> float:
+    """Avg fraction of files a point filter must read."""
+    hits = [
+        sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+    ]
+    return sum(hits) / len(hits) / len(ranges)
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    zorder_write(orders, ["o_custkey", "o_totalprice"], zpath, N_FILES)
+    # comparator: classic single-column sort layout
+    (
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    rows = orders.agg(
+        *[
+            f(c).alias(f"{n}_{c}")
+            for c in ("o_custkey", "o_totalprice")
+            for n, f in (("min", F.min), ("max", F.max))
+        ]
+    ).first()
+    for col in ("o_custkey", "o_totalprice"):
+        lo, hi = rows[f"min_{col}"], rows[f"max_{col}"]
+        probes = [lo + (hi - lo) * k / 10.0 for k in range(11)]
+        z_frac = _candidates(_file_ranges(zpath, col), probes)
+        l_frac = _candidates(_file_ranges(lpath, col), probes)
+        # z-order: every dimension prunes to a strict subset
+        assert z_frac < 0.8, (col, z_frac)
+        if col == "o_custkey":
+            # linear layout wins its own sort key — that's fine
+            assert l_frac <= z_frac + 1e-9
+        else:
+            # ...but reads ~every file on the other dimension;
+            # z-order must beat it decisively
+            assert l_frac > 0.9, (col, l_frac)
+            assert z_frac < l_frac / 2, (col, z_frac, l_frac)
+
+
+def test_zorder_value_locality(spark):
+    # adjacent z-values must differ only in low-order interleaved bits:
+    # check the interleave against a pure-Python morton model
+    rows = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, "x LONG, y LONG")
+    got = {
+        (r["x"], r["y"]): r["_z"]
+        for r in zorder_value(df, ["x", "y"]).collect()
+    }
+    nb = (1 << 16) - 2
+
+    def bucket(v):  # width_bucket over [0, 7] with nb buckets
+        if v == 7:
+            return nb + 1
+        return int(v / 7.0 * nb) + 1
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(bucket(x), bucket(y)), (x, y)
