@@ -36,19 +36,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Keep this a plain ``spark.read.parquet`` so
     Catalyst sees a pushdown-capable scan (no caching layer in the way).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    outright (PARQUET_TYPE_ILLEGAL); read it as raw nanos via the legacy
-    conf and rebuild a microsecond timestamp with exact integer division —
-    ``ts / 1000`` in double would lose ~7 bits of sub-second precision.
+    ``events.ts`` has shipped as two physical layouts across fixture
+    generations: parquet TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL) unless read as raw nanos via the legacy conf —
+    and plain TIMESTAMP(MICROS), which Spark reads natively as
+    TIMESTAMP_NTZ. Normalize both to a session-TZ TIMESTAMP (micros): the
+    nanos path rebuilds with exact integer division (``ts / 1000`` in
+    double would lose ~7 bits of sub-second precision); the native path is
+    a wall-clock-identity cast under the engine's UTC session timezone, so
+    downstream ``unix_micros``/``window()`` semantics match the DuckDB
+    oracle reading the same file.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":  # legacy TIMESTAMP(NANOS) fixture
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -171,7 +171,8 @@ def q_count_or_time_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_seq = n = 0
         open_ts = None
         sum_value = 0.0
-        epochs = pdf["ts"].astype("int64") / 1e9  # ns -> fractional seconds
+        # normalize to ns first: Arrow may hand pandas datetime64[us]
+        epochs = pdf["ts"].astype("datetime64[ns]").astype("int64") / 1e9
         for ts_s, value in zip(epochs, pdf["value"]):
             if open_ts is not None and (
                 n >= max_size or ts_s >= open_ts + duration_s

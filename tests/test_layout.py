@@ -77,9 +77,10 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
             # linear layout wins its own sort key — that's fine
             assert l_frac <= z_frac + 1e-9
         else:
-            # ...but reads ~every file on the other dimension;
-            # z-order must beat it decisively
-            assert l_frac > 0.9, (col, l_frac)
+            # ...but reads most files on the other dimension (not ~all:
+            # at sf0.001 a 16-file split is small enough that random
+            # per-file ranges leave gaps); z-order must beat it decisively
+            assert l_frac > 0.5, (col, l_frac)
             assert z_frac < l_frac / 2, (col, z_frac, l_frac)
 
 
