@@ -91,3 +91,82 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def partitioned_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-style partitioned layout: ``path/col=value/part-*.parquet``.
+
+    This is the coarse-grained skipping tier ABOVE z-order: a filter on a
+    partition column prunes whole directories at planning time
+    (``PartitionFilters`` in the scan node — zero footers opened), where
+    z-order/min-max pruning still reads every footer. At 100 TB the two
+    compose: partition by the always-filtered low-cardinality column
+    (date, source), z-order within each partition on the range-probed ones.
+
+    The ``repartition(partition_cols)`` before the writer is the
+    anti-small-files guard: without it, every one of the N upstream tasks
+    writes a file into every partition directory (N x P files); hashing
+    rows to their partition first bounds output at
+    ``files_per_partition`` x P. Skewed partitions that need more files
+    add a salt column here — same shape as ``q_agg_salted``.
+    """
+    n = max(1, files_per_partition)
+    parts = [F.col(c) for c in partition_cols]
+    spread = (F.abs(F.hash(F.rand(seed=0))) % n) if n > 1 else F.lit(0)
+    (
+        df.repartition(*parts, spread)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a many-small-files parquet directory as ~target-sized files;
+    returns the output file count.
+
+    Small files are the silent 100 TB killer: a 1 M-file table costs a
+    driver-side listing per query, a task per file (scheduler overhead
+    dominates sub-8 MB tasks), and per-file footer reads that defeat
+    min-max skipping. Streaming sinks (one file per micro-batch per
+    partition) and over-parallel writers both produce them; periodic
+    compaction is the standard fix (Delta OPTIMIZE / Iceberg rewrite).
+
+    File count derives from the SOURCE's physical bytes (summed from the
+    file index, no data read). The rewrite is one job: coalesce for the
+    unsorted case (no shuffle — tasks read several small files each);
+    range-partition + in-file sort when ``sort_cols`` is given, restoring
+    min-max locality that the small files fragmented. Writes to a new
+    directory — object stores have no atomic in-place rewrite; the caller
+    swaps paths (or a catalog pointer) after success.
+    """
+    src = spark.read.parquet(src_path)
+    # physical size from the file index (driver-side metadata, no scan)
+    total_bytes = 0
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src_path)  # noqa: SLF001
+    fs = jpath.getFileSystem(hconf)
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("part-"):
+            total_bytes += status.getLen()
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    if sort_cols:
+        out = src.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = src.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -12,6 +12,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.sources.layout import (
+    compact,
+    partitioned_write,
     zorder_value,
     zorder_write,
 )
@@ -82,6 +84,72 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
             # per-file ranges leave gaps); z-order must beat it decisively
             assert l_frac > 0.5, (col, l_frac)
             assert z_frac < l_frac / 2, (col, z_frac, l_frac)
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events")
+    path = str(tmp_path / "by_type")
+    partitioned_write(events, path, ["event_type"])
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("event_type") == "click")
+    # planning-time pruning: the scan's partition filters carry the
+    # predicate, and only the matching directory's files are opened
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # inputFiles() lists the whole relation; the files actually READ come
+    # from input_file_name() at execution time
+    files = [
+        r["f"]
+        for r in one.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all("event_type=click" in f for f in files)
+    # round trip is lossless
+    assert back.count() == events.count()
+    # anti-small-files guard: one file per partition value, not one per
+    # upstream task per partition value
+    n_types = events.select("event_type").distinct().count()
+    assert len(back.inputFiles()) == n_types
+
+
+def test_compact_rewrites_to_target_sizes(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    events.repartition(64).write.parquet(frag)
+    assert len(spark.read.parquet(frag).inputFiles()) == 64
+    # pick a target that should land at 2+ files for the sf0.001 table
+    total = sum(
+        pq.ParquetFile(f).metadata.serialized_size
+        + sum(
+            pq.ParquetFile(f).metadata.row_group(i).total_byte_size
+            for i in range(pq.ParquetFile(f).metadata.num_row_groups)
+        )
+        for f in glob.glob(f"{frag}/part-*.parquet")
+    )
+    n = compact(spark, frag, out, target_file_bytes=max(1, total // 3))
+    back = spark.read.parquet(out)
+    assert len(back.inputFiles()) == n <= 8
+    assert back.count() == events.count()
+
+
+def test_compact_sorted_restores_minmax_locality(spark, sf_dir, tmp_path):
+    events = load(spark, sf_dir, "events").select("event_id", "user_id")
+    frag = str(tmp_path / "frag_sorted")
+    out = str(tmp_path / "sorted")
+    # fragment with round-robin so every small file spans the id range
+    events.repartition(32).write.parquet(frag)
+    compact(spark, frag, out, target_file_bytes=8 * 1024, sort_cols=["event_id"])
+    ranges = _file_ranges(out, "event_id")
+    assert len(ranges) > 1
+    # sorted compaction → files own disjoint id ranges (allow touching ends)
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next >= hi_prev
+    lo, hi = min(r[0] for r in ranges), max(r[1] for r in ranges)
+    probes = [lo + (hi - lo) * k / 10.0 for k in range(11)]
+    assert _candidates(ranges, probes) <= 2 / len(ranges) + 1e-9
 
 
 def test_zorder_value_locality(spark):
