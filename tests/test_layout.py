@@ -113,6 +113,32 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     assert len(back.inputFiles()) == n_types
 
 
+def test_dynamic_partition_pruning_over_partitioned_layout(
+    spark, sf_dir, tmp_path
+):
+    """The join-driven analog of directory pruning: when the partition
+    column is a join key and the other side is selective, Catalyst injects
+    a runtime ``dynamicpruningexpression`` into the scan's PartitionFilters
+    — the fact scan reads only the partitions the dim side survives. At
+    100 TB this is THE mechanism that keeps star joins from scanning the
+    fact table (no literal filter needed on the fact side)."""
+    events = load(spark, sf_dir, "events")
+    path = str(tmp_path / "dpp")
+    partitioned_write(events, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2)], "event_type string, w int"
+    ).filter("w = 1")
+    joined = fact.join(dim, "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    # executed evidence: only the surviving partition's files are opened
+    # (capture input_file_name at scan time — post-join it loses lineage)
+    tagged = fact.withColumn("f", F.input_file_name()).join(dim, "event_type")
+    files = {r["f"] for r in tagged.select("f").distinct().collect() if r["f"]}
+    assert files and all("event_type=click" in f for f in files)
+
+
 def test_compact_rewrites_to_target_sizes(spark, sf_dir, tmp_path):
     events = load(spark, sf_dir, "events")
     frag = str(tmp_path / "fragmented")
