@@ -37,6 +37,7 @@ HEADLINE = [
     "q_dedup_embedding_fast",
     "q_similarity_cosine",
     "q_similarity_ann",
+    "q_similarity_pq",
     "q_text_stats",
     "q_decontaminate",
     "q_repetition_score",

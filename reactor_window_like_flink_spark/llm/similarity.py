@@ -12,8 +12,10 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from reactor_window_like_flink_spark.contract import Registry
 from reactor_window_like_flink_spark.sources.tables import load
@@ -242,6 +244,188 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
         )
         .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("embedding", qe_col, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (_norm("embedding") * F.lit(qn)),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# Product-quantization parameters: 16 subspaces x 16 codes = 4 bits per
+# subspace, 64 bits per 64-dim vector — a 32x compression of float32
+# (FAISS's PQ16x4 shape). Production at higher dims would use k=256
+# (1 byte/code); k=16 keeps every cell populated on the 500-vector
+# fixture AND stays measured at >= 0.9 shortlist recall on clustered data
+# (tests/test_similarity.py). The compression is what lets a 100 TB
+# embedding corpus's codes live in executor memory / a fraction of the
+# scan bytes.
+PQ_M = 16
+PQ_K = 16
+PQ_SEED = 20260813
+PQ_TRAIN_MAX_ROWS = 100_000
+PQ_RERANK = 100
+
+
+class PQIndex:
+    """Trained product-quantization index: per-subspace codebooks held
+    driver-side (m×k×(dim/m) floats — query-time parameters, like IVF
+    centroids) plus the encoded corpus (codes + raw embedding for the
+    re-rank stage), persisted. At scale the codes table is the compact
+    scan: ADC scoring reads m ints per row instead of dim floats."""
+
+    def __init__(self, session, codebooks, codes):
+        self.session = session
+        self.codebooks = codebooks  # list[m] of list[k] of list[dim/m]
+        self.codes = codes
+
+
+_PQ_CACHE: dict[str, PQIndex] = {}
+
+
+def _lloyd(x, k: int, seed: int, iters: int = 25):
+    """Seeded Lloyd k-means on a driver-side sample (numpy). Index
+    training is bounded by the sample cap, so this is O(1) in corpus
+    size — the same posture as ``fit_ivf``; only encoding scales."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    if len(cents) < k:  # degenerate tiny input: pad with jitter
+        pad = cents[rng.integers(0, len(cents), k - len(cents))]
+        cents = np.vstack([cents, pad + rng.normal(0, 1e-6, pad.shape)])
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(0)
+    return cents
+
+
+def fit_pq(
+    spark: SparkSession,
+    vectors: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> PQIndex:
+    """Fit a product quantizer on ``(vec_id, label, embedding)``: L2-
+    normalize (so ADC dot products approximate cosine), split each vector
+    into ``m`` contiguous subvectors, learn a ``k``-entry codebook per
+    subspace on a bounded driver-side sample, then encode the whole corpus
+    in one Arrow-batched pass (numpy argmin per subspace — the production
+    kernel; a per-row expression over k×dim/m literal arithmetic would be
+    the interpreted-fold anti-pattern ``q_fingerprint`` documents)."""
+    import numpy as np
+
+    dim = len(vectors.select("embedding").first()["embedding"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n = vectors.count()
+    sample = (
+        vectors.sample(fraction=PQ_TRAIN_MAX_ROWS / n, seed=PQ_SEED)
+        if n > PQ_TRAIN_MAX_ROWS
+        else vectors
+    )
+    x = np.asarray(
+        [r["embedding"] for r in sample.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x /= norms
+    codebooks = [
+        _lloyd(x[:, j * dsub : (j + 1) * dsub], k, PQ_SEED + j) for j in range(m)
+    ]
+    cb = np.asarray(codebooks)  # (m, k, dsub) — broadcast in the UDF closure
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        vx = np.asarray(col.tolist(), dtype=np.float64)
+        nn = np.linalg.norm(vx, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        vx /= nn
+        out = np.empty((len(vx), m), dtype=np.int32)
+        for j in range(m):
+            sub = vx[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    codes = vectors.select(
+        "vec_id", "label", "embedding", encode("embedding").alias("code")
+    ).persist()
+    codes.count()  # materialize outside any query's critical path
+    return PQIndex(spark, [c.tolist() for c in codebooks], codes)
+
+
+def train_pq(spark: SparkSession, sf_dir: str) -> PQIndex:
+    """Build (or fetch) the PQ index for ``sf_dir``'s embeddings —
+    session-validated cache, same lifecycle as ``train_ivf``."""
+    cached = _PQ_CACHE.get(sf_dir)
+    if cached is not None and cached.session is spark:
+        return cached
+    index = fit_pq(spark, load(spark, sf_dir, "embeddings"))
+    _PQ_CACHE[sf_dir] = index
+    return index
+
+
+@REG.add("q_similarity_pq")  # rows-only: k-means codebooks are not
+# reproducible in SQL; tests assert recall@k vs the brute-force ground
+# truth on a clustered fixture and ADC-vs-exact rank agreement here.
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with asymmetric distance computation (ADC) and
+    exact re-rank — the memory-bound tier of the similarity surface
+    (IVF prunes WHERE to look, PQ shrinks WHAT is scanned).
+
+    Query time: build the m×k lookup table dot(q_sub, codebook[j][c])
+    driver-side (parameters, like IVF probe lists), then the corpus scan
+    scores each row as ``sum_j lut[j][code[j]]`` — pure JVM `element_at`
+    over literal arrays on an m-int column, no floats read, no shuffle,
+    per-partition top-k heaps. The top ``PQ_RERANK`` candidates (a few
+    dozen rows) re-score exactly on the raw embeddings; two-stage
+    ADC + re-rank is the standard PQ recall fix (Jegou et al., PAMI'11).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    qe = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    qn = math.sqrt(sum(v * v for v in qe)) or 1.0
+    qu = [v / qn for v in qe]
+    index = train_pq(spark, sf_dir)
+    m = len(index.codebooks)
+    dsub = len(qu) // m
+    lut = [
+        [
+            sum(a * b for a, b in zip(qu[j * dsub : (j + 1) * dsub], cent))
+            for cent in index.codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]), F.col("code")[j] + 1
+        )
+        adc = term if adc is None else adc + term
+    candidates = (
+        index.codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("adc", adc)
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_RERANK)
+    )
+    qe_col = F.array(*[F.lit(v) for v in qe])
+    return (
+        candidates.withColumn(
             "cosine",
             F.aggregate(
                 F.zip_with("embedding", qe_col, lambda x, y: x.cast("double") * y),

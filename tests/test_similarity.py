@@ -102,6 +102,117 @@ def test_ivf_cache_rebuilds_for_new_session(spark, sf_dir):
     assert rebuilt.session is spark
 
 
+def test_pq_rerank_is_exact_over_adc_candidates(spark, sf_dir, vectors):
+    """Two-stage contract: whatever the ADC stage shortlists, the final
+    top-k must be the EXACT cosine ranking of that shortlist (the
+    approximation lives in the shortlist, never in the returned scores).
+    Verified by recomputing the shortlist from the index's own codes and
+    the driver-side LUT in numpy."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        PQ_RERANK,
+        train_pq,
+    )
+
+    got = entry_mod.queries()["q_similarity_pq"](spark, sf_dir).collect()
+    assert len(got) == TOP_K
+    index = train_pq(spark, sf_dir)
+    q = next(e for v, _, e in vectors if v == QUERY_VEC_ID)
+    qu = q / np.linalg.norm(q)
+    cb = np.asarray(index.codebooks)  # (m, k, dsub)
+    m, _, dsub = cb.shape
+    lut = np.stack(
+        [cb[j] @ qu[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, k)
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in index.codes.select("vec_id", "code").collect()
+    }
+    adc = sorted(
+        (
+            (-float(sum(lut[j][c] for j, c in enumerate(code))), v)
+            for v, code in codes.items()
+            if v != QUERY_VEC_ID
+        ),
+    )[:PQ_RERANK]
+    shortlist = {v for _, v in adc}
+    want = _brute_topk(vectors, candidate_ids=shortlist)
+    assert [r["vec_id"] for r in got] == [v for v, _ in want]
+    for r, (_, cos) in zip(got, want):
+        assert abs(r["cosine"] - round(cos, 4)) <= 1e-4
+
+
+def test_pq_trains_once_and_codes_are_compact(spark, sf_dir):
+    from reactor_window_like_flink_spark.llm import similarity as S
+
+    first = S.train_pq(spark, sf_dir)
+    assert S.train_pq(spark, sf_dir) is first
+    assert first.codes.storageLevel.useMemory
+    row = first.codes.select("code").first()
+    assert len(row["code"]) == S.PQ_M
+    assert all(0 <= c < S.PQ_K for c in row["code"])
+    # stale-session cache entries rebuild instead of serving a dead plan
+    stale = S.PQIndex(object(), first.codebooks, first.codes)
+    S._PQ_CACHE[sf_dir] = stale
+    rebuilt = S.train_pq(spark, sf_dir)
+    assert rebuilt is not stale and rebuilt.session is spark
+
+
+def test_pq_recall_on_clustered_vectors(spark):
+    """PQ + re-rank recall on data with neighborhood structure (same
+    clustered fixture rationale as the IVF test: the bundled embeddings
+    are isotropic, the worst case for any quantizer). ADC over m=4
+    16-entry codebooks shortlists PQ_RERANK of 1440 vectors; the exact
+    re-rank must recover >= 0.9 of the true cosine top-10."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        PQ_RERANK,
+        fit_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    n_clusters, per_cluster, dim = 16, 90, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vecs = [], []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.25 * rng.standard_normal((per_cluster, dim))
+        for i, p in enumerate(pts):
+            vid = c * per_cluster + i
+            rows.append((vid, c, [float(x) for x in p]))
+            vecs.append((vid, p.astype("float64")))
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    index = fit_pq(spark, df)
+
+    qid, q = vecs[0]
+    qu = q / np.linalg.norm(q)
+    scored = sorted(
+        (
+            (float(e @ q) / (np.linalg.norm(e) * np.linalg.norm(q)), v)
+            for v, e in vecs
+            if v != qid
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    true10 = {v for _, v in scored[:10]}
+    cb = np.asarray(index.codebooks)
+    m, _, dsub = cb.shape
+    lut = np.stack([cb[j] @ qu[j * dsub : (j + 1) * dsub] for j in range(m)])
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in index.codes.select("vec_id", "code").collect()
+    }
+    adc = sorted(
+        (
+            (-float(sum(lut[j][c] for j, c in enumerate(code))), v)
+            for v, code in codes.items()
+            if v != qid
+        ),
+    )[:PQ_RERANK]
+    shortlist = {v for _, v in adc}
+    index.codes.unpersist()
+    recall = len(true10 & shortlist) / 10
+    assert recall >= 0.9, f"PQ shortlist recall@10 = {recall}"
+
+
 def test_ivf_recall_on_clustered_vectors(spark):
     """The IVF contract — high recall at a small probed fraction — holds
     whenever the data has neighborhood structure. The bundled testdata
