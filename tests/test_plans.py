@@ -85,6 +85,18 @@ def test_similarity_scan_has_no_shuffle_before_topk(q):
     assert has_node(df, "TakeOrderedAndProject")
 
 
+def test_pq_query_is_scan_plus_topk(q):
+    """ADC scoring must stay a shuffle-free scan of the code column with
+    per-partition top-k heaps: no join (the LUT is literal arrays), no
+    exchange before TakeOrdered, and no re-encoding of the corpus
+    (Python appears only in the index build, not the query plan)."""
+    df = q("q_similarity_pq")
+    plan = formatted_plan(df)
+    assert has_node(df, "TakeOrderedAndProject")
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan  # encoding happened at index build
+
+
 def test_range_bucket_join_is_equi_not_bnlj(q):
     """The manufactured bucket key must make this a hash/merge join;
     BroadcastNestedLoopJoin here means the binning regressed to O(n^2)."""
