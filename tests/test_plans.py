@@ -94,7 +94,10 @@ def test_pq_query_is_scan_plus_topk(q):
     plan = formatted_plan(df)
     assert has_node(df, "TakeOrderedAndProject")
     assert "Join" not in plan
-    assert "ArrowEvalPython" not in plan  # encoding happened at index build
+    # the scan is served from the persisted index (the encode UDF lives
+    # only inside the InMemoryRelation's build lineage, not above it)
+    assert "InMemoryTableScan" in plan
+    assert "ArrowEvalPython" not in plan.split("InMemoryTableScan")[0]
 
 
 def test_range_bucket_join_is_equi_not_bnlj(q):
