@@ -103,3 +103,111 @@ def stream_static_join(
     micro-batch (re-planned each trigger, broadcast when small). No state
     store involved — the static side is the source of truth every batch."""
     return event_stream.join(F.broadcast(dim), on, "left")
+
+
+TEMPORAL_OUTPUT_SCHEMA = (
+    "probe_id long, key long, probe_ts timestamp, "
+    "version_ts timestamp, payload double"
+)
+TEMPORAL_STATE_SCHEMA = "version_us long, payload double"
+
+
+def temporal_join(
+    probe_stream: DataFrame,
+    version_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_id_col: str = "event_id",
+    payload_col: str = "value",
+) -> DataFrame:
+    """Temporal table join (Flink's ``FOR SYSTEM_TIME AS OF`` /
+    versioned-dim enrichment): each probe row is enriched with the version
+    row of the same key whose ``ts`` is the latest at-or-before the
+    probe's ``ts`` — the dim is a *changelog*, not a snapshot, which is
+    what distinguishes this from ``stream_static_join``.
+
+    Spark has no native temporal join; this is a custom stateful operator:
+    both streams union into one keyed stream (tagged rows), and an
+    ``applyInPandasWithState`` per key holds exactly ONE state row — the
+    latest version seen (O(1) state per key; compare the interval join's
+    O(rate x window) buffers). Within each micro-batch rows apply in
+    event-time order with versions-before-probes at ts ties (inclusive
+    AS OF), so replays and in-order sources get exact event-time
+    semantics; across out-of-order micro-batches the match degrades to
+    Flink's processing-time temporal join ("latest version so far") —
+    the honest trade for unbuffered O(1) state, and the reference point
+    is the reference engine itself, which disclaims event-time ordering
+    outright (``README.md:99``).
+
+    Probes arriving before any version emit with NULL version columns
+    (left semantics — Flink emits nothing; NULL preserves the probe for
+    downstream counting and is the documented divergence).
+
+    Scale: one keyed shuffle of both streams; per-key state is two
+    scalars in the state store regardless of history length.
+    """
+    import pandas as pd
+
+    probes = probe_stream.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(probe_id_col).alias("probe_id"),
+        F.lit(None).cast("double").alias("payload"),
+        F.lit(0).alias("is_version"),
+    )
+    versions = version_stream.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col(payload_col).cast("double").alias("payload"),
+        F.lit(1).alias("is_version"),
+    )
+    tagged = probes.unionByName(versions)
+
+    def enrich(key, pdfs, state):
+        if state.exists:
+            version_us, payload = state.get
+        else:
+            version_us, payload = -1, None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        # normalize to ns (Arrow may hand datetime64[us]); sort: event
+        # time, versions before probes at ties (inclusive AS OF)
+        batch["ts_ns"] = batch["ts"].astype("datetime64[ns]").astype("int64")
+        batch = batch.sort_values(
+            ["ts_ns", "is_version"], ascending=[True, False], kind="mergesort"
+        )
+        out = []
+        for row in batch.itertuples(index=False):
+            if row.is_version:
+                version_us, payload = row.ts_ns // 1000, float(row.payload)
+            else:
+                out.append(
+                    (
+                        int(row.probe_id),
+                        key[0],
+                        row.ts_ns,
+                        None if version_us < 0 else version_us * 1000,
+                        payload,
+                    )
+                )
+        state.update((version_us, payload))
+        if out:
+            res = pd.DataFrame(
+                out,
+                columns=["probe_id", "key", "probe_ts", "version_ts", "payload"],
+            )
+            # to_datetime, not astype: version_ts may hold None (NaT)
+            res["probe_ts"] = pd.to_datetime(res["probe_ts"], unit="ns")
+            res["version_ts"] = pd.to_datetime(res["version_ts"], unit="ns")
+            yield res
+
+    return tagged.groupBy("key").applyInPandasWithState(
+        enrich,
+        outputStructType=TEMPORAL_OUTPUT_SCHEMA,
+        stateStructType=TEMPORAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -70,6 +70,66 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == {(10, 1, 300), (10, 2, 60)}
 
 
+def test_temporal_join_enriches_with_version_as_of_event_time(spark, tmp_path):
+    """Versioned-dim enrichment: each probe gets the latest version at or
+    before its event time; ties apply version-first (inclusive AS OF);
+    probes before any version emit NULL; versions arriving in a LATER
+    micro-batch only affect later probes (processing-time degradation,
+    documented). State stays one row per key."""
+    from reactor_window_like_flink_spark.streaming.joins import temporal_join
+
+    probes = FileStreamInput(spark, SCHEMA, str(tmp_path / "probes"))
+    versions = FileStreamInput(spark, SCHEMA, str(tmp_path / "vers"))
+    # batch 1 — user 1: versions at 10:00 (v=1.0) and 10:10 (v=2.0);
+    # probes at 09:55 (before any), 10:00 (tie -> 1.0), 10:05 (-> 1.0),
+    # 10:10 (tie -> 2.0); user 2: probe with no versions ever
+    versions.publish(
+        [(100, _ts(0), 1, "v", 1.0), (101, _ts(10), 1, "v", 2.0)]
+    )
+    probes.publish(
+        [
+            (1, datetime(2024, 1, 1, 9, 55, tzinfo=timezone.utc), 1, "p", 0.0),
+            (2, _ts(0), 1, "p", 0.0),
+            (3, _ts(5), 1, "p", 0.0),
+            (4, _ts(10), 1, "p", 0.0),
+            (5, _ts(0), 2, "p", 0.0),
+        ]
+    )
+    out = temporal_join(probes.stream(), versions.stream())
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_tj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # batch 2 — state carries across batches: user-1 probe at 10:20
+        # must match the 10:10 version from batch 1; a late version at
+        # 10:02 then a probe at 10:03 in batch 3 shows the documented
+        # processing-time semantics (late version wins for NEW probes)
+        probes.publish([(6, _ts(20), 1, "p", 0.0)])
+        query.processAllAvailable()
+        versions.publish([(102, _ts(2), 1, "v", 9.0)])
+        probes.publish([(7, _ts(3), 1, "p", 0.0)])
+        query.processAllAvailable()
+        got = {
+            r["probe_id"]: (r["payload"], r["version_ts"])
+            for r in spark.sql("SELECT * FROM t_tj").collect()
+        }
+    finally:
+        query.stop()
+    naive = lambda m: _ts(m).replace(tzinfo=None)  # noqa: E731
+    assert got[1] == (None, None)  # before any version
+    assert got[2] == (1.0, naive(0))  # tie: version applies first
+    assert got[3] == (1.0, naive(0))
+    assert got[4] == (2.0, naive(10))  # tie at the 10:10 upgrade
+    assert got[5] == (None, None)  # key with no versions
+    assert got[6] == (2.0, naive(10))  # state carried across batches
+    assert got[7] == (9.0, naive(2))  # late version, new probe: latest-seen
+
+
 def test_stream_static_join_enriches_every_event(spark, tmp_path):
     src = FileStreamInput(spark, SCHEMA, str(tmp_path / "ev"))
     src.publish(_clicks())
