@@ -56,6 +56,7 @@ HEADLINE = [
     "q_funnel",
     "q_cohort_retention",
     "q_sessionize",
+    "q_pattern_sequence",
     "q_unigram_logprob",
     "q_fingerprint",
     "q_fingerprint_fast",

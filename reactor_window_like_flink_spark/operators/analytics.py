@@ -248,3 +248,121 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """24 h-gap sessionization of events with per-session stats (see
     ``sessionize``)."""
     return sessionize(load(spark, sf_dir, "events"))
+
+
+# CEP-style sequence pattern: strict view -> click -> purchase chains.
+PATTERN_SPAN_US = 72 * 3600 * 1_000_000  # whole chain inside 72 h
+# (the fixture's browse->buy cadence is hours-to-days: min complete-chain
+# span at sf0.01 is 2.3 h, median 84 h — 72 h keeps the key selective)
+
+
+def pattern_sequence(events: DataFrame) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: for every purchase, the chain
+    (latest click at-or-before it, latest view at-or-before THAT click),
+    kept when the whole chain spans <= 72 hours — Flink CEP's
+    ``A followedBy B followedBy C within T`` with last-match (greedy)
+    binding, expressed relationally.
+
+    Two chained as-of matches over ONE (user_id, ts, event_id) sort: a
+    running ``last(view)`` resolves each click's view binding, then a
+    running ``last(click-with-its-view)`` resolves each purchase — both
+    windows share the partitioning and sort, so the plan pays a single
+    exchange + sort and streams through two WindowExecs (no self-join,
+    no per-pattern state). At 100 TB this is the sessionize shape: one
+    keyed sort-shuffle regardless of pattern depth; pattern depth only
+    adds window expressions.
+
+    ``last(..., ignorenulls)`` over (ts, event_id) makes the binding
+    deterministic under ts ties (larger event_id wins, matching the SQL
+    oracle's identical window)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    with_view = base.withColumn(
+        "last_view",
+        F.last(
+            F.when(
+                F.col("event_type") == FUNNEL_STAGES[0],
+                F.struct(F.col("us").alias("v_us"), F.col("event_id").alias("v_id")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    with_click = with_view.withColumn(
+        "last_click",
+        F.last(
+            F.when(
+                F.col("event_type") == FUNNEL_STAGES[1],
+                F.struct(
+                    F.col("us").alias("c_us"),
+                    F.col("event_id").alias("c_id"),
+                    F.col("last_view").alias("c_view"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        with_click.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .filter(F.col("last_click").isNotNull())
+        .filter(F.col("last_click.c_view").isNotNull())
+        .select(
+            "user_id",
+            F.col("last_click.c_view.v_id").alias("view_id"),
+            F.col("last_click.c_id").alias("click_id"),
+            F.col("event_id").alias("purchase_id"),
+            (F.col("us") - F.col("last_click.c_view.v_us")).alias("span_us"),
+        )
+        .filter(F.col("span_us") <= PATTERN_SPAN_US)
+    )
+
+
+@REG.add(
+    "q_pattern_sequence",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    v AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                             THEN struct_pack(v_us := us, v_id := event_id)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view
+      FROM e
+    ),
+    c AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = '{FUNNEL_STAGES[1]}'
+                             THEN struct_pack(c_us := us, c_id := event_id,
+                                              c_view := last_view)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click
+      FROM v
+    )
+    SELECT user_id,
+           (last_click).c_view.v_id AS view_id,
+           (last_click).c_id AS click_id,
+           event_id AS purchase_id,
+           us - (last_click).c_view.v_us AS span_us
+    FROM c
+    WHERE event_type = '{FUNNEL_STAGES[2]}'
+      AND last_click IS NOT NULL
+      AND (last_click).c_view IS NOT NULL
+      AND us - (last_click).c_view.v_us <= {PATTERN_SPAN_US}
+    """,
+)
+def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict view->click->purchase chains within 72 hours (see
+    ``pattern_sequence``)."""
+    return pattern_sequence(load(spark, sf_dir, "events"))

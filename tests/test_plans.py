@@ -100,6 +100,18 @@ def test_pq_query_is_scan_plus_topk(q):
     assert "ArrowEvalPython" not in plan.split("InMemoryTableScan")[0]
 
 
+def test_pattern_sequence_is_one_shuffle_no_join(q):
+    """CEP chains resolve through running window structs over one keyed
+    sort — a join or second exchange here means the pattern regressed to
+    self-join matching."""
+    df = q("q_pattern_sequence")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    # numbered-node count (the formatted plan repeats nodes in the detail
+    # section, so a raw substring count double-counts)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
 def test_range_bucket_join_is_equi_not_bnlj(q):
     """The manufactured bucket key must make this a hash/merge join;
     BroadcastNestedLoopJoin here means the binning regressed to O(n^2)."""
