@@ -52,6 +52,13 @@ def get_spark(
         boundary in columnar batches, not row-at-a-time pickles.
       - UTC session timezone: deterministic timestamp semantics vs the
         DuckDB oracle and any parquet writer.
+      - Runtime filters (dynamic partition pruning + bloom-filter join
+        pruning) ride the Spark defaults: DPP prunes partitioned fact
+        scans at planning time, and the bloom filter injects a
+        might_contain predicate on the fact side of selective shuffle
+        joins once the production thresholds (>= 10 GiB application-side
+        scan) are met — asserted observable in tests/test_plans.py and
+        tests/test_layout.py.
     """
     cpus = _cpus()
     active = SparkSession.getActiveSession()

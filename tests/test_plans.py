@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 from reactor_window_like_flink_spark.plans import (
@@ -98,6 +99,42 @@ def test_pq_query_is_scan_plus_topk(q):
     # only inside the InMemoryRelation's build lineage, not above it)
     assert "InMemoryTableScan" in plan
     assert "ArrowEvalPython" not in plan.split("InMemoryTableScan")[0]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Engine posture: runtime bloom-filter join pruning is ON (Spark
+    default) — when a selective dim feeds a shuffle join, the fact scan
+    gets a might_contain(bloom) filter built from the dim side, cutting
+    shuffled fact rows before the exchange. The production thresholds
+    (creation side <= 10 MB, application side >= 10 GiB scanned) only
+    fire at scale, so the test lowers them to observe the injection."""
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "might_contain" in formatted_plan(j)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
 
 
 def test_pattern_sequence_is_one_shuffle_no_join(q):
