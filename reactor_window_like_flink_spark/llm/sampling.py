@@ -100,6 +100,56 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
 
 
+WEIGHTED_K = 100  # q_sample_weighted: top-k kept
+
+
+@REG.add(
+    "q_sample_weighted",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1) / 4294967296.0) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT {WEIGHTED_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis, IPL'06): each doc draws a stable uniform u from md5(doc_id)
+    and competes with key u^(1/w) — equivalently ln(u)/w, compared in log
+    space — so inclusion probability tracks the weight (here ``n_chars``,
+    the mix-by-content-volume story) and re-runs select the identical
+    subset at any cluster size.
+
+    Scale shape: the key is a pure per-row expression on the scan (no
+    RNG state, no shuffle), and the top-k runs as per-partition
+    ``TakeOrderedAndProject`` heaps — sampling 100 TB is one pass, like
+    ``q_sample_hash``, but probability-proportional-to-size. The ES key
+    (not the raw weight) is what makes take-top-k a valid draw: a doc
+    with twice the weight doubles its odds, it does not deterministically
+    displace lighter docs.
+
+    The emitted columns exclude the key itself: Spark and DuckDB agree on
+    its ordering (same md5-derived u, same ln) but not necessarily on the
+    last ulp of the double, so the *set* is hash-stable while the float
+    would not be."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    es_key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 @REG.add(
     "q_shuffle_rank",
     """

@@ -119,3 +119,41 @@ def test_pack_sequences_matches_brute_force(spark, sf_dir):
     total = sum(n for _, _, n in stream)
     assert sorted(o for _, o, _, _ in got.values())[0] == 0
     assert max(o + n for n, o, _, _ in got.values()) == total
+
+
+def test_weighted_sample_matches_reference_and_tilts_heavy(spark, sf_dir):
+    """q_sample_weighted must equal the Python Efraimidis-Spirakis
+    reference (same md5-derived u, same ln-space key) and must
+    over-represent heavy documents versus the corpus mean — the property
+    that distinguishes PPS sampling from uniform."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from reactor_window_like_flink_spark.llm.sampling import WEIGHTED_K
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+        " WHERE n_chars > 0"
+    ).fetchall()
+    con.close()
+
+    def es_key(doc_id: int, w: int) -> float:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return math.log((h + 1) / 2**32) / w
+
+    ranked = sorted(rows, key=lambda r: (-es_key(r[0], r[1]), r[0]))
+    want = [doc_id for doc_id, _ in ranked[:WEIGHTED_K]]
+
+    got_rows = (
+        entry_mod.queries()["q_sample_weighted"](spark, sf_dir).collect()
+    )
+    assert [r["doc_id"] for r in got_rows] == sorted(
+        want
+    ) or {r["doc_id"] for r in got_rows} == set(want)
+
+    corpus_mean = sum(w for _, w in rows) / len(rows)
+    sample_mean = sum(r["n_chars"] for r in got_rows) / len(got_rows)
+    assert sample_mean > corpus_mean
