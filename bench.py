@@ -62,6 +62,7 @@ HEADLINE = [
     "q_fingerprint_fast",
     "q_pack_sequences",
     "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
     "q_tpch_q10_shape",
 ]
 

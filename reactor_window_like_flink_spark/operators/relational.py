@@ -1260,3 +1260,65 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(same)
+
+
+@REG.add(
+    "q_tpch_q5_shape",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite integration query (TPC-H Q5 shape): local-supplier revenue
+    per nation inside one region and one order year — the 6-table join
+    with a cross-table equality (customer and supplier share a nation)
+    that rewards join reordering.
+
+    Scale shape: region/nation/supplier are broadcast dims (the region
+    filter transitively shrinks nation and supplier before the fact
+    joins); the date range pushes to the orders scan; the only large
+    shuffles are the two fact joins on their keys; the final per-nation
+    aggregate is O(nations) rows. The c_nationkey = s_nationkey predicate
+    rides the supplier join rather than forcing a separate exchange."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    asian_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            supplier.s_nationkey == asian_nations.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
