@@ -119,6 +119,7 @@ def temporal_join(
     ts_col: str = "ts",
     probe_id_col: str = "event_id",
     payload_col: str = "value",
+    idle_state_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Temporal table join (Flink's ``FOR SYSTEM_TIME AS OF`` /
     versioned-dim enrichment): each probe row is enriched with the version
@@ -144,7 +145,12 @@ def temporal_join(
     downstream counting and is the documented divergence).
 
     Scale: one keyed shuffle of both streams; per-key state is two
-    scalars in the state store regardless of history length.
+    scalars in the state store regardless of history length. That cost
+    still grows with LIFETIME key cardinality — for unbounded key spaces
+    pass ``idle_state_ttl_seconds``: a key receiving no traffic for that
+    long is evicted (probes arriving after eviction re-match as
+    unversioned until the next version row — the same documented trade as
+    ``count_or_time_stateful``'s TTL).
     """
     import pandas as pd
 
@@ -164,13 +170,25 @@ def temporal_join(
     )
     tagged = probes.unionByName(versions)
 
+    ttl_ms = (
+        None
+        if idle_state_ttl_seconds is None
+        else max(1, int(idle_state_ttl_seconds * 1000))
+    )
+
     def enrich(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle TTL expired: evict the key's version
+            state.remove()
+            return
         if state.exists:
             version_us, payload = state.get
         else:
             version_us, payload = -1, None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             return
         batch = pd.concat(chunks, ignore_index=True)
         # normalize to ns (Arrow may hand datetime64[us]); sort: event
@@ -194,6 +212,8 @@ def temporal_join(
                     )
                 )
         state.update((version_us, payload))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out:
             res = pd.DataFrame(
                 out,
@@ -209,5 +229,7 @@ def temporal_join(
         outputStructType=TEMPORAL_OUTPUT_SCHEMA,
         stateStructType=TEMPORAL_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
+        ),
     )

@@ -130,6 +130,59 @@ def test_temporal_join_enriches_with_version_as_of_event_time(spark, tmp_path):
     assert got[7] == (9.0, naive(2))  # late version, new probe: latest-seen
 
 
+def test_temporal_join_idle_ttl_evicts_version(spark, tmp_path):
+    """With idle_state_ttl_seconds set, a key idle past the TTL loses its
+    version state: later probes re-match as unversioned (NULL) until a
+    new version arrives — bounded state for unbounded key spaces."""
+    import time
+
+    from reactor_window_like_flink_spark.streaming.joins import temporal_join
+
+    probes = FileStreamInput(spark, SCHEMA, str(tmp_path / "probes"))
+    versions = FileStreamInput(spark, SCHEMA, str(tmp_path / "vers"))
+    # publish before starting: both files land in the first micro-batch,
+    # where in-batch event-time order applies the version first (separate
+    # source listings give no cross-source ordering guarantee otherwise)
+    versions.publish([(100, _ts(0), 1, "v", 1.0)])
+    probes.publish([(1, _ts(1), 1, "p", 0.0)])
+    out = temporal_join(
+        probes.stream(), versions.stream(), idle_state_ttl_seconds=2.0
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_tjttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def _got():
+        return {
+            r["probe_id"]: r["payload"]
+            for r in spark.sql("SELECT * FROM t_tjttl").collect()
+        }
+
+    def _poll(pred, timeout_s=90.0):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            res = pred()
+            if res:
+                return res
+            time.sleep(0.5)
+        return pred()
+
+    try:
+        got = _poll(lambda: 1 in _got() and _got())
+        assert got[1] == 1.0  # version live before the TTL
+        time.sleep(4.0)  # idle past the 2 s TTL; timeout fires on a
+        # no-data batch the scheduler keeps planning
+        probes.publish([(2, _ts(5), 1, "p", 0.0)])
+        got = _poll(lambda: 2 in _got() and _got())
+        assert got[2] is None  # state evicted: probe re-matches unversioned
+    finally:
+        query.stop()
+
+
 def test_stream_static_join_enriches_every_event(spark, tmp_path):
     src = FileStreamInput(spark, SCHEMA, str(tmp_path / "ev"))
     src.publish(_clicks())
