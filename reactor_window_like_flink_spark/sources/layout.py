@@ -161,6 +161,15 @@ def compact(
         name = status.getPath().getName()
         if name.startswith("part-"):
             total_bytes += status.getLen()
+    if total_bytes == 0:
+        # e.g. a hive-partitioned table (files live under col=value/
+        # subdirectories): compact partition directories individually so
+        # the rewrite can't silently collapse the table to one file
+        raise ValueError(
+            f"no part-* data files directly under {src_path!r}; "
+            "compact() operates on flat parquet directories — for a "
+            "partitioned table, compact each partition directory"
+        )
     n_files = max(1, -(-total_bytes // target_file_bytes))
     if sort_cols:
         out = src.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
