@@ -325,10 +325,6 @@ def fit_pq(
     the interpreted-fold anti-pattern ``q_fingerprint`` documents)."""
     import numpy as np
 
-    dim = len(vectors.select("embedding").first()["embedding"])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     n = vectors.count()
     sample = (
         vectors.sample(fraction=PQ_TRAIN_MAX_ROWS / n, seed=PQ_SEED)
@@ -339,6 +335,10 @@ def fit_pq(
         [r["embedding"] for r in sample.select("embedding").collect()],
         dtype=np.float64,
     )
+    dim = x.shape[1]  # from the training collect — no extra dim-probe job
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x /= norms

@@ -114,10 +114,20 @@ def partitioned_write(
     rows to their partition first bounds output at
     ``files_per_partition`` x P. Skewed partitions that need more files
     add a salt column here — same shape as ``q_agg_salted``.
+
+    The spread term is a DETERMINISTIC hash of the full row, never
+    ``rand()``: repartitioning on a nondeterministic key corrupts data
+    under task retry (a recomputed map task re-draws and routes rows to
+    different reducers than the committed attempt — the SPARK-23207
+    class of bug), silently dropping/duplicating rows.
     """
     n = max(1, files_per_partition)
     parts = [F.col(c) for c in partition_cols]
-    spread = (F.abs(F.hash(F.rand(seed=0))) % n) if n > 1 else F.lit(0)
+    spread = (
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n))
+        if n > 1
+        else F.lit(0)
+    )
     (
         df.repartition(*parts, spread)
         .write.mode("overwrite")
@@ -176,6 +186,20 @@ def compact(
             *sort_cols
         )
     else:
-        out = src.coalesce(n_files)
+        # coalesce is the no-shuffle path (tasks read several small files
+        # each), but it can only MERGE partitions; splitting few large
+        # files up to the target needs a real repartition
+        current = src.rdd.getNumPartitions()
+        out = (
+            src.coalesce(n_files)
+            if n_files <= current
+            else src.repartition(n_files)
+        )
     out.write.mode("overwrite").parquet(dst_path)
-    return n_files
+    # report what was actually written (coalesce/AQE may land fewer)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst_path)  # noqa: SLF001
+    return sum(
+        1
+        for status in jdst.getFileSystem(hconf).listStatus(jdst)
+        if status.getPath().getName().startswith("part-")
+    )

@@ -211,9 +211,13 @@ def temporal_join(
                         payload,
                     )
                 )
-        state.update((version_us, payload))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+        # never materialize a "(no version)" state row for probe-only
+        # keys — absence already encodes it, and writing one would grow
+        # the store with TOTAL key cardinality, not versioned keys
+        if version_us >= 0 or state.exists:
+            state.update((version_us, payload))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         if out:
             res = pd.DataFrame(
                 out,

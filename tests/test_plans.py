@@ -137,6 +137,16 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
             conf.set(k, v)
 
 
+def test_weighted_sample_is_scan_plus_topk(q):
+    """The ES key is a pure scan expression and the draw is top-k heaps —
+    an Exchange (other than the TakeOrdered driver merge) or a global
+    Sort means PPS sampling regressed to a full shuffle."""
+    df = q("q_sample_weighted")
+    assert has_node(df, "TakeOrderedAndProject")
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+
+
 def test_pattern_sequence_is_one_shuffle_no_join(q):
     """CEP chains resolve through running window structs over one keyed
     sort — a join or second exchange here means the pattern regressed to

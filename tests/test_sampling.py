@@ -150,9 +150,7 @@ def test_weighted_sample_matches_reference_and_tilts_heavy(spark, sf_dir):
     got_rows = (
         entry_mod.queries()["q_sample_weighted"](spark, sf_dir).collect()
     )
-    assert [r["doc_id"] for r in got_rows] == sorted(
-        want
-    ) or {r["doc_id"] for r in got_rows} == set(want)
+    assert {r["doc_id"] for r in got_rows} == set(want)
 
     corpus_mean = sum(w for _, w in rows) / len(rows)
     sample_mean = sum(r["n_chars"] for r in got_rows) / len(got_rows)

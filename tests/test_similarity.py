@@ -160,9 +160,10 @@ def test_pq_trains_once_and_codes_are_compact(spark, sf_dir):
 def test_pq_recall_on_clustered_vectors(spark):
     """PQ + re-rank recall on data with neighborhood structure (same
     clustered fixture rationale as the IVF test: the bundled embeddings
-    are isotropic, the worst case for any quantizer). ADC over m=4
-    16-entry codebooks shortlists PQ_RERANK of 1440 vectors; the exact
-    re-rank must recover >= 0.9 of the true cosine top-10."""
+    are isotropic, the worst case for any quantizer). ADC over m=16
+    16-entry codebooks (4-dim subvectors) shortlists PQ_RERANK of 1440
+    vectors; the exact re-rank must recover >= 0.9 of the true cosine
+    top-10."""
     from reactor_window_like_flink_spark.llm.similarity import (
         PQ_RERANK,
         fit_pq,
