@@ -100,18 +100,32 @@ def main() -> int:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "sf": sf,
+        "config": {
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "n_queries": len(HEADLINE),
+            "samples_per_query": 3,
+        },
+    }
+    # Self-contained artifact: the driver's stdout-tail parse truncated 13
+    # of 44 keys in round 4 (BENCH_r04.json parsed: null), so always write
+    # the full result to disk too — medians are recoverable regardless of
+    # stdout survival.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    print(json.dumps(payload))
     return 0
 
 

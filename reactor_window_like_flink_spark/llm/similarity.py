@@ -158,8 +158,12 @@ def fit_ivf(
         array_to_vector(F.transform("embedding", lambda x: x.cast("double") / nrm)),
     )
     n = feat.count()
+    # Oversample ~10% then hard-cap: .sample() is binomial so its row count
+    # is only an *expected* bound; .limit() makes the training size a hard one.
     train_df = (
-        feat.sample(fraction=IVF_TRAIN_MAX_ROWS / n, seed=IVF_SEED)
+        feat.sample(
+            fraction=min(1.0, IVF_TRAIN_MAX_ROWS / n * 1.1), seed=IVF_SEED
+        ).limit(IVF_TRAIN_MAX_ROWS)
         if n > IVF_TRAIN_MAX_ROWS
         else feat
     )
@@ -326,8 +330,12 @@ def fit_pq(
     import numpy as np
 
     n = vectors.count()
+    # Oversample ~10% then hard-cap: .sample() is binomial (expected-count
+    # bound only); .limit() makes the driver-side collect a hard bound.
     sample = (
-        vectors.sample(fraction=PQ_TRAIN_MAX_ROWS / n, seed=PQ_SEED)
+        vectors.sample(
+            fraction=min(1.0, PQ_TRAIN_MAX_ROWS / n * 1.1), seed=PQ_SEED
+        ).limit(PQ_TRAIN_MAX_ROWS)
         if n > PQ_TRAIN_MAX_ROWS
         else vectors
     )

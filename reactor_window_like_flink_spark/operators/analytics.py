@@ -250,7 +250,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events"))
 
 
-# CEP-style sequence pattern: strict view -> click -> purchase chains.
+# CEP-style sequence pattern: ordered view -> click -> purchase chains
+# (relaxed contiguity — Flink's followedBy, not next — greedy/last-match).
 PATTERN_SPAN_US = 72 * 3600 * 1_000_000  # whole chain inside 72 h
 # (the fixture's browse->buy cadence is hours-to-days: min complete-chain
 # span at sf0.01 is 2.3 h, median 84 h — 72 h keeps the key selective)

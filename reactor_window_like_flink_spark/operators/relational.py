@@ -1284,12 +1284,14 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a cross-table equality (customer and supplier share a nation)
     that rewards join reordering.
 
-    Scale shape: region/nation/supplier are broadcast dims (the region
-    filter transitively shrinks nation and supplier before the fact
-    joins); the date range pushes to the orders scan; the only large
-    shuffles are the two fact joins on their keys; the final per-nation
-    aggregate is O(nations) rows. The c_nationkey = s_nationkey predicate
-    rides the supplier join rather than forcing a separate exchange."""
+    Scale shape: region/nation/supplier are broadcast dims — the region
+    filter shrinks nation via the region join, and supplier is semi-joined
+    against those asian nations BEFORE being broadcast, so the broadcast
+    side really is region-pruned (≈1/5 of supplier), not the full table.
+    The date range pushes to the orders scan; the only large shuffles are
+    the two fact joins on their keys; the final per-nation aggregate is
+    O(nations) rows. The c_nationkey = s_nationkey predicate rides the
+    supplier join rather than forcing a separate exchange."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     supplier = load(spark, sf_dir, "supplier")
@@ -1302,6 +1304,11 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     asian_nations = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
+    supplier = supplier.join(
+        F.broadcast(asian_nations.select("n_nationkey")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
