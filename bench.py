@@ -33,6 +33,7 @@ HEADLINE = [
     "q_dedup_near",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
+    "q_dedup_ngram_jaccard_arrow",
     "q_dedup_embedding",
     "q_dedup_embedding_fast",
     "q_similarity_cosine",

@@ -287,9 +287,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add(
-    "q_dedup_ngram_jaccard",
-    """
+# Shared oracle for the exact and fast n-gram-Jaccard twins: both produce
+# bit-identical output (the fast kernel returns only INTEGER intersection
+# sizes; the division and rounding stay in the same JVM expressions), so
+# both keys hash-check against the same blocked-formulation SQL.
+_NGRAM_JACCARD_ORACLE = """
     WITH t AS (
       SELECT doc_id, lang,
              list_distinct(CASE WHEN len(string_split(lower(text), ' ')) < 2
@@ -307,8 +309,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
           / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.1
-    """,
-)
+    """
+
+
+@REG.add("q_dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard pairs (same ``lang``, Jaccard >= 0.1) —
     the deterministic, oracle-checkable complement to the probabilistic
@@ -326,6 +330,42 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare shingles), but the join-key cardinality — the scale property —
     holds at any threshold."""
     return exact_jaccard_pairs(spark, sf_dir, threshold=0.1, shingle_n=2)
+
+
+@REG.add("q_dedup_ngram_jaccard_arrow", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of ``q_dedup_ngram_jaccard``: identical PPJoin
+    candidate generation, but the exact-Jaccard confirm runs as ONE
+    vectorized numpy pass per Arrow batch — a single ``lexsort`` over the
+    flattened (pair, hash) stream counts every pairwise intersection —
+    instead of ``array_intersect`` per pair.
+
+    Unlike the embedding twin (whose float summation order differs from
+    the oracle's), this kernel is EXACTLY oracle-checkable: set
+    intersection over int64 hashes has no rounding, the kernel emits only
+    integer counts, and the Jaccard division + ``round`` stay in the same
+    JVM expressions as the exact form — so both keys share one oracle and
+    both hash-check green.
+
+    MEASURED VERDICT (the reason this is not named ``_fast``): on the
+    identical materialized 2.35M-pair candidate input at sf0.1 the JVM
+    form's confirm stage medians 2.06 s vs 4.58 s for this kernel. The
+    per-pair work here is a *set intersection over variable-length
+    arrays already colocated with the row* — ``array_intersect`` is a
+    native codegen expression, and moving every pair's two hash arrays
+    across the Arrow boundary costs more than the intersection itself.
+    This is the opposite regime from ``q_dedup_embedding_fast``, where
+    rows are fixed-width float vectors, the JVM form was 32 *interpreted
+    lambda folds* per row, and one numpy matmul per batch buys real
+    FLOP-level wins. Rule of thumb this pair of twins documents: ship
+    rows to Python for dense fixed-width numeric kernels; keep
+    variable-length set/array ops on JVM intrinsics. The exact key IS
+    the production kernel for this operator; this twin is retained as
+    the oracle-green vectorized reference and the regression guard for
+    that conclusion."""
+    return exact_jaccard_pairs(
+        spark, sf_dir, threshold=0.1, shingle_n=2, kernel="arrow"
+    )
 
 
 # Sign-LSH (random-hyperplane) banding for embedding near-dup candidates.
@@ -606,7 +646,11 @@ def lsh_cosine_pairs_fast(
 
 
 def exact_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float, shingle_n: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    shingle_n: int = 2,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Exact set-similarity self-join with prefix filtering (the PPJoin
     family, Chaudhuri/Xiao et al.) — every pair with word-``shingle_n``-gram
@@ -653,10 +697,12 @@ def exact_jaccard_pairs(
             _shingles_from_toks(shingle_n), lambda x: F.xxhash64(x)
         ).alias("hs"),
     )
-    return prefix_jaccard_join(hashed, threshold)
+    return prefix_jaccard_join(hashed, threshold, kernel=kernel)
 
 
-def prefix_jaccard_join(hashed: DataFrame, threshold: float) -> DataFrame:
+def prefix_jaccard_join(
+    hashed: DataFrame, threshold: float, kernel: str = "expr"
+) -> DataFrame:
     """Core of ``exact_jaccard_pairs`` over any ``(doc_id, lang,
     hs: array<long>)`` DataFrame (``hs`` = the hashed element set, distinct
     values). Split out so property tests can drive it with generated sets;
@@ -724,13 +770,67 @@ def prefix_jaccard_join(hashed: DataFrame, threshold: float) -> DataFrame:
     paired = sets.join(with_a, sets.doc_id == with_a.doc_b).select(
         "doc_a", "doc_b", "hs_a", F.col("sorted_hs").alias("hs_b")
     )
-    scored = paired.select(
-        "doc_a",
-        "doc_b",
-        F.size(F.array_intersect("hs_a", "hs_b")).cast("double").alias("n_inter"),
-        (F.size("hs_a") + F.size("hs_b")).alias("n_total"),
+    if kernel == "arrow":
+        # Vectorized confirm: one numpy lexsort per Arrow batch over the
+        # flattened (pair_idx, hash) stream of BOTH sides. Each side's
+        # hashes are distinct within a pair, so a value in the
+        # intersection appears exactly twice under one pair_idx — count
+        # adjacent duplicates after the sort and bincount per pair. O(E
+        # log E) in C for E total elements per batch, vs an interpreted
+        # HOF fold per pair. Emits INTEGER counts only; division and
+        # rounding stay in the JVM expressions below, so output is
+        # bit-identical to the "expr" kernel (shared oracle).
+        import numpy as np
+        import pandas as pd
+
+        def confirm_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                n = len(pdf)
+                lens_a = np.fromiter(
+                    (len(v) for v in pdf["hs_a"]), dtype="int64", count=n
+                )
+                lens_b = np.fromiter(
+                    (len(v) for v in pdf["hs_b"]), dtype="int64", count=n
+                )
+                idx = np.concatenate(
+                    [np.repeat(np.arange(n), lens_a),
+                     np.repeat(np.arange(n), lens_b)]
+                )
+                val = np.concatenate(
+                    [np.concatenate(list(pdf["hs_a"])).astype("int64"),
+                     np.concatenate(list(pdf["hs_b"])).astype("int64")]
+                )
+                order = np.lexsort((val, idx))
+                idx_s, val_s = idx[order], val[order]
+                dup = (idx_s[1:] == idx_s[:-1]) & (val_s[1:] == val_s[:-1])
+                n_inter = np.bincount(idx_s[1:][dup], minlength=n)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": pdf["doc_a"],
+                        "doc_b": pdf["doc_b"],
+                        "n_inter": n_inter,
+                        "n_total": lens_a + lens_b,
+                    }
+                )
+
+        scored = paired.mapInPandas(
+            confirm_batches,
+            "doc_a long, doc_b long, n_inter long, n_total long",
+        )
+    else:
+        scored = paired.select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            .cast("long")
+            .alias("n_inter"),
+            (F.size("hs_a") + F.size("hs_b")).cast("long").alias("n_total"),
+        )
+    jacc = F.col("n_inter").cast("double") / (
+        F.col("n_total") - F.col("n_inter")
     )
-    jacc = F.col("n_inter") / (F.col("n_total") - F.col("n_inter"))
     return scored.filter(jacc >= t).select(
         "doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")
     )
