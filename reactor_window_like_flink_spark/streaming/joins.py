@@ -110,6 +110,12 @@ TEMPORAL_OUTPUT_SCHEMA = (
     "version_ts timestamp, payload double"
 )
 TEMPORAL_STATE_SCHEMA = "version_us long, payload double"
+# Event-time-exact mode: per-key buffers bounded by the watermark delay.
+TEMPORAL_ET_STATE_SCHEMA = (
+    "frontier_us long, base_vus long, base_payload double, "
+    "buf_vus array<long>, buf_vpay array<double>, "
+    "buf_pid array<long>, buf_pus array<long>"
+)
 
 
 def temporal_join(
@@ -236,4 +242,176 @@ def temporal_join(
         timeoutConf=(
             "NoTimeout" if ttl_ms is None else "ProcessingTimeTimeout"
         ),
+    )
+
+
+def temporal_join_event_time(
+    probe_stream: DataFrame,
+    version_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_id_col: str = "event_id",
+    payload_col: str = "value",
+    watermark_delay: str = "10 minutes",
+    emit: str = "left",
+) -> DataFrame:
+    """Event-time-EXACT temporal table join (Flink's versioned
+    ``FOR SYSTEM_TIME AS OF``), correct under out-of-order micro-batches —
+    the upgrade over ``temporal_join``'s processing-time fallback.
+
+    Both tagged streams are watermarked; per key the state buffers BOTH
+    unmatched probes and versions newer than the frontier. A probe is
+    finalized only once the watermark passes its event time — by then
+    every version at-or-before it has arrived (watermark contract), so the
+    emitted binding equals the batch as-of oracle regardless of how rows
+    were scattered across micro-batches. Versions the watermark has passed
+    are compacted to ONE base row (the latest at-or-before the frontier:
+    the only one any future probe can still bind to), so state per key is
+    O(rows inside the watermark delay) + 1 — bounded by rate x delay, the
+    same bound as Spark's own stream-stream interval join, and the price
+    of exactness over the O(1) processing-time mode.
+
+    Rows older than the emitted frontier are dropped (late data, same
+    policy as Flink past-watermark discard). Idle keys flush via
+    ``EventTimeTimeout`` set to the oldest buffered probe, so emission
+    needs no same-key traffic — any watermark advance triggers it.
+
+    ``emit``: ``"left"`` emits NULL version columns for probes with no
+    version at-or-before them (keeps the probe for downstream counting);
+    ``"inner"`` emits nothing for them — Flink event-time temporal-join
+    parity (the round-4 advisor's divergence note, now a mode flag).
+
+    The reference engine disclaims event-time ordering outright
+    (``README.md:99``); this operator completes the declared upgrade.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if emit not in ("left", "inner"):
+        raise ValueError(f"emit must be 'left' or 'inner', got {emit!r}")
+
+    probes = probe_stream.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(probe_id_col).alias("probe_id"),
+        F.lit(None).cast("double").alias("payload"),
+        F.lit(0).alias("is_version"),
+    ).withWatermark("ts", watermark_delay)
+    versions = version_stream.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col(payload_col).cast("double").alias("payload"),
+        F.lit(1).alias("is_version"),
+    ).withWatermark("ts", watermark_delay)
+    tagged = probes.unionByName(versions)
+
+    NEG = -(1 << 62)  # "no frontier yet" / "no base version" sentinels
+
+    def enrich(key, pdfs, state):
+        if state.exists:
+            (frontier, base_vus, base_pay,
+             bvus, bvpay, bpid, bpus) = state.get
+            bvus, bvpay = list(bvus), list(bvpay)
+            bpid, bpus = list(bpid), list(bpus)
+        else:
+            frontier, base_vus, base_pay = NEG, NEG, None
+            bvus, bvpay, bpid, bpus = [], [], [], []
+        for pdf in pdfs:  # empty iterator on timeout-only invocations
+            if not len(pdf):
+                continue
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            for row_ts, row_pid, row_pay, row_isv in zip(
+                ts_us, pdf["probe_id"], pdf["payload"], pdf["is_version"]
+            ):
+                if row_ts < frontier:
+                    continue  # late: the frontier already emitted past it
+                if row_isv:
+                    bvus.append(int(row_ts))
+                    bvpay.append(float(row_pay))
+                else:
+                    bpid.append(int(row_pid))
+                    bpus.append(int(row_ts))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        v_us = np.asarray(bvus, dtype="int64")
+        v_pay = np.asarray(bvpay, dtype="float64")
+        vo = np.argsort(v_us, kind="stable")
+        v_us, v_pay = v_us[vo], v_pay[vo]
+        p_id = np.asarray(bpid, dtype="int64")
+        p_us = np.asarray(bpus, dtype="int64")
+        out = None
+        if wm_us > 0 and len(p_us):
+            fin = p_us < wm_us  # watermark passed: binding is final
+            if fin.any():
+                fp_id, fp_us = p_id[fin], p_us[fin]
+                order = np.lexsort((fp_id, fp_us))
+                fp_id, fp_us = fp_id[order], fp_us[order]
+                # latest buffered version at-or-before each probe
+                # (side="right" makes a tie-version bind: inclusive AS OF)
+                idx = np.searchsorted(v_us, fp_us, side="right") - 1
+                rows = []
+                for pid_i, pus_i, vi in zip(fp_id, fp_us, idx):
+                    if vi >= 0:
+                        rows.append(
+                            (int(pid_i), int(pus_i),
+                             int(v_us[vi]), float(v_pay[vi]))
+                        )
+                    elif base_vus > NEG:
+                        rows.append(
+                            (int(pid_i), int(pus_i),
+                             int(base_vus), base_pay)
+                        )
+                    elif emit == "left":
+                        rows.append((int(pid_i), int(pus_i), None, None))
+                if rows:
+                    out = pd.DataFrame(
+                        rows,
+                        columns=["probe_id", "probe_us", "version_us", "payload"],
+                    )
+                p_id, p_us = p_id[~fin], p_us[~fin]
+        if wm_us > 0:
+            # compact: versions the watermark passed collapse to one base
+            # row — the only one a future (>= wm) probe can still bind to
+            cut = int(np.searchsorted(v_us, wm_us, side="right"))
+            if cut > 0:
+                base_vus = int(v_us[cut - 1])
+                base_pay = float(v_pay[cut - 1])
+                v_us, v_pay = v_us[cut:], v_pay[cut:]
+            frontier = max(frontier, wm_us)
+        state.update(
+            (
+                frontier,
+                base_vus,
+                base_pay,
+                [int(x) for x in v_us],
+                [float(x) for x in v_pay],
+                [int(x) for x in p_id],
+                [int(x) for x in p_us],
+            )
+        )
+        if len(p_us):
+            # wake when the watermark passes the oldest buffered probe
+            # (must be strictly beyond the current watermark)
+            wm_ms = wm_us // 1000
+            state.setTimeoutTimestamp(max(int(p_us.min()) // 1000, wm_ms + 1))
+        if out is not None:
+            res = pd.DataFrame(
+                {
+                    "probe_id": out["probe_id"],
+                    "key": key[0],
+                    "probe_ts": pd.to_datetime(out["probe_us"], unit="us"),
+                    "version_ts": pd.to_datetime(out["version_us"], unit="us"),
+                    "payload": out["payload"],
+                }
+            )
+            yield res
+
+    return tagged.groupBy("key").applyInPandasWithState(
+        enrich,
+        outputStructType=TEMPORAL_OUTPUT_SCHEMA,
+        stateStructType=TEMPORAL_ET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
     )

@@ -183,6 +183,125 @@ def test_temporal_join_idle_ttl_evicts_version(spark, tmp_path):
         query.stop()
 
 
+def test_temporal_join_event_time_exact_under_out_of_order(spark, tmp_path):
+    """The buffered event-time mode matches the batch as-of oracle even
+    when rows are scattered across micro-batches in SHUFFLED order —
+    including a version that arrives in a LATER micro-batch than a probe
+    it must bind to (exactly the case where the O(1) processing-time mode
+    degrades to latest-seen). Past-watermark rows are dropped, and
+    emit="inner" withholds unversioned probes (Flink parity)."""
+    from reactor_window_like_flink_spark.streaming.joins import (
+        temporal_join_event_time,
+    )
+
+    probes = FileStreamInput(spark, SCHEMA, str(tmp_path / "probes"))
+    versions = FileStreamInput(spark, SCHEMA, str(tmp_path / "vers"))
+    out = temporal_join_event_time(
+        probes.stream(), versions.stream(), watermark_delay="30 minutes"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_tjet")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    naive = lambda m: _ts(m).replace(tzinfo=None)  # noqa: E731
+    try:
+        # micro-batch 1 holds the LATEST rows (future-first disorder):
+        # probe 4 @10:11 and probe 5 @10:25 arrive before the versions
+        # they must bind to (v@10:10, v@10:20) even exist on the wire.
+        versions.publish([(101, _ts(10), 1, "v", 2.0)])
+        probes.publish([(4, _ts(11), 1, "p", 0.0), (5, _ts(25), 1, "p", 0.0)])
+        query.processAllAvailable()
+        # micro-batch 2 back-fills the EARLIER rows (within the 30 min
+        # delay, so none are late): u1 v@10:00 and v@10:20, u2 v@10:05;
+        # u1 probes @10:01, @10:10 (tie); u2 probes @10:04 (pre-version),
+        # @10:06.
+        versions.publish(
+            [
+                (100, _ts(0), 1, "v", 1.0),
+                (102, _ts(20), 1, "v", 3.0),
+                (103, _ts(5), 2, "v", 9.0),
+            ]
+        )
+        probes.publish(
+            [
+                (1, _ts(1), 1, "p", 0.0),
+                (3, _ts(10), 1, "p", 0.0),
+                (6, _ts(4), 2, "p", 0.0),
+                (7, _ts(6), 2, "p", 0.0),
+            ]
+        )
+        query.processAllAvailable()
+        # micro-batch 3: one more in-window probe plus far-future
+        # sentinels on BOTH streams (the global watermark is the MIN
+        # across watermarked sources) advancing it to 11:30 — past every
+        # real probe, so the no-data batch flushes all buffered bindings
+        # via EventTimeTimeout. The sentinel probe itself stays buffered
+        # (its ts equals the max event time, always ahead of the
+        # watermark) and never emits.
+        probes.publish([(2, _ts(9), 1, "p", 0.0)])
+        noon = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+        versions.publish([(999, noon, 99, "v", 0.0)])
+        probes.publish([(998, noon, 99, "p", 0.0)])
+        query.processAllAvailable()
+        got = {
+            r["probe_id"]: (r["payload"], r["version_ts"])
+            for r in spark.sql("SELECT * FROM t_tjet").collect()
+        }
+        # as-of oracle, disorder-independent:
+        assert got == {
+            1: (1.0, naive(0)),
+            2: (1.0, naive(0)),
+            3: (2.0, naive(10)),  # tie: inclusive AS OF
+            4: (2.0, naive(10)),
+            5: (3.0, naive(20)),  # version arrived a batch AFTER the probe
+            6: (None, None),  # before any u2 version (left emit)
+            7: (9.0, naive(5)),
+        }
+        # late probe: @10:07 is far behind the 11:30 frontier -> dropped
+        probes.publish([(8, _ts(7), 1, "p", 0.0)])
+        query.processAllAvailable()
+        ids = {
+            r["probe_id"] for r in spark.sql("SELECT * FROM t_tjet").collect()
+        }
+        assert 8 not in ids
+    finally:
+        query.stop()
+    # emit="inner": same files replayed by a fresh query (all in ONE
+    # initial micro-batch — no maxFilesPerTrigger). Unversioned probe 6
+    # is withheld. Probe 8, late in the LIVE run, is admitted here:
+    # lateness is a property of arrival order vs the watermark, not of
+    # the data — replayed in-window it binds exactly per the as-of
+    # oracle (v@10:00).
+    out_inner = temporal_join_event_time(
+        probes.stream(),
+        versions.stream(),
+        watermark_delay="30 minutes",
+        emit="inner",
+    )
+    query = (
+        out_inner.writeStream.format("memory")
+        .queryName("t_tjet_inner")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_inner"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        inner = {
+            r["probe_id"]: (r["payload"], r["version_ts"])
+            for r in spark.sql("SELECT * FROM t_tjet_inner").collect()
+        }
+        assert 6 not in inner
+        assert inner[5] == (3.0, naive(20))
+        assert inner[8] == (1.0, naive(0))
+        assert set(inner) == {1, 2, 3, 4, 5, 7, 8}
+    finally:
+        query.stop()
+
+
 def test_stream_static_join_enriches_every_event(spark, tmp_path):
     src = FileStreamInput(spark, SCHEMA, str(tmp_path / "ev"))
     src.publish(_clicks())
