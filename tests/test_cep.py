@@ -1,0 +1,133 @@
+"""Streaming CEP (pattern_sequence_stateful): the watermarked stateful
+matcher equals the batch q_pattern_sequence key on replayed events, is
+exact under out-of-order micro-batches, and drops past-watermark rows."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import __spark_entry__ as entry_mod
+from reactor_window_like_flink_spark.streaming.cep import (
+    pattern_sequence_stateful,
+)
+from reactor_window_like_flink_spark.streaming.publisher import FileStreamInput
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def _ts(minute: int, second: int = 0):
+    return datetime(2024, 1, 1, 10, minute, second, tzinfo=timezone.utc)
+
+
+def _chains(spark, table):
+    return {
+        (r["user_id"], r["view_id"], r["click_id"], r["purchase_id"],
+         r["span_us"])
+        for r in spark.sql(f"SELECT * FROM {table}").collect()
+    }
+
+
+def test_cep_stream_matches_batch_on_replayed_events(spark, sf_dir, tmp_path):
+    """The full sf0.001 events fixture, replayed in three event_id-hashed
+    micro-batches (arbitrary time disorder across batches), produces
+    EXACTLY the batch key's chain set once a sentinel advances the
+    watermark past every real event."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "events"))
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    rows = ev.collect()
+    max_ts = max(r["ts"] for r in rows)
+    delay_days = 3650
+    out = pattern_sequence_stateful(
+        src.stream(), watermark_delay=f"{delay_days} days"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_cep_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for part in range(3):  # time-shuffled slices, one micro-batch each
+            chunk = [
+                tuple(r) for r in rows if r["event_id"] % 3 == part
+            ]
+            src.publish(chunk)
+            query.processAllAvailable()
+        # sentinel: one far-future view pushes the watermark a day past
+        # the last real event; the no-data batch flushes every buffer
+        sentinel_ts = max_ts + timedelta(days=delay_days + 1)
+        src.publish([(10**9, sentinel_ts, 10**9, "view", 0.0)])
+        query.processAllAvailable()
+        got = _chains(spark, "t_cep_replay")
+    finally:
+        query.stop()
+    want = {
+        (r["user_id"], r["view_id"], r["click_id"], r["purchase_id"],
+         r["span_us"])
+        for r in entry_mod.queries()["q_pattern_sequence"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(want) > 0  # the fixture really exercises the pattern
+    assert got == want
+
+
+def test_cep_out_of_order_binding_and_late_drop(spark, tmp_path):
+    """Greedy last-match binding holds when the chain arrives
+    purchase-first across micro-batches; a second view upgrades the
+    binding for a later click; chains missing a stage emit nothing; and
+    a past-watermark purchase is dropped rather than matched."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "events"))
+    out = pattern_sequence_stateful(src.stream(), watermark_delay="30 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_cep_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: the END of every story arrives first
+        src.publish(
+            [
+                (13, _ts(10), 1, "purchase", 0.0),
+                (23, _ts(4), 2, "purchase", 0.0),
+                (32, _ts(1), 3, "purchase", 0.0),  # click, no view
+                (42, _ts(1), 4, "purchase", 0.0),  # view, no click
+            ]
+        )
+        query.processAllAvailable()
+        # batch 2: the beginnings (all within the 30 min delay)
+        src.publish(
+            [
+                (11, _ts(0), 1, "view", 0.0),
+                (12, _ts(5), 1, "click", 0.0),
+                (20, _ts(0), 2, "view", 0.0),
+                (21, _ts(2), 2, "view", 0.0),  # greedy: this one binds
+                (22, _ts(3), 2, "click", 0.0),
+                (31, _ts(0), 3, "click", 0.0),
+                (41, _ts(0), 4, "view", 0.0),
+            ]
+        )
+        query.processAllAvailable()
+        # sentinel an hour out: watermark lands at 10:40, past every
+        # real event, flushing all chains
+        src.publish([(99, _ts(0) + timedelta(hours=1, minutes=10), 99, "view", 0.0)])
+        query.processAllAvailable()
+        got = _chains(spark, "t_cep_ooo")
+        assert got == {
+            (1, 11, 12, 13, 600_000_000),  # 10 min span
+            (2, 21, 22, 23, 120_000_000),  # second view won the binding
+        }
+        # late purchase: u1's frontier sits at 10:40; an in-span purchase
+        # at 10:12 would bind click 12 if admitted — it must NOT be
+        src.publish([(14, _ts(12), 1, "purchase", 0.0)])
+        query.processAllAvailable()
+        assert _chains(spark, "t_cep_ooo") == got
+    finally:
+        query.stop()
