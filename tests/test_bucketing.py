@@ -52,3 +52,50 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, no_broadcast):
         customer, orders.o_custkey == customer.c_custkey
     ).count()
     assert joined.count() == want
+
+
+def test_incremental_dedup_index_elides_corpus_shuffle(
+    spark, sf_dir, no_broadcast
+):
+    """The bucketed corpus hash index makes the admission anti-join's
+    ONLY Exchange the increment-sized batch aggregation: the corpus
+    (100 TB) side is read co-located from its buckets. Admitted set is
+    identical to the plain-scan form."""
+    import re
+    import shutil
+
+    from reactor_window_like_flink_spark.llm.curation import (
+        INCREMENTAL_BATCH_SOURCE,
+        build_corpus_hash_index,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS b_corpus_hash")
+    shutil.rmtree(f"{warehouse}/b_corpus_hash", ignore_errors=True)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
+        batch, corpus = docs.filter(is_batch), docs.filter(~is_batch)
+        build_corpus_hash_index(corpus, "b_corpus_hash", buckets=8)
+        out = incremental_dedup_indexed(batch, spark, "b_corpus_hash")
+        plan = formatted_plan(out)
+        # exactly one Exchange node — the batch winners aggregation; the
+        # index side satisfies the join's distribution from its buckets
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "Bucketed: true" in plan
+        got = {
+            (r["doc_id"], r["text_hash"], r["n_in_batch"])
+            for r in out.collect()
+        }
+        want = {
+            (r["doc_id"], r["text_hash"], r["n_in_batch"])
+            for r in incremental_dedup(batch, corpus).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.sql("DROP TABLE IF EXISTS b_corpus_hash")
