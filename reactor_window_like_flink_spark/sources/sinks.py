@@ -66,3 +66,33 @@ def to_console(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
     """Console sink (``df.show`` for batch; streaming uses
     ``writeStream.format('console')``)."""
     df.show(n, truncate=truncate)
+
+
+def idempotent_batch_sink(output_dir: str):
+    """The canonical exactly-once ``foreachBatch`` file sink: each
+    micro-batch overwrites its OWN ``batch_id=N`` subdirectory.
+
+    ``foreachBatch`` alone gives at-least-once: after a crash between a
+    sink write and the checkpoint commit, Spark REPLAYS the last batch
+    with the SAME ``batch_id`` — an append-mode sink would duplicate it.
+    Keying the write path by ``batch_id`` and overwriting makes the
+    replay a no-op rewrite of identical content, which upgrades the
+    pipeline to exactly-once end-to-end (checkpointed source offsets +
+    deterministic batch content + idempotent write). This is the pattern
+    the ``subscribe(consumer_df=...)`` docstring requires of callers;
+    ``tests/test_streaming.py`` replays a batch through it and asserts
+    no duplicate side effects.
+
+    Readers see the result as one hive-partitioned dataset
+    (``spark.read.parquet(output_dir)`` — ``batch_id`` becomes a column);
+    at scale, pair with ``sources.layout.compact`` to fold small
+    per-batch files into read-sized ones.
+    """
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch_id={batch_id}")
+        )
+
+    return sink

@@ -274,6 +274,14 @@ class WindowedPublisher:
         mirroring ``subscribe(consumer, errorConsumer)``
         (``WindowPublisher.java:142-150``); otherwise they fail the query.
 
+        Delivery is at-least-once at the sink boundary: after a crash
+        between a sink write and the checkpoint commit, the batch replays
+        with the SAME ``batch_id``. ``consumer_df`` callers get
+        exactly-once end-to-end iff their write is batch_id-idempotent —
+        the canonical pattern is ``sources.sinks.idempotent_batch_sink``
+        (overwrite-by-batch_id path), replay-tested in
+        ``tests/test_streaming.py``.
+
         ``drain=True`` runs in backfill mode (``Trigger.AvailableNow``):
         deliver everything already admitted — still in bounded
         micro-batches, still checkpointed — then stop on its own. The
