@@ -203,3 +203,78 @@ def test_zorder_value_locality(spark):
 
     for (x, y), z in got.items():
         assert z == morton(bucket(x), bucket(y)), (x, y)
+
+
+def test_zorder_two_column_skipping_at_sf01(spark, tmp_path):
+    """Scale measurement (the BASELINE.md Z-order line): at sf0.1 over 32
+    files, point probes on each clustered dimension separately and on
+    their conjunction, Z-order vs a linear o_custkey sort.
+
+    What the numbers mean: linear is UNBEATABLE on probes that include
+    its own sort key (a point lands in exactly 1 of 32 range-partitioned
+    files — and that includes the 2-column conjunction, which this test
+    measures and documents rather than pretending otherwise); its failure
+    mode is the other dimension, where it reads ~every file. Z-order is
+    the compromise: a few files on EVERY clustered dimension. So the
+    layout choice is a workload statement: single-dimension workloads
+    want that dimension's sort; mixed-dimension workloads want Z-order,
+    and this test pins the sf0.1 ratio that claim rests on."""
+    sf_dir = "/root/testdata/sf0.1"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 32
+    zpath = str(tmp_path / "z01")
+    lpath = str(tmp_path / "linear01")
+    zorder_write(orders, ["o_custkey", "o_totalprice"], zpath, n_files)
+    (
+        orders.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    probes = [
+        (r["o_custkey"], r["o_totalprice"])
+        for r in orders.filter(F.col("o_orderkey") % 6007 == 0)
+        .limit(40)
+        .collect()
+    ]
+    assert len(probes) >= 10
+
+    def fracs(path: str) -> dict[str, float]:
+        boxes = list(
+            zip(
+                _file_ranges(path, "o_custkey"),
+                _file_ranges(path, "o_totalprice"),
+            )
+        )
+        n = len(boxes) * len(probes)
+        hit_c = hit_p = hit_both = 0
+        for c, p in probes:
+            for (clo, chi), (plo, phi) in boxes:
+                in_c = clo <= c <= chi
+                in_p = plo <= p <= phi
+                hit_c += in_c
+                hit_p += in_p
+                hit_both += in_c and in_p
+        return {
+            "custkey": hit_c / n,
+            "totalprice": hit_p / n,
+            "both": hit_both / n,
+        }
+
+    z, lin = fracs(zpath), fracs(lpath)
+    print(f"# zorder sf0.1 skipping (fraction of 32 files read): "
+          f"z={z} linear={lin}")
+    # the other-dimension probe is the one that matters: linear reads
+    # most files, z-order prunes decisively
+    assert lin["totalprice"] > 0.5, lin
+    assert z["totalprice"] < lin["totalprice"] / 4, (z, lin)
+    # z-order still prunes (imperfectly) on the primary dimension —
+    # measured 0.34 at sf0.1: ~sqrt-of-files resolution per dimension
+    # plus row-group box overlap, the price paid for pruning both
+    assert z["custkey"] < 0.5, z
+    # and linear owns any probe that includes its sort key — document,
+    # don't fight it: the conjunction lands in exactly ceil(1) file
+    assert lin["both"] <= 1.5 / n_files
+    assert z["both"] < 0.2, z
