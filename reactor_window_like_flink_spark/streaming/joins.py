@@ -254,6 +254,7 @@ def temporal_join_event_time(
     payload_col: str = "value",
     watermark_delay: str = "10 minutes",
     emit: str = "left",
+    idle_state_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Event-time-EXACT temporal table join (Flink's versioned
     ``FOR SYSTEM_TIME AS OF``), correct under out-of-order micro-batches —
@@ -281,6 +282,16 @@ def temporal_join_event_time(
     ``"inner"`` emits nothing for them — Flink event-time temporal-join
     parity (the round-4 advisor's divergence note, now a mode flag).
 
+    ``idle_state_ttl_seconds`` bounds state for unbounded key spaces, in
+    EVENT time (deterministic — no wall-clock races): once a key's
+    buffers are empty and its base version sits more than the TTL behind
+    the watermark, the whole state row is evicted (probes after that
+    re-match as unversioned until a new version arrives — the same
+    documented trade as ``temporal_join``'s processing-time TTL). Without
+    it, per-key cost after compaction is one state row forever — the base
+    version, or just the late-drop frontier for probe-only keys —
+    O(lifetime key cardinality), fine for bounded dims.
+
     The reference engine disclaims event-time ordering outright
     (``README.md:99``); this operator completes the declared upgrade.
     """
@@ -307,6 +318,11 @@ def temporal_join_event_time(
     tagged = probes.unionByName(versions)
 
     NEG = -(1 << 62)  # "no frontier yet" / "no base version" sentinels
+    ttl_us = (
+        None
+        if idle_state_ttl_seconds is None
+        else max(1, int(idle_state_ttl_seconds * 1_000_000))
+    )
 
     def enrich(key, pdfs, state):
         if state.exists:
@@ -380,22 +396,43 @@ def temporal_join_event_time(
                 base_pay = float(v_pay[cut - 1])
                 v_us, v_pay = v_us[cut:], v_pay[cut:]
             frontier = max(frontier, wm_us)
-        state.update(
-            (
-                frontier,
-                base_vus,
-                base_pay,
-                [int(x) for x in v_us],
-                [float(x) for x in v_pay],
-                [int(x) for x in p_id],
-                [int(x) for x in p_us],
-            )
+        evict = (
+            ttl_us is not None
+            and wm_us > 0
+            and not len(p_us)
+            and not len(v_us)
+            and (base_vus == NEG or wm_us - base_vus > ttl_us)
         )
-        if len(p_us):
-            # wake when the watermark passes the oldest buffered probe
-            # (must be strictly beyond the current watermark)
+        if evict:
+            state.remove()  # idle past the event-time TTL: whole row goes
+        else:
+            state.update(
+                (
+                    frontier,
+                    base_vus,
+                    base_pay,
+                    [int(x) for x in v_us],
+                    [float(x) for x in v_pay],
+                    [int(x) for x in p_id],
+                    [int(x) for x in p_us],
+                )
+            )
             wm_ms = wm_us // 1000
-            state.setTimeoutTimestamp(max(int(p_us.min()) // 1000, wm_ms + 1))
+            wakes = []
+            if len(p_us):
+                # wake when the watermark passes the oldest buffered probe
+                wakes.append(int(p_us.min()) // 1000)
+            elif ttl_us is not None:
+                if len(v_us):
+                    # keep compaction progressing toward evictability
+                    wakes.append(int(v_us.min()) // 1000)
+                else:
+                    # wake at the eviction due time
+                    anchor = base_vus if base_vus > NEG else max(frontier, 0)
+                    wakes.append((anchor + ttl_us) // 1000)
+            if wakes:
+                # timestamps must sit strictly beyond the current watermark
+                state.setTimeoutTimestamp(max(min(wakes), wm_ms + 1))
         if out is not None:
             res = pd.DataFrame(
                 {

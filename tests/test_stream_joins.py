@@ -323,3 +323,117 @@ def test_stream_static_join_enriches_every_event(spark, tmp_path):
     tiers = {r["event_id"]: r["tier"] for r in rows}
     # left join: every event survives; unknown users get NULL tier
     assert tiers == {1: "gold", 2: "gold", 3: "silver", 4: None}
+
+
+def test_temporal_join_event_time_state_survives_restart(spark, tmp_path):
+    """The buffered mode's array-valued state (probe/version buffers)
+    must round-trip through the state store across a query restart: a
+    version buffered before the stop binds a probe finalized after it."""
+    from reactor_window_like_flink_spark.streaming.joins import (
+        temporal_join_event_time,
+    )
+
+    probes = FileStreamInput(spark, SCHEMA, str(tmp_path / "probes"))
+    versions = FileStreamInput(spark, SCHEMA, str(tmp_path / "vers"))
+    rows: list = []
+
+    def start():
+        # foreachBatch sink: the memory sink refuses checkpoint recovery
+        out = temporal_join_event_time(
+            probes.stream(), versions.stream(), watermark_delay="30 minutes"
+        )
+        return (
+            out.writeStream.foreachBatch(
+                lambda df, bid: rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    query = start()
+    try:
+        versions.publish([(100, _ts(0), 1, "v", 1.0)])
+        probes.publish([(1, _ts(5), 1, "p", 0.0)])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert rows == []  # nothing emitted yet: watermark never passed the probe
+    query = start()
+    try:
+        versions.publish([(101, _ts(10), 1, "v", 2.0)])
+        probes.publish([(2, _ts(15), 1, "p", 0.0)])
+        query.processAllAvailable()
+        noon = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+        versions.publish([(999, noon, 99, "v", 0.0)])
+        probes.publish([(998, noon, 99, "p", 0.0)])
+        query.processAllAvailable()
+        got = {
+            r["probe_id"]: (r["payload"], r["version_ts"]) for r in rows
+        }
+    finally:
+        query.stop()
+    naive = lambda m: _ts(m).replace(tzinfo=None)  # noqa: E731
+    assert got == {
+        1: (1.0, naive(0)),  # bound from state buffered BEFORE the stop
+        2: (2.0, naive(10)),
+    }
+
+
+def test_temporal_join_event_time_idle_ttl_evicts_in_event_time(
+    spark, tmp_path
+):
+    """With idle_state_ttl_seconds, a key whose base version falls more
+    than the TTL behind the watermark loses its whole state row — a later
+    probe re-matches as unversioned. Deterministic: eviction is driven by
+    the event-time watermark, no wall-clock sleeps."""
+    from datetime import timedelta
+
+    from reactor_window_like_flink_spark.streaming.joins import (
+        temporal_join_event_time,
+    )
+
+    probes = FileStreamInput(spark, SCHEMA, str(tmp_path / "probes"))
+    versions = FileStreamInput(spark, SCHEMA, str(tmp_path / "vers"))
+    out = temporal_join_event_time(
+        probes.stream(),
+        versions.stream(),
+        watermark_delay="30 minutes",
+        idle_state_ttl_seconds=3600.0,  # 1 h of EVENT time
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_tjet_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def at(hours, minutes=0):
+        return datetime(2024, 1, 1, 10, 0, tzinfo=timezone.utc) + timedelta(
+            hours=hours, minutes=minutes
+        )
+
+    try:
+        versions.publish([(100, at(0), 1, "v", 1.0)])
+        probes.publish([(1, at(0, 5), 1, "p", 0.0)])
+        query.processAllAvailable()
+        # sentinels at 13:00 -> watermark 12:30: probe 1 flushes bound to
+        # the version; the base then sits 2.5 h > 1 h TTL behind -> evicted
+        versions.publish([(901, at(3), 99, "v", 0.0)])
+        probes.publish([(902, at(3), 99, "p", 0.0)])
+        query.processAllAvailable()
+        # a probe after eviction re-matches as unversioned, even though
+        # without the TTL the 10:00 version would still be the base
+        probes.publish([(2, at(2, 40), 1, "p", 0.0)])
+        versions.publish([(903, at(4), 99, "v", 0.0)])
+        probes.publish([(904, at(4), 99, "p", 0.0)])
+        query.processAllAvailable()
+        got = {
+            r["probe_id"]: r["payload"]
+            for r in spark.sql("SELECT * FROM t_tjet_ttl").collect()
+        }
+    finally:
+        query.stop()
+    assert got[1] == 1.0  # bound while the version was live
+    assert got[2] is None  # state evicted in event time
