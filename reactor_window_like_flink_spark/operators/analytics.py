@@ -364,6 +364,83 @@ def pattern_sequence(events: DataFrame) -> DataFrame:
     """,
 )
 def q_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict view->click->purchase chains within 72 hours (see
+    """Ordered view->click->purchase chains (relaxed contiguity,
+    greedy/last-match binding) within 72 hours (see
     ``pattern_sequence``)."""
     return pattern_sequence(load(spark, sf_dir, "events"))
+
+
+def followed_by_chain(
+    events: DataFrame,
+    stages: list[str] | tuple[str, ...],
+    span_us: int = PATTERN_SPAN_US,
+) -> DataFrame:
+    """Generalized N-stage CEP chain matcher — Flink CEP's
+    ``begin(s0).followedBy(s1)...followedBy(sN-1).within(span)`` with
+    greedy last-match binding, for ANY ordered stage list (the 3-stage
+    ``pattern_sequence`` is the ``FUNNEL_STAGES`` special case, asserted
+    equal in ``tests/test_analytics.py``).
+
+    Output: one row per final-stage event whose chain completes inside
+    ``span_us`` — ``(user_id, stage0_id..stageN-1_id, span_us)``.
+
+    Plan shape is the whole point: one (user_id, us, event_id)
+    sort-shuffle, then N-1 running ``last(..., ignorenulls)`` expressions
+    over the SAME window — pattern depth adds WindowExec expressions,
+    never joins, self-unions, or extra exchanges. Each stage-i binding
+    struct carries (us0, ids) = the chain head's event time and the id
+    path so far; an event of stage i>0 whose prefix is incomplete still
+    OVERWRITES the binding with an incomplete one (null ``us0``) — that
+    is exactly greedy/blocking followedBy, where a fresh partial match
+    supersedes an older complete one."""
+    n = len(stages)
+    if n < 2:
+        raise ValueError("need at least 2 stages")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    for i, stage in enumerate(stages[:-1]):
+        if i == 0:
+            binding = F.when(
+                F.col("event_type") == stage,
+                F.struct(
+                    F.col("us").alias("us0"),
+                    F.array(F.col("event_id")).alias("ids"),
+                ),
+            )
+        else:
+            binding = F.when(
+                F.col("event_type") == stage,
+                F.struct(
+                    F.col(f"b{i - 1}.us0").alias("us0"),
+                    F.concat(
+                        F.col(f"b{i - 1}.ids"), F.array(F.col("event_id"))
+                    ).alias("ids"),
+                ),
+            )
+        df = df.withColumn(f"b{i}", F.last(binding, ignorenulls=True).over(w))
+    last_b = f"b{n - 2}"
+    out_ids = [
+        F.element_at(F.col(f"{last_b}.ids"), i + 1).alias(f"stage{i}_id")
+        for i in range(n - 1)
+    ]
+    return (
+        df.filter(F.col("event_type") == stages[-1])
+        .filter(F.col(last_b).isNotNull())
+        .filter(F.col(f"{last_b}.us0").isNotNull())
+        .select(
+            "user_id",
+            *out_ids,
+            F.col("event_id").alias(f"stage{n - 1}_id"),
+            (F.col("us") - F.col(f"{last_b}.us0")).alias("span_us"),
+        )
+        .filter(F.col("span_us") <= span_us)
+    )

@@ -1,41 +1,43 @@
-"""Streaming CEP: the watermarked stateful form of the batch
-``operators.analytics.pattern_sequence`` key — Flink CEP's
-``A followedBy B followedBy C within T`` (relaxed contiguity,
-greedy/last-match binding) on a LIVE stream.
+"""Streaming CEP: watermarked stateful chain matching — Flink CEP's
+``begin(s0).followedBy(s1)...followedBy(sN-1).within(span)`` (relaxed
+contiguity, greedy/last-match binding) on a LIVE stream, for ANY ordered
+stage list. ``pattern_sequence_stateful`` is the 3-stage
+view->click->purchase wrapper matching the batch ``q_pattern_sequence``
+key.
 
 The reference's "not inferior to Flink" claim (``README.md:10,92``)
 gestures at exactly this capability; its engine has no CEP at all, and
 the batch key only replays history. This operator runs the same pattern
-incrementally: per user, an ``applyInPandasWithState`` keeps the partial
-chain (the last view, and the last click together with the view it
-bound), finalizes events only once the watermark passes them — so
+incrementally: per user, an ``applyInPandasWithState`` keeps one partial
+binding per non-final stage (the chain head's event time plus the id
+path), finalizes events only once the watermark passes them — so
 out-of-order arrival across micro-batches cannot change a binding — and
-emits one row per completed view->click->purchase chain whose whole span
-fits inside the pattern window.
+emits one row per completed chain whose whole span fits inside the
+pattern window.
 
-Equivalence to the batch key: events are applied in (event-time,
-event_id) order exactly like the batch form's window sort, and a probe
-event is processed only when every earlier event is guaranteed present
-(watermark contract), so on a replayed bounded stream the emitted set
-EQUALS ``q_pattern_sequence``'s — asserted by ``tests/test_cep.py``.
+Equivalence to the batch form: events are applied in (event-time,
+event_id) order exactly like the batch window sort, and an event is
+processed only when every earlier event is guaranteed present (watermark
+contract), so on a replayed bounded stream the emitted set EQUALS the
+batch ``followed_by_chain`` — asserted by ``tests/test_cep.py`` on the
+full sf0.001 events fixture.
 
-State bounds (the "72 h TTL" in event time): a partial chain whose view
-is older than ``watermark - span`` can never complete inside the span —
-any future purchase is at-or-after the watermark — so it is evicted;
-ditto a buffered-empty, fully-stale key (state removed outright). Plus
-the pre-finalize buffer, O(events inside the watermark delay) per user.
-So state per key = one struct + the in-flight window, bounded by
-rate x delay, independent of stream lifetime.
+State bounds (the "span TTL" in event time): a partial binding whose
+chain head is older than ``watermark - span`` can never complete inside
+the span — any future final-stage event is at-or-after the watermark —
+so it is evicted; a buffered-empty, fully-unset key drops its state row
+outright. Plus the pre-finalize buffer, O(events inside the watermark
+delay) per user. So state per key = N-1 bindings + the in-flight window,
+bounded by rate x delay, independent of stream lifetime.
 
 Scale: one keyed shuffle (groupBy user) — the same shape as the batch
-key's single sort-exchange; pattern depth adds struct fields, never
+form's single sort-exchange; pattern depth adds state fields, never
 joins or extra shuffles.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.operators.analytics import (
     FUNNEL_STAGES,
@@ -46,25 +48,20 @@ CEP_OUTPUT_SCHEMA = (
     "user_id long, view_id long, click_id long, purchase_id long, "
     "span_us long"
 )
-CEP_STATE_SCHEMA = (
-    "frontier_us long, "
-    "v_us long, v_id long, "
-    "c_us long, c_id long, cv_us long, cv_id long, "
-    "buf_us array<long>, buf_id array<long>, buf_kind array<int>"
-)
 
 _NEG = -(1 << 62)
 
 
-def pattern_sequence_stateful(
+def followed_by_chain_stateful(
     events_stream: DataFrame,
+    stages: list[str] | tuple[str, ...],
     watermark_delay: str = "1 hour",
     span_us: int = PATTERN_SPAN_US,
 ) -> DataFrame:
-    """Streaming view->click->purchase chain matcher (see module
+    """Generalized N-stage streaming chain matcher (see module
     docstring). ``events_stream`` needs columns (event_id, ts, user_id,
-    event_type); rows with other event types pass through the buffer and
-    are ignored by the matcher, exactly like the batch form.
+    event_type); rows whose type is not in ``stages`` are ignored.
+    Output: ``(user_id, stage0_id..stageN-1_id, span_us)``.
 
     ``watermark_delay`` is the out-of-orderness the operator absorbs:
     rows later than that are dropped (Flink's past-watermark discard) —
@@ -72,26 +69,50 @@ def pattern_sequence_stateful(
     import numpy as np
     import pandas as pd
 
-    view_t, click_t, purchase_t = FUNNEL_STAGES
-    kind_of = {view_t: 0, click_t: 1, purchase_t: 2}
+    n = len(stages)
+    if n < 2:
+        raise ValueError("need at least 2 stages")
+    kind_of = {s: i for i, s in enumerate(stages)}
+    if len(kind_of) != n:
+        raise ValueError("stages must be distinct")
+
+    out_schema = (
+        "user_id long, "
+        + ", ".join(f"stage{i}_id long" for i in range(n))
+        + ", span_us long"
+    )
+    out_cols = (
+        ["user_id"] + [f"stage{i}_id" for i in range(n)] + ["span_us"]
+    )
+    # one (us0, ids) binding per non-final stage; schema built per
+    # instance — the pattern arity is known at operator construction
+    state_schema = (
+        "frontier_us long, "
+        "buf_us array<long>, buf_id array<long>, buf_kind array<int>, "
+        + ", ".join(
+            f"b{i}_us0 long, b{i}_ids array<long>" for i in range(n - 1)
+        )
+    )
 
     tagged = events_stream.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
+        "user_id", "ts", "event_id", "event_type"
     ).withWatermark("ts", watermark_delay)
 
     def match(key, pdfs, state):
         if state.exists:
-            (frontier, v_us, v_id, c_us, c_id, cv_us, cv_id,
-             buf_us, buf_id, buf_kind) = state.get
+            vals = state.get
+            frontier = vals[0]
             buf_us, buf_id, buf_kind = (
-                list(buf_us), list(buf_id), list(buf_kind)
+                list(vals[1]), list(vals[2]), list(vals[3])
             )
+            binds = [
+                [vals[4 + 2 * i], list(vals[5 + 2 * i])]
+                for i in range(n - 1)
+            ]
         else:
-            frontier = v_us = v_id = c_us = c_id = cv_us = cv_id = _NEG
+            frontier = _NEG
             buf_us, buf_id, buf_kind = [], [], []
+            binds = [[_NEG, []] for _ in range(n - 1)]
         for pdf in pdfs:  # empty on timeout-only invocations
             if not len(pdf):
                 continue
@@ -120,18 +141,24 @@ def pattern_sequence_stateful(
                     b_us[fin][order], b_id[fin][order], b_kind[fin][order]
                 ):
                     if e_kind == 0:
-                        v_us, v_id = int(e_us), int(e_id)
-                    elif e_kind == 1:
-                        # click binds the CURRENT last view (greedy)
-                        c_us, c_id = int(e_us), int(e_id)
-                        cv_us, cv_id = v_us, v_id
+                        binds[0] = [int(e_us), [int(e_id)]]
+                    elif e_kind < n - 1:
+                        prev = binds[e_kind - 1]
+                        # an incomplete prefix still OVERWRITES: greedy/
+                        # blocking followedBy — a fresh partial match
+                        # supersedes an older complete one
+                        binds[e_kind] = (
+                            [prev[0], prev[1] + [int(e_id)]]
+                            if prev[0] > _NEG
+                            else [_NEG, []]
+                        )
                     else:
-                        if c_us > _NEG and cv_us > _NEG:
-                            span = int(e_us) - cv_us
+                        head = binds[n - 2]
+                        if head[0] > _NEG:
+                            span = int(e_us) - head[0]
                             if span <= span_us:
                                 out.append(
-                                    (int(key[0]), cv_id, c_id,
-                                     int(e_id), span)
+                                    (int(key[0]), *head[1], int(e_id), span)
                                 )
                 keep = ~fin
                 buf_us = [int(x) for x in b_us[keep]]
@@ -140,43 +167,62 @@ def pattern_sequence_stateful(
             frontier = max(frontier, wm_us)
         elif wm_us > 0:
             frontier = max(frontier, wm_us)
-        # event-time TTL: a partial chain too old to ever complete inside
-        # the span (future purchases are >= watermark) is dropped
         if wm_us > 0:
-            if v_us > _NEG and wm_us - v_us > span_us:
-                v_us = v_id = _NEG
-            if cv_us > _NEG and wm_us - cv_us > span_us:
-                c_us = c_id = cv_us = cv_id = _NEG
-        if not buf_us and v_us == _NEG and c_us == _NEG:
-            state.remove()  # fully stale key: no state row at all
+            # event-time TTL: a binding whose chain head can never reach
+            # a final-stage event inside the span (those are >= watermark
+            # from here on) is dead weight — evict it
+            for i in range(n - 1):
+                if binds[i][0] > _NEG and wm_us - binds[i][0] > span_us:
+                    binds[i] = [_NEG, []]
+        if not buf_us and all(b[0] == _NEG for b in binds):
+            state.remove()  # fully unset key: no state row at all
         else:
-            state.update(
-                (frontier, v_us, v_id, c_us, c_id, cv_us, cv_id,
-                 buf_us, buf_id, buf_kind)
-            )
+            flat = []
+            for b in binds:
+                flat.extend((b[0], b[1]))
+            state.update((frontier, buf_us, buf_id, buf_kind, *flat))
             wm_ms = wm_us // 1000
             if buf_us:
                 # wake when the watermark passes the oldest buffered event
-                state.setTimeoutTimestamp(max(min(buf_us) // 1000, wm_ms + 1))
-            else:
-                # wake when the chain goes stale, to evict it
-                chain_anchor = max(v_us, cv_us)
                 state.setTimeoutTimestamp(
-                    max((chain_anchor + span_us) // 1000 + 1, wm_ms + 1)
+                    max(min(buf_us) // 1000, wm_ms + 1)
+                )
+            else:
+                # wake when the OLDEST live binding goes stale — evict
+                # promptly, then reschedule for the next one
+                anchor = min(b[0] for b in binds if b[0] > _NEG)
+                state.setTimeoutTimestamp(
+                    max((anchor + span_us) // 1000 + 1, wm_ms + 1)
                 )
         if out:
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "user_id", "view_id", "click_id", "purchase_id",
-                    "span_us",
-                ],
-            )
+            yield pd.DataFrame(out, columns=out_cols)
 
     return tagged.groupBy("user_id").applyInPandasWithState(
         match,
-        outputStructType=CEP_OUTPUT_SCHEMA,
-        stateStructType=CEP_STATE_SCHEMA,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf="EventTimeTimeout",
+    )
+
+
+def pattern_sequence_stateful(
+    events_stream: DataFrame,
+    watermark_delay: str = "1 hour",
+    span_us: int = PATTERN_SPAN_US,
+) -> DataFrame:
+    """Streaming view->click->purchase chain matcher: the
+    ``FUNNEL_STAGES`` instance of ``followed_by_chain_stateful``, with
+    the batch ``q_pattern_sequence`` key's column names."""
+    from pyspark.sql import functions as F
+
+    out = followed_by_chain_stateful(
+        events_stream, FUNNEL_STAGES, watermark_delay, span_us
+    )
+    return out.select(
+        "user_id",
+        F.col("stage0_id").alias("view_id"),
+        F.col("stage1_id").alias("click_id"),
+        F.col("stage2_id").alias("purchase_id"),
+        "span_us",
     )

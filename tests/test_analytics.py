@@ -135,3 +135,93 @@ def test_unigram_logprob_matches_hand_model(spark):
     d1 = (math.log(3) + math.log(2) + math.log(1)) / 3 - math.log(n)
     assert got[0] == (3, round(d0, 4))
     assert got[1] == (3, round(d1, 4))
+
+
+def test_followed_by_chain_matches_pattern_sequence(spark, sf_dir):
+    """The generic N-stage matcher instantiated at FUNNEL_STAGES equals
+    the hand-written 3-stage oracle key on the full fixture."""
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        FUNNEL_STAGES,
+        followed_by_chain,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    got = {
+        (r["user_id"], r["stage0_id"], r["stage1_id"], r["stage2_id"],
+         r["span_us"])
+        for r in followed_by_chain(
+            load(spark, sf_dir, "events"), FUNNEL_STAGES
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["view_id"], r["click_id"], r["purchase_id"],
+         r["span_us"])
+        for r in entry_mod.queries()["q_pattern_sequence"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_followed_by_chain_four_stages_brute_force(spark):
+    """4-stage chain (a->b->c->d) against a pure-Python model of greedy
+    last-match followedBy with blocking (an incomplete fresh prefix
+    supersedes an older complete binding), on deterministic pseudo-random
+    events including non-pattern noise types."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        followed_by_chain,
+    )
+
+    stages = ["a", "b", "c", "d"]
+    span_us = 3600 * 1_000_000  # 1 h
+    base = datetime(2024, 1, 1, 0, 0)
+    rows = []
+    state = 20260814
+    types = stages + ["x"]  # noise type never matches
+    for eid in range(400):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        user = state % 6
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        etype = types[state % len(types)]
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        minutes = state % (8 * 60)  # events inside an 8 h day
+        rows.append((eid, base + timedelta(minutes=minutes), user, etype, 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+
+    # python model
+    NEG = None
+    per_user: dict = {}
+    for eid, ts, user, etype, _ in sorted(
+        rows, key=lambda r: (r[2], r[1], r[0])
+    ):
+        if etype not in stages:
+            continue
+        us = int(ts.timestamp() * 1_000_000)
+        binds = per_user.setdefault(user, [NEG] * (len(stages) - 1))
+        k = stages.index(etype)
+        if k == 0:
+            binds[0] = (us, [eid])
+        elif k < len(stages) - 1:
+            prev = binds[k - 1]
+            binds[k] = (prev[0], prev[1] + [eid]) if prev is not NEG else NEG
+        else:
+            head = binds[-1]
+            if head is not NEG and us - head[0] <= span_us:
+                per_user.setdefault((user, "out"), []).append(
+                    (user, *head[1], eid, us - head[0])
+                )
+    want = {
+        t
+        for k, v in per_user.items()
+        if isinstance(k, tuple)
+        for t in v
+    }
+    got = {
+        (r["user_id"], r["stage0_id"], r["stage1_id"], r["stage2_id"],
+         r["stage3_id"], r["span_us"])
+        for r in followed_by_chain(df, stages, span_us).collect()
+    }
+    assert got == want and len(want) > 0

@@ -131,3 +131,68 @@ def test_cep_out_of_order_binding_and_late_drop(spark, tmp_path):
         assert _chains(spark, "t_cep_ooo") == got
     finally:
         query.stop()
+
+
+def test_followed_by_chain_stateful_four_stages(spark, tmp_path):
+    """The generic streaming engine builds its state schema from the
+    pattern arity: a 4-stage chain (a->b->c->d) matches across shuffled
+    micro-batches, and a fresh partial prefix blocks an older complete
+    binding (greedy followedBy)."""
+    from reactor_window_like_flink_spark.streaming.cep import (
+        followed_by_chain_stateful,
+    )
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "events"))
+    out = followed_by_chain_stateful(
+        src.stream(),
+        ["a", "b", "c", "d"],
+        watermark_delay="30 minutes",
+        span_us=3600 * 1_000_000,
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_cep4")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # u1 and u2: full a->b->c->d chains, ends arriving a micro-batch
+        # BEFORE their beginnings; u3 never gets a 'c', so its 'd' emits
+        # nothing. All within the 30 min delay, so nothing is late.
+        src.publish(
+            [
+                (14, _ts(9), 1, "d", 0.0),
+                (23, _ts(6), 2, "c", 0.0),
+                (33, _ts(5), 3, "b", 0.0),
+            ]
+        )
+        query.processAllAvailable()
+        src.publish(
+            [
+                (11, _ts(0), 1, "a", 0.0),
+                (12, _ts(2), 1, "b", 0.0),
+                (13, _ts(4), 1, "c", 0.0),
+                (21, _ts(0), 2, "a", 0.0),
+                (22, _ts(3), 2, "b", 0.0),
+                (24, _ts(8), 2, "d", 0.0),
+                (31, _ts(0), 3, "a", 0.0),
+                (34, _ts(7), 3, "d", 0.0),
+            ]
+        )
+        query.processAllAvailable()
+        src.publish(
+            [(99, _ts(0) + timedelta(hours=2), 99, "a", 0.0)]
+        )
+        query.processAllAvailable()
+        got = {
+            (r["user_id"], r["stage0_id"], r["stage1_id"], r["stage2_id"],
+             r["stage3_id"], r["span_us"])
+            for r in spark.sql("SELECT * FROM t_cep4").collect()
+        }
+    finally:
+        query.stop()
+    assert got == {
+        (1, 11, 12, 13, 14, 540_000_000),
+        (2, 21, 22, 23, 24, 480_000_000),
+    }
