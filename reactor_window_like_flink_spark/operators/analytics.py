@@ -374,12 +374,20 @@ def followed_by_chain(
     events: DataFrame,
     stages: list[str] | tuple[str, ...],
     span_us: int = PATTERN_SPAN_US,
+    contiguity: str = "relaxed",
 ) -> DataFrame:
     """Generalized N-stage CEP chain matcher — Flink CEP's
     ``begin(s0).followedBy(s1)...followedBy(sN-1).within(span)`` with
     greedy last-match binding, for ANY ordered stage list (the 3-stage
     ``pattern_sequence`` is the ``FUNNEL_STAGES`` special case, asserted
     equal in ``tests/test_analytics.py``).
+
+    ``contiguity``: ``"relaxed"`` is ``followedBy`` (any events may sit
+    between stages); ``"strict"`` is Flink's ``next`` / MATCH_RECOGNIZE
+    default — each stage event must be the IMMEDIATELY next event of the
+    user (any intervening event, pattern-typed or noise, breaks the
+    chain). Strict adds one ``lag`` per stage over the same window — the
+    plan still pays a single sort-shuffle.
 
     Output: one row per final-stage event whose chain completes inside
     ``span_us`` — ``(user_id, stage0_id..stageN-1_id, span_us)``.
@@ -396,17 +404,36 @@ def followed_by_chain(
     n = len(stages)
     if n < 2:
         raise ValueError("need at least 2 stages")
+    if contiguity not in ("relaxed", "strict"):
+        raise ValueError(
+            f"contiguity must be 'relaxed' or 'strict', got {contiguity!r}"
+        )
     w = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id")
     df = events.select(
         "user_id",
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
     )
+    if contiguity == "strict":
+        df = df.withColumn("_prev_id", F.lag("event_id").over(w_lag))
+
+    def chained(i: int):
+        """Stage-i >= 1 fires off the stage-(i-1) binding; under strict
+        contiguity the previous event must BE that binding's last id."""
+        cond = F.col("event_type") == stages[i]
+        if contiguity == "strict":
+            cond = cond & (
+                F.col("_prev_id")
+                == F.element_at(F.col(f"b{i - 1}.ids"), -1)
+            )
+        return cond
+
     for i, stage in enumerate(stages[:-1]):
         if i == 0:
             binding = F.when(
@@ -418,7 +445,7 @@ def followed_by_chain(
             )
         else:
             binding = F.when(
-                F.col("event_type") == stage,
+                chained(i),
                 F.struct(
                     F.col(f"b{i - 1}.us0").alias("us0"),
                     F.concat(
@@ -426,15 +453,32 @@ def followed_by_chain(
                     ).alias("ids"),
                 ),
             )
+            if contiguity == "strict":
+                # a stage-i event whose predecessor is NOT the previous
+                # binding still blocks (overwrites with incomplete):
+                # greedy semantics are contiguity-independent
+                binding = binding.otherwise(
+                    F.when(
+                        F.col("event_type") == stage,
+                        F.struct(
+                            F.lit(None).cast("long").alias("us0"),
+                            F.lit(None).cast("array<long>").alias("ids"),
+                        ),
+                    )
+                )
         df = df.withColumn(f"b{i}", F.last(binding, ignorenulls=True).over(w))
     last_b = f"b{n - 2}"
     out_ids = [
         F.element_at(F.col(f"{last_b}.ids"), i + 1).alias(f"stage{i}_id")
         for i in range(n - 1)
     ]
+    final = df.filter(F.col("event_type") == stages[-1])
+    if contiguity == "strict":
+        final = final.filter(
+            F.col("_prev_id") == F.element_at(F.col(f"{last_b}.ids"), -1)
+        )
     return (
-        df.filter(F.col("event_type") == stages[-1])
-        .filter(F.col(last_b).isNotNull())
+        final.filter(F.col(last_b).isNotNull())
         .filter(F.col(f"{last_b}.us0").isNotNull())
         .select(
             "user_id",

@@ -57,11 +57,15 @@ def followed_by_chain_stateful(
     stages: list[str] | tuple[str, ...],
     watermark_delay: str = "1 hour",
     span_us: int = PATTERN_SPAN_US,
+    contiguity: str = "relaxed",
 ) -> DataFrame:
     """Generalized N-stage streaming chain matcher (see module
     docstring). ``events_stream`` needs columns (event_id, ts, user_id,
-    event_type); rows whose type is not in ``stages`` are ignored.
-    Output: ``(user_id, stage0_id..stageN-1_id, span_us)``.
+    event_type); rows whose type is not in ``stages`` are ignored under
+    ``"relaxed"`` contiguity, and break chains under ``"strict"``
+    (Flink's ``next``: each stage event must be the user's IMMEDIATELY
+    next event, so strict mode buffers noise rows too — they carry break
+    information). Output: ``(user_id, stage0_id..stageN-1_id, span_us)``.
 
     ``watermark_delay`` is the out-of-orderness the operator absorbs:
     rows later than that are dropped (Flink's past-watermark discard) —
@@ -72,6 +76,11 @@ def followed_by_chain_stateful(
     n = len(stages)
     if n < 2:
         raise ValueError("need at least 2 stages")
+    if contiguity not in ("relaxed", "strict"):
+        raise ValueError(
+            f"contiguity must be 'relaxed' or 'strict', got {contiguity!r}"
+        )
+    strict = contiguity == "strict"
     kind_of = {s: i for i, s in enumerate(stages)}
     if len(kind_of) != n:
         raise ValueError("stages must be distinct")
@@ -85,9 +94,10 @@ def followed_by_chain_stateful(
         ["user_id"] + [f"stage{i}_id" for i in range(n)] + ["span_us"]
     )
     # one (us0, ids) binding per non-final stage; schema built per
-    # instance — the pattern arity is known at operator construction
+    # instance — the pattern arity is known at operator construction.
+    # strict mode also tracks the user's previous finalized event id.
     state_schema = (
-        "frontier_us long, "
+        "frontier_us long, prev_id long, "
         "buf_us array<long>, buf_id array<long>, buf_kind array<int>, "
         + ", ".join(
             f"b{i}_us0 long, b{i}_ids array<long>" for i in range(n - 1)
@@ -101,16 +111,16 @@ def followed_by_chain_stateful(
     def match(key, pdfs, state):
         if state.exists:
             vals = state.get
-            frontier = vals[0]
+            frontier, prev_id = vals[0], vals[1]
             buf_us, buf_id, buf_kind = (
-                list(vals[1]), list(vals[2]), list(vals[3])
+                list(vals[2]), list(vals[3]), list(vals[4])
             )
             binds = [
-                [vals[4 + 2 * i], list(vals[5 + 2 * i])]
+                [vals[5 + 2 * i], list(vals[6 + 2 * i])]
                 for i in range(n - 1)
             ]
         else:
-            frontier = _NEG
+            frontier, prev_id = _NEG, _NEG
             buf_us, buf_id, buf_kind = [], [], []
             binds = [[_NEG, []] for _ in range(n - 1)]
         for pdf in pdfs:  # empty on timeout-only invocations
@@ -123,11 +133,15 @@ def followed_by_chain_stateful(
                 ts_us, pdf["event_id"], pdf["event_type"]
             ):
                 kind = kind_of.get(row_type)
-                if kind is None or row_us < frontier:
-                    continue  # non-pattern type, or late past the frontier
+                if kind is None and not strict:
+                    continue  # relaxed ignores non-pattern types
+                if row_us < frontier:
+                    continue  # late past the frontier
                 buf_us.append(int(row_us))
                 buf_id.append(int(row_id))
-                buf_kind.append(kind)
+                # strict buffers noise rows as kind -1: they carry the
+                # chain-break information
+                buf_kind.append(-1 if kind is None else kind)
         wm_us = state.getCurrentWatermarkMs() * 1000
         out = []
         if wm_us > 0 and buf_us:
@@ -142,24 +156,33 @@ def followed_by_chain_stateful(
                 ):
                     if e_kind == 0:
                         binds[0] = [int(e_us), [int(e_id)]]
-                    elif e_kind < n - 1:
+                    elif 0 < e_kind < n - 1:
                         prev = binds[e_kind - 1]
-                        # an incomplete prefix still OVERWRITES: greedy/
-                        # blocking followedBy — a fresh partial match
-                        # supersedes an older complete one
+                        # contiguity: strict additionally requires the
+                        # user's immediately preceding event to BE the
+                        # previous binding's event. An invalid stage
+                        # event still OVERWRITES: greedy/blocking —
+                        # a fresh partial match supersedes an older
+                        # complete one, under either contiguity
+                        ok = prev[0] > _NEG and (
+                            not strict or prev[1][-1] == prev_id
+                        )
                         binds[e_kind] = (
                             [prev[0], prev[1] + [int(e_id)]]
-                            if prev[0] > _NEG
+                            if ok
                             else [_NEG, []]
                         )
-                    else:
+                    elif e_kind == n - 1:
                         head = binds[n - 2]
-                        if head[0] > _NEG:
+                        if head[0] > _NEG and (
+                            not strict or head[1][-1] == prev_id
+                        ):
                             span = int(e_us) - head[0]
                             if span <= span_us:
                                 out.append(
                                     (int(key[0]), *head[1], int(e_id), span)
                                 )
+                    prev_id = int(e_id)  # incl. noise: breaks strict chains
                 keep = ~fin
                 buf_us = [int(x) for x in b_us[keep]]
                 buf_id = [int(x) for x in b_id[keep]]
@@ -175,12 +198,17 @@ def followed_by_chain_stateful(
                 if binds[i][0] > _NEG and wm_us - binds[i][0] > span_us:
                     binds[i] = [_NEG, []]
         if not buf_us and all(b[0] == _NEG for b in binds):
-            state.remove()  # fully unset key: no state row at all
+            # fully unset key: no state row at all. (strict: losing
+            # prev_id is safe — stage-0 has no contiguity constraint and
+            # every later stage requires a live binding, which is unset)
+            state.remove()
         else:
             flat = []
             for b in binds:
                 flat.extend((b[0], b[1]))
-            state.update((frontier, buf_us, buf_id, buf_kind, *flat))
+            state.update(
+                (frontier, prev_id, buf_us, buf_id, buf_kind, *flat)
+            )
             wm_ms = wm_us // 1000
             if buf_us:
                 # wake when the watermark passes the oldest buffered event

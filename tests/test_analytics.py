@@ -173,55 +173,109 @@ def test_followed_by_chain_four_stages_brute_force(spark):
         followed_by_chain,
     )
 
-    stages = ["a", "b", "c", "d"]
+    stages, rows = _chain_events()
     span_us = 3600 * 1_000_000  # 1 h
-    base = datetime(2024, 1, 1, 0, 0)
-    rows = []
-    state = 20260814
-    types = stages + ["x"]  # noise type never matches
-    for eid in range(400):
-        state = (state * 1103515245 + 12345) % (1 << 31)
-        user = state % 6
-        state = (state * 1103515245 + 12345) % (1 << 31)
-        etype = types[state % len(types)]
-        state = (state * 1103515245 + 12345) % (1 << 31)
-        minutes = state % (8 * 60)  # events inside an 8 h day
-        rows.append((eid, base + timedelta(minutes=minutes), user, etype, 0.0))
     df = spark.createDataFrame(
         rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
     )
-
-    # python model
-    NEG = None
-    per_user: dict = {}
-    for eid, ts, user, etype, _ in sorted(
-        rows, key=lambda r: (r[2], r[1], r[0])
-    ):
-        if etype not in stages:
-            continue
-        us = int(ts.timestamp() * 1_000_000)
-        binds = per_user.setdefault(user, [NEG] * (len(stages) - 1))
-        k = stages.index(etype)
-        if k == 0:
-            binds[0] = (us, [eid])
-        elif k < len(stages) - 1:
-            prev = binds[k - 1]
-            binds[k] = (prev[0], prev[1] + [eid]) if prev is not NEG else NEG
-        else:
-            head = binds[-1]
-            if head is not NEG and us - head[0] <= span_us:
-                per_user.setdefault((user, "out"), []).append(
-                    (user, *head[1], eid, us - head[0])
-                )
-    want = {
-        t
-        for k, v in per_user.items()
-        if isinstance(k, tuple)
-        for t in v
-    }
+    want = _chain_model(rows, stages, span_us, strict=False)
     got = {
         (r["user_id"], r["stage0_id"], r["stage1_id"], r["stage2_id"],
          r["stage3_id"], r["span_us"])
         for r in followed_by_chain(df, stages, span_us).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _chain_events(n_events: int = 400, seed: int = 20260814):
+    """Deterministic pseudo-random event rows shared by the chain tests:
+    6 users, types a/b/c/d plus noise 'x', inside an 8 h day — plus, for
+    users 0-1, one guaranteed CONSECUTIVE a,b,c,d run after the random
+    window (a 4-in-a-row run is too rare to appear by chance, and the
+    strict-contiguity tests need a non-empty expectation)."""
+    stages = ["a", "b", "c", "d"]
+    base = datetime(2024, 1, 1, 0, 0)
+    rows = []
+    state = seed
+    types = stages + ["x"]
+    for eid in range(n_events):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        user = state % 6
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        etype = types[state % len(types)]
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        minutes = state % (8 * 60)
+        rows.append((eid, base + timedelta(minutes=minutes), user, etype, 0.0))
+    eid = n_events
+    for user in (0, 1):
+        for k, etype in enumerate(stages):
+            rows.append(
+                (eid, base + timedelta(minutes=600 + user * 10 + k),
+                 user, etype, 0.0)
+            )
+            eid += 1
+    return stages, rows
+
+
+def _chain_model(rows, stages, span_us, strict):
+    """Pure-Python reference for greedy last-match chains with blocking,
+    relaxed or strict (next) contiguity — noise events break strict
+    chains."""
+    n = len(stages)
+    out = set()
+    by_user: dict = {}
+    for eid, ts, user, etype, _ in sorted(
+        rows, key=lambda r: (r[2], r[1], r[0])
+    ):
+        st = by_user.setdefault(user, {"binds": [None] * (n - 1), "prev": None})
+        us = int(ts.timestamp() * 1_000_000)
+        if etype in stages:
+            k = stages.index(etype)
+            binds = st["binds"]
+            if k == 0:
+                binds[0] = (us, (eid,))
+            elif k < n - 1:
+                prev = binds[k - 1]
+                ok = prev is not None and (
+                    not strict or st["prev"] == prev[1][-1]
+                )
+                binds[k] = (prev[0], prev[1] + (eid,)) if ok else None
+            else:
+                head = binds[n - 2]
+                if (
+                    head is not None
+                    and (not strict or st["prev"] == head[1][-1])
+                    and us - head[0] <= span_us
+                ):
+                    out.add((user, *head[1], eid, us - head[0]))
+        st["prev"] = eid
+    return out
+
+
+def test_followed_by_chain_strict_contiguity_brute_force(spark):
+    """Strict (Flink next / MATCH_RECOGNIZE) contiguity: every stage
+    event must be the user's immediately next event — noise and repeated
+    stage events break chains. Verified against the Python model, and
+    strict output is a subset of relaxed."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        followed_by_chain,
+    )
+
+    stages, rows = _chain_events()
+    span_us = 3600 * 1_000_000
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    got = {
+        (r["user_id"], r["stage0_id"], r["stage1_id"], r["stage2_id"],
+         r["stage3_id"], r["span_us"])
+        for r in followed_by_chain(
+            df, stages, span_us, contiguity="strict"
+        ).collect()
+    }
+    want = _chain_model(rows, stages, span_us, strict=True)
+    assert got == want
+    relaxed = _chain_model(rows, stages, span_us, strict=False)
+    assert want <= relaxed and len(want) < len(relaxed)
+    assert len(want) > 0  # the fixture really produces strict chains

@@ -196,3 +196,67 @@ def test_followed_by_chain_stateful_four_stages(spark, tmp_path):
         (1, 11, 12, 13, 14, 540_000_000),
         (2, 21, 22, 23, 24, 480_000_000),
     }
+
+
+def test_followed_by_chain_stateful_strict_matches_batch(spark, tmp_path):
+    """Strict (next) contiguity in the streaming engine: the 400-row
+    pseudo-random fixture (noise included — noise rows must be buffered,
+    they carry chain breaks) replayed through the stream equals the batch
+    strict matcher exactly."""
+    from test_analytics import _chain_events, _chain_model
+
+    from reactor_window_like_flink_spark.operators.analytics import (
+        followed_by_chain,
+    )
+    from reactor_window_like_flink_spark.streaming.cep import (
+        followed_by_chain_stateful,
+    )
+
+    stages, rows = _chain_events()
+    span_us = 3600 * 1_000_000
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "events"))
+    out = followed_by_chain_stateful(
+        src.stream(),
+        stages,
+        watermark_delay="9 hours",
+        span_us=span_us,
+        contiguity="strict",
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_cep_strict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # three id-hashed slices (time disorder across batches, inside
+        # the 9 h delay), then a far-future sentinel flushes everything
+        for part in range(3):
+            src.publish([r for r in rows if r[0] % 3 == part])
+            query.processAllAvailable()
+        src.publish(
+            [(10**6, datetime(2024, 1, 2, 12, 0), 99, "a", 0.0)]
+        )
+        query.processAllAvailable()
+        got = {
+            (r["user_id"], r["stage0_id"], r["stage1_id"], r["stage2_id"],
+             r["stage3_id"], r["span_us"])
+            for r in spark.sql("SELECT * FROM t_cep_strict").collect()
+        }
+    finally:
+        query.stop()
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    want_batch = {
+        (r["user_id"], r["stage0_id"], r["stage1_id"], r["stage2_id"],
+         r["stage3_id"], r["span_us"])
+        for r in followed_by_chain(
+            df, stages, span_us, contiguity="strict"
+        ).collect()
+    }
+    assert got == want_batch
+    assert want_batch == _chain_model(rows, stages, span_us, strict=True)
+    assert len(want_batch) > 0
