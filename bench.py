@@ -58,6 +58,7 @@ HEADLINE = [
     "q_cohort_retention",
     "q_sessionize",
     "q_pattern_sequence",
+    "q_pattern_sequence_strict",
     "q_unigram_logprob",
     "q_fingerprint",
     "q_fingerprint_fast",

@@ -488,3 +488,71 @@ def followed_by_chain(
         )
         .filter(F.col("span_us") <= span_us)
     )
+
+
+@REG.add(
+    "q_pattern_sequence_strict",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    l AS (
+      SELECT *,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev_id
+      FROM e
+    ),
+    v AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = '{FUNNEL_STAGES[0]}'
+                             THEN struct_pack(v_us := us, v_id := event_id)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view
+      FROM l
+    ),
+    c AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = '{FUNNEL_STAGES[1]}' THEN
+               CASE WHEN prev_id = (last_view).v_id
+                    THEN struct_pack(c_us := us, c_id := event_id,
+                                     c_view := last_view)
+                    ELSE struct_pack(c_us := us, c_id := event_id,
+                                     c_view := CAST(NULL AS
+                                       STRUCT(v_us BIGINT, v_id BIGINT)))
+               END
+             END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click
+      FROM v
+    )
+    SELECT user_id,
+           (last_click).c_view.v_id AS view_id,
+           (last_click).c_id AS click_id,
+           event_id AS purchase_id,
+           us - (last_click).c_view.v_us AS span_us
+    FROM c
+    WHERE event_type = '{FUNNEL_STAGES[2]}'
+      AND last_click IS NOT NULL
+      AND prev_id = (last_click).c_id
+      AND (last_click).c_view IS NOT NULL
+      AND us - (last_click).c_view.v_us <= {PATTERN_SPAN_US}
+    """,
+)
+def q_pattern_sequence_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity (Flink ``next`` / MATCH_RECOGNIZE-default) CEP:
+    view, click, purchase as the user's CONSECUTIVE events — any
+    intervening event (including the fixture's ``error`` noise type)
+    breaks the chain. The ``contiguity='strict'`` instance of
+    ``followed_by_chain``; the oracle mirrors the lag-based contiguity
+    checks on the identical window."""
+    out = followed_by_chain(
+        load(spark, sf_dir, "events"), FUNNEL_STAGES, contiguity="strict"
+    )
+    return out.select(
+        "user_id",
+        F.col("stage0_id").alias("view_id"),
+        F.col("stage1_id").alias("click_id"),
+        F.col("stage2_id").alias("purchase_id"),
+        "span_us",
+    )
