@@ -63,6 +63,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",
+    "q_chunk_tokens",
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
     "q_tpch_q10_shape",

@@ -341,3 +341,66 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", b.alias("bucket"))
         .filter(F.col("bucket") < _strata_rate(F.col("lang")))
     )
+
+
+# Context-window chunking: the step between curation and packing in a
+# training pipeline — split each document into fixed-size overlapping
+# token windows (stride < window = overlap tokens shared by neighbors).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@REG.add(
+    "q_chunk_tokens",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, start_tok,
+                               start_tok + {CHUNK_TOKENS} - 1)) AS BIGINT)
+             AS n_tok,
+           md5(array_to_string(
+             list_slice(toks, start_tok, start_tok + {CHUNK_TOKENS} - 1),
+             ' ')) AS chunk_hash
+    FROM t, unnest(generate_series(1, greatest(len(toks), 1),
+                                   {CHUNK_STRIDE})) AS u(start_tok)
+    """,
+)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document's whitespace tokens split
+    into {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens (the
+    final window may be shorter), emitting a deterministic md5 per chunk
+    — the unit for chunk-level dedup / retrieval indexing.
+
+    Scale shape: narrow scan (doc_id, text) → per-row ``sequence`` +
+    ``explode`` + ``slice``, all JVM expressions inside whole-stage
+    codegen — zero shuffles, output rows ~ tokens/stride per doc. The
+    explode multiplies rows before any shuffle a downstream op adds, so
+    chunk-level dedup keys on (chunk_hash) exactly like
+    ``q_dedup_exact`` keys on md5(text)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    e = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(size(toks), 1), {CHUNK_STRIDE})"
+            )
+        ).alias("start_tok"),
+    )
+    chunk = F.expr(f"slice(toks, start_tok, {CHUNK_TOKENS})")
+    return e.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / CHUNK_STRIDE)
+        .cast("long")
+        .alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

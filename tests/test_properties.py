@@ -109,6 +109,15 @@ def test_prefix_jaccard_join_is_lossless(spark, doc_sets, threshold):
             if jac >= threshold:
                 want[(i, j)] = round(jac, 4)
     assert got == want
+    # the Arrow lexsort confirm kernel must be BIT-identical on any
+    # input, not just the fixtures (shared-oracle guarantee)
+    arrow = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_join(
+            hashed, threshold, kernel="arrow"
+        ).collect()
+    }
+    assert arrow == want
 
 
 @SETTINGS
