@@ -60,6 +60,13 @@ HEADLINE = [
     "q_pattern_sequence",
     "q_pattern_sequence_strict",
     "q_unigram_logprob",
+    "q_bm25_topterms",
+    "q_inverted_index",
+    "q_bigram_pmi",
+    "q_zipf_slope",
+    "q_anomaly_mad",
+    "q_source_drift",
+    "q_dedup_chunks",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

@@ -15,6 +15,7 @@ from reactor_window_like_flink_spark.llm.curation import REG as CURATION_REG
 from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
 from reactor_window_like_flink_spark.llm.multimodal import REG as MULTIMODAL_REG
 from reactor_window_like_flink_spark.llm.profiling import REG as PROFILING_REG
+from reactor_window_like_flink_spark.llm.retrieval import REG as RETRIEVAL_REG
 from reactor_window_like_flink_spark.llm.sampling import REG as SAMPLING_REG
 from reactor_window_like_flink_spark.llm.similarity import REG as SIMILARITY_REG
 from reactor_window_like_flink_spark.llm.text import REG as TEXT_REG
@@ -24,6 +25,7 @@ REGS = [
     CLUSTERING_REG,
     SIMILARITY_REG,
     TEXT_REG,
+    RETRIEVAL_REG,
     CURATION_REG,
     PROFILING_REG,
     SAMPLING_REG,
@@ -38,6 +40,7 @@ __all__ = [
     "PROFILING_REG",
     "SIMILARITY_REG",
     "TEXT_REG",
+    "RETRIEVAL_REG",
     "SAMPLING_REG",
     "MULTIMODAL_REG",
 ]

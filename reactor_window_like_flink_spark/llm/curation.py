@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
 from reactor_window_like_flink_spark.llm.dedup import _shingles_from_toks, _tokenized
-from reactor_window_like_flink_spark.llm.sampling import _duck_bucket, _hash_bucket
+from reactor_window_like_flink_spark.llm.sampling import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    _duck_bucket,
+    _hash_bucket,
+    q_chunk_tokens,
+)
 from reactor_window_like_flink_spark.sources.tables import load
 
 REG = Registry()
@@ -461,3 +467,138 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
     return incremental_dedup(docs.filter(is_batch), docs.filter(~is_batch))
+
+
+# Source-drift (PSI) contract: fixed n_chars buckets so runs compare
+# across snapshots; +0.5 Laplace smoothing keeps empty buckets finite and
+# both engines' arithmetic exact-integer-derived.
+DRIFT_BUCKET_WIDTH = 50
+DRIFT_BUCKETS = 12  # clamps [0, 600) doc-length domain
+
+
+@REG.add(
+    "q_source_drift",
+    f"""
+    WITH c AS (
+      SELECT source,
+             LEAST({DRIFT_BUCKETS - 1},
+                   CAST(FLOOR(n_chars / {DRIFT_BUCKET_WIDTH}) AS INT))
+               AS bucket,
+             count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    b AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cb FROM c GROUP BY bucket),
+    s AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM c GROUP BY source),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM b),
+    n AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM b),
+    j AS (
+      SELECT s.source, s.ns, b.bucket, b.cb, COALESCE(c.cnt, 0) AS cnt
+      FROM s CROSS JOIN b
+      LEFT JOIN c ON c.source = s.source AND c.bucket = b.bucket
+    )
+    SELECT source, ns AS n_docs,
+           ROUND(SUM(((cnt + 0.5) / (ns + 0.5 * k.k)
+                      - (cb + 0.5) / (n.n + 0.5 * k.k))
+                     * ln(((cnt + 0.5) / (ns + 0.5 * k.k))
+                          / ((cb + 0.5) / (n.n + 0.5 * k.k)))), 4) AS psi
+    FROM j, k, n
+    GROUP BY source, ns
+    """,
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift vs the whole corpus: Population
+    Stability Index over the doc-length (n_chars) histogram — the
+    "did this crawl source change shape since the baseline?" monitor
+    (PSI > 0.2 is the conventional act-on-it threshold).
+
+    PSI_s = sum_b (p_b - q_b) * ln(p_b / q_b), p = smoothed source share,
+    q = smoothed corpus share, +0.5 Laplace smoothing over the K observed
+    buckets so empty buckets stay finite and the sum is defined everywhere.
+
+    Scale shape: ONE (source, bucket) count aggregate off the narrow scan
+    (map-side combined; n_chars is a stored column, the text is never
+    read); corpus-bucket and per-source totals RE-aggregate those counts;
+    the zero-fill grid is an O(sources x buckets) cross join of two tiny
+    aggregates, and every downstream join is broadcast. Output is
+    O(sources) rows at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(DRIFT_BUCKETS - 1),
+        F.floor(F.col("n_chars") / DRIFT_BUCKET_WIDTH).cast("int"),
+    )
+    c = (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    b = c.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cb"))
+    s = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("ns"))
+    k = b.agg(F.count("*").cast("long").alias("k"))
+    n = b.agg(F.sum("cb").cast("long").alias("n"))
+    grid = s.crossJoin(F.broadcast(b))
+    j = (
+        grid.join(c, ["source", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(n))
+    )
+    p = (F.col("cnt") + 0.5) / (F.col("ns") + 0.5 * F.col("k"))
+    q = (F.col("cb") + 0.5) / (F.col("n") + 0.5 * F.col("k"))
+    return (
+        j.withColumn("_t", (p - q) * F.log(p / q))
+        .groupBy("source", "ns")
+        .agg(F.round(F.sum("_t"), 4).alias("psi"))
+        .select("source", F.col("ns").alias("n_docs"), "psi")
+    )
+
+
+@REG.add(
+    "q_dedup_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, start_tok, start_tok + {CHUNK_TOKENS} - 1),
+               ' ')) AS chunk_hash,
+             len(list_slice(toks, start_tok,
+                            start_tok + {CHUNK_TOKENS} - 1)) AS n_tok
+      FROM t, unnest(generate_series(1, greatest(len(toks), 1),
+                                     {CHUNK_STRIDE})) AS u(start_tok)
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS keep_doc_id
+    FROM ch
+    WHERE n_tok = {CHUNK_TOKENS}
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup: full {CHUNK_TOKENS}-token context windows (from
+    ``q_chunk_tokens``) that recur across >= 2 documents — the
+    passage-granularity pass that catches syndicated paragraphs inside
+    otherwise-distinct documents, which doc-level exact/near dedup misses.
+    Short tail windows are excluded (they'd alias every shared suffix).
+
+    Scale shape: the chunking stays a narrow zero-shuffle explode; the
+    only shuffle keys on chunk_hash (32-hex string — text never moves,
+    same economics as q_dedup_exact), with the distinct-doc count and
+    min-id survivor computed in the same map-side-combined aggregate.
+    Output is O(duplicated chunks) rows."""
+    chunks = q_chunk_tokens(spark, sf_dir).filter(
+        F.col("n_tok") == CHUNK_TOKENS
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

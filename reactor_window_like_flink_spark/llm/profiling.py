@@ -200,3 +200,119 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outliers over ``events.value`` (see
     ``zscore_outliers``)."""
     return zscore_outliers(load(spark, sf_dir, "events"), "event_type", "value")
+
+
+# Robust (MAD) outlier contract: the Iglewicz-Hoaglin modified z-score —
+# 0.6745 * (x - median) / MAD — flags at the standard 3.5 cutoff. Unlike
+# the mean/stddev z-score above, one corrupt heavy row cannot drag the
+# center/scale estimate and mask itself (50% breakdown point vs 0%).
+MAD_SCALE = 0.6745
+MAD_CUTOFF = 3.5
+
+
+@REG.add(
+    "q_anomaly_mad",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+      HAVING quantile_cont(abs(e.value - m.med), 0.5) > 0
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND({MAD_SCALE} * (e.value - m.med) / d.mad, 3) AS mz
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs({MAD_SCALE} * (e.value - m.med) / d.mad) > {MAD_CUTOFF}
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via the MAD modified z-score
+    (Iglewicz & Hoaglin 1993): |{MAD_SCALE}*(x - median)/MAD| > {MAD_CUTOFF}
+    over ``events.value`` per event_type — the quality filter that stays
+    calibrated even when the contamination itself is extreme.
+
+    Scale shape: two tiny O(groups) aggregates (median, then MAD of
+    absolute deviations) each broadcast back onto the scan; the fact side
+    never shuffles. Exact ``percentile`` keeps the oracle bit-matched; the
+    100 TB swap is ``percentile_approx`` (mergeable sketch, no per-group
+    sort), same as q_agg_quantile. Zero-MAD groups (>50% of rows at one
+    value) are dropped — no deviation is measurable there and the division
+    stays ANSI-safe."""
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+        .filter(F.col("mad") > 0)
+    )
+    mz = F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(mz) > MAD_CUTOFF)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(mz, 3).alias("mz"),
+        )
+    )
+
+
+# Numeric-column correlation battery for the fact table. The +0.0 after
+# rounding normalizes IEEE -0.0 (a near-zero correlation can round to
+# negative zero in one engine and positive zero in the other).
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@REG.add(
+    "q_corr_matrix",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{x}' AS col_x, '{y}' AS col_y,
+           ROUND(corr({x}, {y}), 4) + 0.0 AS pearson_r
+    FROM lineitem"""
+        for i, x in enumerate(CORR_COLS)
+        for y in CORR_COLS[i + 1 :]
+    ),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations among the lineitem numeric measures
+    — the feature-redundancy / leakage screen run before any model sees
+    the table (a |r| ~ 1 pair means one column is derivable from the
+    other and should be dropped or flagged).
+
+    Scale shape: ONE wide aggregate computes all C(n,2) co-moment pairs
+    in a single scan (Spark's corr is a streaming one-pass co-moment
+    update, map-side combined — no per-pair rescan, no row materialization
+    of pairs), then a ``stack`` unpivot emits the O(n^2) tidy rows from
+    the 1-row wide result. Adding a column costs n more expressions on
+    the same scan, never another pass."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        (x, y)
+        for i, x in enumerate(CORR_COLS)
+        for y in CORR_COLS[i + 1 :]
+    ]
+    wide = li.agg(
+        *[
+            (F.round(F.corr(x, y), 4) + F.lit(0.0)).alias(f"_c_{i}")
+            for i, (x, y) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{x}', '{y}', _c_{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_r)"
+        )
+    )

@@ -1,0 +1,337 @@
+"""Retrieval-indexing operators over the ``documents`` table: BM25 term
+ranking, an inverted (posting-list) index, and PMI collocation mining.
+
+These are the lexical half of a retrieval/curation stack (the vector half
+lives in ``llm/similarity.py``): BM25 is the standard first-stage ranker,
+the inverted index is the physical structure behind it, and PMI
+collocations feed tokenizer-vocabulary and phrase-mining decisions.
+
+Scale shape shared by all three: ONE token/bigram explode lands in a
+(doc, term) or bigram counts aggregate (map-side combined — the shuffle
+carries counts, never text), and everything downstream re-aggregates or
+keyed-joins those counts. Corpus-level scalars (N docs, total tokens,
+average doc length) enter as broadcast 1-row aggregates, never a driver
+collect. No operator here shuffles raw tokens twice.
+
+Reference parity note: the reference engine (``WindowPublisher.java``) has
+no text surface; north-star scope per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.llm.text import _tokens
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+# BM25 parameters (Robertson et al., TREC-3; the Lucene defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_TERMS = 3
+
+# Inverted index: drop hapax terms (df = 1) — they dominate the vocabulary
+# but serve no multi-document retrieval purpose; a production index keeps
+# them in a separate spill tier if exact-phrase recall needs them.
+INDEX_MIN_DF = 2
+
+# PMI collocations: a minimum pair count keeps the estimator out of the
+# low-frequency regime where PMI degenerates to ln(N/c_x c_y) noise.
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 50
+
+
+@REG.add(
+    "q_bm25_topterms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, term, ROUND(s, 4) AS bm25, CAST(rn AS INT) AS rank
+    FROM (SELECT doc_id, term, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= {BM25_TOP_TERMS}
+    """,
+)
+def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP_TERMS} BM25 terms per document — the standard
+    first-stage lexical ranker (Robertson/Sparck-Jones probabilistic
+    weighting with tf saturation and doc-length normalization), k1=1.2,
+    b=0.75, Lucene's ln(1 + (N-df+0.5)/(df+0.5)) non-negative idf.
+
+    Pipeline: explode -> (doc, term) tf aggregate; doc length and term df
+    both RE-aggregate tf (the token shuffle happens once); N and avgdl
+    form a broadcast 1-row aggregate from the O(docs) dl side (exact:
+    integer sum / integer count). Scoring joins tf⋈df on term and tf⋈dl
+    on doc_id — both keyed hash joins — then a per-doc top-k window with
+    (score, term) tie-break. Same shuffle economics as q_tfidf_topterms
+    with one extra O(docs) join; at 100 TB the df side is the vocabulary
+    (small) and broadcasts under AQE."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_TERMS)
+        .select("doc_id", "term", F.round("_s", 4).alias("bm25"), "rank")
+    )
+
+
+@REG.add(
+    "q_inverted_index",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           list_sort(list(doc_id)) AS postings
+    FROM tf
+    GROUP BY term
+    HAVING count(*) >= {INDEX_MIN_DF}
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> sorted doc_id posting list with df
+    and total term frequency, hapax terms (df < {INDEX_MIN_DF}) dropped.
+    This is the physical structure behind q_bm25_topterms served as a
+    query-time index instead of a batch score.
+
+    Pipeline: explode -> (doc, term) tf aggregate -> per-term
+    collect_list + array_sort. The shuffle key is the term (short string)
+    and the shuffled payload is (doc_id, tf) pairs — text never moves.
+    Posting lists are per-term rows, so a 100 TB corpus parallelizes by
+    vocabulary; the known hazard is a stopword's posting list exceeding
+    one task's memory, which a production build tiers out by storing
+    df-above-threshold terms as bitmap/roaring segments instead of one
+    array row (the HAVING clause is where that tier split attaches)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+
+
+@REG.add(
+    "q_bigram_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, u.pair
+      FROM toks, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1]))
+             AS u(pair)
+      WHERE len(t) >= 2
+    ),
+    pc AS (SELECT pair, count(*) AS c_xy FROM pairs GROUP BY pair),
+    uni AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+    b AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS b FROM pc)
+    SELECT pair,
+           CAST(c_xy AS BIGINT) AS pair_count,
+           ROUND(ln((c_xy / b.b)
+                    / ((cx.c / n.n) * (cy.c / n.n))), 4) AS pmi
+    FROM pc
+    JOIN uni cx ON cx.term = string_split(pc.pair, ' ')[1]
+    JOIN uni cy ON cy.term = string_split(pc.pair, ' ')[2], n, b
+    WHERE c_xy >= {PMI_MIN_PAIR}
+    ORDER BY pmi DESC, pair
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP_K} adjacent-token bigrams by
+    pointwise mutual information, pairs seen >= {PMI_MIN_PAIR} times.
+    PMI = ln(P(xy) / (P(x)P(y))) under the corpus unigram/bigram models —
+    the classic phrase-detection score (Church & Hanks 1990) feeding
+    tokenizer-merge and phrase-vocabulary decisions.
+
+    Pipeline: per-row bigram construction is a pure JVM ``transform`` over
+    the token array (no self-join of token positions); bigram and unigram
+    counts are two explode->agg passes whose shuffles carry short strings
+    + counts; the pair->unigram joins key on the component token (the
+    unigram side is the vocabulary — broadcast-sized under AQE); corpus
+    totals N and B are broadcast 1-row aggregates (exact integer sums).
+    Final top-k is TakeOrderedAndProject over O(|distinct pairs|) rows
+    with (pmi, pair) deterministic ordering."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1)))"
+                )
+            ).alias("pair")
+        )
+    )
+    pc = pairs.groupBy("pair").agg(F.count("*").alias("c_xy"))
+    uni = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("double").alias("n"))
+    b = pc.agg(F.sum("c_xy").cast("double").alias("b"))
+    cx = uni.select(
+        F.col("term").alias("_x"), F.col("c").alias("_cx")
+    )
+    cy = uni.select(
+        F.col("term").alias("_y"), F.col("c").alias("_cy")
+    )
+    pmi = F.log(
+        (F.col("c_xy") / F.col("b"))
+        / ((F.col("_cx") / F.col("n")) * (F.col("_cy") / F.col("n")))
+    )
+    return (
+        pc.filter(F.col("c_xy") >= PMI_MIN_PAIR)
+        .withColumn("_x", F.split("pair", " ")[0])
+        .withColumn("_y", F.split("pair", " ")[1])
+        .join(cx, "_x")
+        .join(cy, "_y")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "pair",
+            F.col("c_xy").cast("long").alias("pair_count"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(PMI_TOP_K)
+    )
+
+
+@REG.add(
+    "q_zipf_slope",
+    """
+    WITH tf AS (
+      SELECT source, term, count(*) AS c
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY source, term
+    ),
+    ranked AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, term) AS rank
+      FROM tf
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           ROUND(covar_samp(ln(rank), ln(c))
+                 / nullif(var_samp(ln(rank)), 0), 4) AS zipf_slope,
+           ROUND(covar_samp(ln(rank), ln(c)) * covar_samp(ln(rank), ln(c))
+                 / nullif(var_samp(ln(rank)) * var_samp(ln(c)), 0), 4) AS r2
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: OLS slope of ln(term frequency) against
+    ln(frequency rank) — the corpus-health metric (natural language sits
+    near slope -1; templated/degenerate text flattens toward 0, and a
+    source whose slope shifts between snapshots changed its generator).
+
+    Pipeline: explode -> (source, term) count aggregate (shuffle carries
+    counts, never text); within-source ranks from one window over the
+    O(sources x vocab) aggregate with (count desc, term) deterministic
+    tie-break; slope/r2 from closed-form second-moment aggregates
+    (covar/var/corr are one-pass map-side-combined co-moments — no
+    iterative fitting). Output is O(sources) rows at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    ranked = tf.withColumn("rank", F.row_number().over(w))
+    x = F.log("rank")
+    y = F.log("c")
+    # r2 as covar^2/(var_x*var_y) with guarded division instead of
+    # corr()^2: ANSI mode makes corr raise DIVIDE_BY_ZERO on a
+    # zero-variance side (an all-equal-frequency source), where the fit
+    # is undefined and NULL is the right answer.
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(
+            F.try_divide(F.covar_samp(x, y), F.var_samp(x)), 4
+        ).alias("zipf_slope"),
+        F.round(
+            F.try_divide(
+                F.covar_samp(x, y) * F.covar_samp(x, y),
+                F.var_samp(x) * F.var_samp(y),
+            ),
+            4,
+        ).alias("r2"),
+    )
