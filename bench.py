@@ -67,6 +67,11 @@ HEADLINE = [
     "q_anomaly_mad",
     "q_source_drift",
     "q_dedup_chunks",
+    "q_token_entropy",
+    "q_ngram_novelty",
+    "q_winsorize",
+    "q_skew_profile",
+    "q_resample_ffill",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

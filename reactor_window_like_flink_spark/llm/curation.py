@@ -602,3 +602,64 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+NOVELTY_NGRAM = 3  # same trigram width as decontamination
+
+
+@REG.add(
+    "q_ngram_novelty",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(string_split(lower(text), ' ')) < 3
+               THEN [lower(text)]
+               ELSE list_transform(
+                 generate_series(1, len(string_split(lower(text), ' ')) - 2),
+                 i -> string_split(lower(text), ' ')[i] || ' '
+                      || string_split(lower(text), ' ')[i + 1] || ' '
+                      || string_split(lower(text), ' ')[i + 2]) END) AS sh
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    dfc AS (SELECT s, count(*) AS n_docs FROM ex GROUP BY s)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN dfc.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(sum(CASE WHEN dfc.n_docs = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS novelty
+    FROM ex JOIN dfc USING (s)
+    GROUP BY ex.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT word
+    trigrams that appear in no other document — the complement of the
+    repetition/boilerplate axis (novelty ~ 0 means the doc is assembled
+    from corpus-common phrases; ~1 means genuinely new text, or noise).
+    The dedup/curation stack uses it to pick which duplicate to keep and
+    to cap the template-heavy tail.
+
+    Scale shape: same economics as q_decontaminate — per-doc distinct
+    shingles from pure JVM array ops, one explode whose shuffle carries
+    (doc_id, trigram) pairs, trigram document-frequency as a re-aggregate
+    of that explode (ReusedExchange under AQE), then a keyed join back and
+    a per-doc count aggregate. Text never shuffles."""
+    toks = _tokenized(spark, sf_dir)
+    ex = toks.select(
+        "doc_id", F.explode(_shingles_from_toks(NOVELTY_NGRAM)).alias("s")
+    )
+    dfc = ex.groupBy("s").agg(F.count("*").alias("n_docs"))
+    novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (
+        ex.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count("*"), 4
+            ).alias("novelty"),
+        )
+    )

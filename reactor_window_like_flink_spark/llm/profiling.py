@@ -19,7 +19,7 @@ no profiling surface; north-star scope from BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
@@ -315,4 +315,165 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_r)"
         )
+    )
+
+
+# Winsorization bounds: the conventional p01/p99 clip.
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@REG.add(
+    "q_winsorize",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS p01,
+             quantile_cont(value, {WINSOR_HI}) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(q.p01, 4) AS p01,
+           ROUND(q.p99, 4) AS p99,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < q.p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > q.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_hi,
+           ROUND(avg(e.value), 4) AS mean_raw,
+           ROUND(avg(GREATEST(q.p01, LEAST(q.p99, e.value))), 4)
+             AS mean_winsor
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.p01, q.p99
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization audit: clip ``events.value`` to its
+    event_type's [p01, p99] and report clip counts plus the mean shift —
+    the robust-cleaning pass run before any mean-sensitive feature or
+    loss statistic is computed from heavy-tailed metrics.
+
+    Scale shape: one tiny O(groups) exact-percentile aggregate broadcast
+    back onto the scan (fact side never shuffles), then a single
+    map-side-combined audit aggregate — same two-pass economics as
+    q_anomaly_mad. 100 TB swap: ``percentile_approx``. The clip itself is
+    the pure expression ``greatest(p01, least(p99, value))``; emitting
+    clipped rows instead of the audit is the same plan minus the final
+    aggregate."""
+    events = load(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("p01"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("p99"),
+    )
+    clipped = F.greatest(
+        F.col("p01"), F.least(F.col("p99"), F.col("value"))
+    )
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsor"),
+        )
+        .select(
+            "event_type",
+            F.round("p01", 4).alias("p01"),
+            F.round("p99", 4).alias("p99"),
+            "n",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "mean_raw",
+            "mean_winsor",
+        )
+    )
+
+
+def skew_metrics(df: DataFrame, key: str, label: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for one key column: group-size
+    distribution stats + the Gini coefficient over group sizes. This is
+    the measurement that decides whether a join/agg on ``key`` needs
+    salting (q_agg_salted) or AQE skew handling before it runs at scale.
+
+    Shape: one count-per-key aggregate (map-side combined), a rank window
+    over the O(keys) counts (ties on equal counts don't affect the Gini
+    sum — equal c makes the rank assignment order irrelevant), and a
+    1-row reduction. Nothing touches raw rows twice."""
+    c = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.asc("c"), F.asc("k"))
+    ranked = c.withColumn("i", F.row_number().over(w))
+    # Gini over sorted group sizes, sum((2i - n - 1) c_i) / (n sum(c)),
+    # folded to pure aggregates via sum((2i-n-1)c) = 2 sum(i*c) - (n+1) sum(c)
+    # with n = max(i) (ranks are dense) — integer-exact until one division.
+    gini_num = (
+        2 * F.sum(F.col("i") * F.col("c"))
+        - (F.max("i") + 1) * F.sum("c")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("max_share"),
+        F.round(
+            F.expr("percentile(c, 0.99)") / F.expr("percentile(c, 0.5)"), 4
+        ).alias("p99_over_p50"),
+        F.round(
+            gini_num.cast("double") / (F.max("i") * F.sum("c")), 4
+        ).alias("gini"),
+    ).select(
+        F.lit(label).alias("key_col"),
+        "n_keys",
+        "n_rows",
+        "max_share",
+        "p99_over_p50",
+        "gini",
+    )
+
+
+@REG.add(
+    "q_skew_profile",
+    """
+    WITH ce AS (
+      SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id
+    ),
+    re AS (
+      SELECT 'events.user_id' AS key_col, c,
+             ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i FROM ce
+    ),
+    cl AS (
+      SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY l_orderkey
+    ),
+    rl AS (
+      SELECT 'lineitem.l_orderkey' AS key_col, c,
+             ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i FROM cl
+    ),
+    u AS (SELECT * FROM re UNION ALL SELECT * FROM rl)
+    SELECT key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS max_share,
+           ROUND(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4)
+             AS p99_over_p50,
+           ROUND(CAST(2 * sum(i * c) - (max(i) + 1) * sum(c) AS DOUBLE)
+                 / (max(i) * sum(c)), 4) AS gini
+    FROM u
+    GROUP BY key_col
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for the two hot join/agg keys
+    (events.user_id, lineitem.l_orderkey): key cardinality, hottest-key
+    share, p99/p50 group-size ratio, and the Gini coefficient of group
+    sizes — the pre-flight report that decides between plain hash
+    partitioning, salting, and AQE skew-join thresholds (see
+    q_agg_salted / tests/test_skew.py for the mitigation side)."""
+    events = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+    return skew_metrics(events, "user_id", "events.user_id").unionAll(
+        skew_metrics(li, "l_orderkey", "lineitem.l_orderkey")
     )

@@ -335,3 +335,64 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+@REG.add(
+    "q_token_entropy",
+    """
+    WITH tf AS (
+      SELECT source, term, count(*) AS c
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY source, term
+    ),
+    s AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM tf GROUP BY source)
+    SELECT tf.source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           s.ns AS n_tokens,
+           ROUND(-SUM((c / s.ns) * ln(c / s.ns)), 4) AS entropy,
+           ROUND((-SUM((c / s.ns) * ln(c / s.ns)))
+                 / nullif(ln(count(*)), 0), 4) AS norm_entropy
+    FROM tf JOIN s USING (source)
+    GROUP BY tf.source, s.ns
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (plus the
+    vocab-normalized form H/ln(V) in [0,1]) — the companion metric to
+    q_zipf_slope: a source whose entropy collapses between snapshots
+    started emitting templated/degenerate text, one whose normalized
+    entropy pins to 1 is uniform-random (another failure mode).
+
+    Scale shape: the same (source, term) count aggregate as the Zipf fit
+    (one token explode, counts-only shuffle); per-source totals
+    re-aggregate it; H folds in a single map-side-combined aggregate over
+    O(sources x vocab) rows. p = c/ns is an exact-integer ratio, so the
+    only order-dependent float sum is the entropy fold itself (rounded)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(_tokens()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    s = tf.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    p = F.col("c") / F.col("ns")
+    h = -F.sum(p * F.log(p))
+    return (
+        tf.join(s, "source")
+        .groupBy("source", "ns")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(h, 4).alias("entropy"),
+            F.round(
+                F.try_divide(h, F.log(F.count("*"))), 4
+            ).alias("norm_entropy"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            F.col("ns").alias("n_tokens"),
+            "entropy",
+            "norm_entropy",
+        )
+    )

@@ -556,3 +556,91 @@ def q_pattern_sequence_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage2_id").alias("purchase_id"),
         "span_us",
     )
+
+
+@REG.add(
+    "q_resample_ffill",
+    """
+    WITH hv AS (
+      SELECT user_id, hr, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hr, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hv GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.hr, hv.value,
+             CASE WHEN hv.value IS NULL THEN 0 ELSE 1 END AS observed
+      FROM grid g LEFT JOIN hv ON hv.user_id = g.user_id AND hv.hr = g.hr
+    )
+    SELECT user_id, CAST(epoch(hr) AS BIGINT) AS hour_ts,
+           last_value(value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hr
+                   ROWS UNBOUNDED PRECEDING) AS value,
+           CAST(observed AS INT) AS observed
+    FROM j
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: each user's event stream
+    regularized onto an hourly grid spanning their own [first, last]
+    hour; empty hours carry the last observed value forward (the
+    hypertable/`pandas.resample('1h').ffill()` operation — gap-free
+    per-key series for downstream feature windows).
+
+    Pipeline: (1) per-(user, hour) LAST value via one row_number window
+    (latest ts, event_id tie-break — deterministic under duplicate
+    timestamps); (2) each user's grid from a pure JVM
+    ``sequence(lo, hi, 1 hour)`` explode over the O(users) span
+    aggregate — grid rows are generated distributed, never enumerated on
+    the driver; (3) grid LEFT JOIN hourly-last, keyed (user, hour);
+    (4) forward fill = ``last(value, ignorenulls)`` over the user's grid
+    order. Every shuffle keys on user_id (the window and the join share
+    the partitioning); output is O(users x span-hours). Timestamps emit
+    as epoch-seconds BIGINT per the determinism contract. At 100 TB the
+    dense-key hazard is a user spanning years of hours — bounded by the
+    fixture's 30-day domain here; a production rollout bounds the span
+    or tiers to a coarser grid."""
+    events = load(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    w_last = Window.partitionBy("user_id", "hr").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hv = (
+        events.select("user_id", hr.alias("hr"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hr", "value")
+    )
+    span = hv.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+    )
+    j = grid.join(hv, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        "value",
+        F.when(F.col("value").isNull(), 0).otherwise(1).alias("observed"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.unix_timestamp("hr").alias("hour_ts"),
+        F.last("value", ignorenulls=True).over(w_fill).alias("value"),
+        F.col("observed").cast("int").alias("observed"),
+    )

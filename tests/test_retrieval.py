@@ -13,10 +13,21 @@ import __spark_entry__ as entry_mod
 def _patched(module_names):
     import importlib
 
-    return [
-        importlib.import_module(f"reactor_window_like_flink_spark.llm.{m}")
-        for m in module_names
-    ]
+    mods = []
+    for m in module_names:
+        for base in ("llm", "operators"):
+            try:
+                mods.append(
+                    importlib.import_module(
+                        f"reactor_window_like_flink_spark.{base}.{m}"
+                    )
+                )
+                break
+            except ModuleNotFoundError:
+                continue
+        else:
+            raise ModuleNotFoundError(m)
+    return mods
 
 
 def _with_table(spark, rows, schema, key, modules):
@@ -190,3 +201,103 @@ def test_corr_matrix_exact_on_linear_columns(spark, sf_dir):
         assert -1.0 <= r["pearson_r"] <= 1.0
     pairs = {(r["col_x"], r["col_y"]) for r in out}
     assert ("l_quantity", "l_extendedprice") in pairs
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    rows = [
+        (1, "a b c d", "en", "uniform", 7),
+        (2, "x x x x x", "en", "constant", 9),
+    ]
+    out = _with_table(spark, rows, DOC_SCHEMA, "q_token_entropy", ["retrieval"])
+    by = {r["source"]: r for r in out}
+    # 4 equally-likely tokens: H = ln 4, normalized exactly 1
+    assert abs(by["uniform"]["entropy"] - round(math.log(4), 4)) < 1e-9
+    assert by["uniform"]["norm_entropy"] == 1.0
+    # single repeated token: H = 0; H/ln(1) undefined -> NULL
+    assert by["constant"]["entropy"] == 0.0
+    assert by["constant"]["norm_entropy"] is None
+
+
+def test_ngram_novelty_unique_vs_duplicated(spark):
+    rows = _docs(
+        [
+            (1, "the quick brown fox jumps over fences"),
+            (2, "shared template text goes right here"),
+            (3, "shared template text goes right here"),
+        ]
+    )
+    out = _with_table(
+        spark, rows, DOC_SCHEMA, "q_ngram_novelty", ["dedup", "curation"]
+    )
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["novelty"] == 1.0  # no trigram shared with any other doc
+    assert by[2]["novelty"] == 0.0 and by[3]["novelty"] == 0.0
+    assert by[1]["n_trigrams"] == 5  # 7 tokens -> 5 trigrams
+
+
+def test_winsorize_clip_counts_and_mean_shift(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    values = [float(v) for v in range(1, 101)]  # 1..100
+    rows = [(i, t0, 1, "buy", v, "{}") for i, v in enumerate(values)]
+    out = _with_table(spark, rows, EVENT_SCHEMA, "q_winsorize", ["profiling"])
+    assert len(out) == 1
+    r = out[0]
+    # p01 of 1..100 (interpolated) = 1.99, p99 = 99.01
+    assert abs(r["p01"] - 1.99) < 1e-9 and abs(r["p99"] - 99.01) < 1e-9
+    assert r["n_clipped_lo"] == 1 and r["n_clipped_hi"] == 1
+    assert r["mean_raw"] == 50.5
+    # clipping is symmetric here: mean unchanged up to the clip deltas
+    assert abs(r["mean_winsor"] - 50.5) < 0.01
+
+
+def test_skew_profile_gini_hand_computed(spark, sf_dir):
+    out = {
+        r["key_col"]: r
+        for r in entry_mod.queries()["q_skew_profile"](spark, sf_dir).collect()
+    }
+    ev = out["events.user_id"]
+    li = out["lineitem.l_orderkey"]
+    assert ev["n_rows"] == 1000 and li["n_rows"] == 6000
+    for r in (ev, li):
+        assert 0.0 <= r["gini"] <= 1.0
+        assert r["max_share"] * r["n_keys"] >= 1.0 - 1e-9  # max >= mean share
+        assert r["p99_over_p50"] >= 1.0
+
+
+def test_skew_metrics_known_distribution(spark):
+    from reactor_window_like_flink_spark.llm.profiling import skew_metrics
+
+    # sizes [1, 3]: gini = (2*(1*1 + 2*3) - 3*4) / (2*4) = 0.25
+    rows = [(1, "a"), (2, "b"), (3, "b"), (4, "b")]
+    df = spark.createDataFrame(rows, "id LONG, k STRING")
+    r = skew_metrics(df, "k", "t").collect()[0]
+    assert r["gini"] == 0.25 and r["max_share"] == 0.75 and r["n_keys"] == 2
+
+    # equal sizes -> gini 0
+    rows_eq = [(i, str(i % 4)) for i in range(16)]
+    df_eq = spark.createDataFrame(rows_eq, "id LONG, k STRING")
+    assert skew_metrics(df_eq, "k", "t").collect()[0]["gini"] == 0.0
+
+
+def test_resample_ffill_gap_filling(spark):
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        # user 1: events at 00:30 (v=1.0) and 03:10 (v=9.0); hours 1,2 are gaps
+        (1, t(0, 30), 1, "m", 1.0, "{}"),
+        (2, t(3, 10), 1, "m", 9.0, "{}"),
+        # user 2: two events in the same hour -> latest wins, single row
+        (3, t(5, 0), 2, "m", 3.0, "{}"),
+        (4, t(5, 45), 2, "m", 4.0, "{}"),
+    ]
+    out = _with_table(
+        spark, rows, EVENT_SCHEMA, "q_resample_ffill", ["analytics"]
+    )
+    u1 = sorted((r for r in out if r["user_id"] == 1), key=lambda r: r["hour_ts"])
+    assert [r["value"] for r in u1] == [1.0, 1.0, 1.0, 9.0]
+    assert [r["observed"] for r in u1] == [1, 0, 0, 1]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["value"] == 4.0
