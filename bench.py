@@ -72,6 +72,8 @@ HEADLINE = [
     "q_winsorize",
     "q_skew_profile",
     "q_resample_ffill",
+    "q_scd2_runs",
+    "q_heavy_hitters",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

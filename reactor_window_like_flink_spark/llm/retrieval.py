@@ -396,3 +396,85 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_entropy",
         )
     )
+
+
+# Heavy hitters: report terms with count > N / HH_THRESHOLD_DENOM. The
+# per-partition Misra-Gries capacity is 2x the denominator: MG with
+# capacity c keeps every item whose partition count exceeds n_p/(c+1), and
+# a global count > N/d implies a partition count > n_p/d on at least one
+# partition (pigeonhole), so d <= c guarantees the candidate SUPERSET and
+# the exact confirm pass makes the final answer exact, not approximate.
+HH_THRESHOLD_DENOM = 200
+HH_CAPACITY = 2 * HH_THRESHOLD_DENOM
+
+
+def _misra_gries_partial(batches):
+    """Per-partition Misra-Gries sketch over a 'term' column: bounded at
+    HH_CAPACITY counters no matter how large the partition, emitting the
+    surviving candidate terms once per partition."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for term in pdf["term"]:
+            if term in counters:
+                counters[term] += 1
+            elif len(counters) < HH_CAPACITY:
+                counters[term] = 1
+            else:
+                # decrement-all round; drop zeros (the classic MG step,
+                # amortized O(1) via dict rebuild)
+                counters = {t: c - 1 for t, c in counters.items() if c > 1}
+    import pandas as pd
+
+    yield pd.DataFrame({"term": list(counters.keys())})
+
+
+@REG.add(
+    "q_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT term, cnt, ROUND(CAST(cnt AS DOUBLE) / n.n, 4) AS share
+    FROM c, n
+    WHERE cnt * {HH_THRESHOLD_DENOM} > n.n
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items / heavy-hitters: every token whose corpus frequency
+    exceeds N/{HH_THRESHOLD_DENOM} (exact counts + share). The answer is
+    EXACT — what's approximate is only the candidate pruning, which is
+    what makes the operator scale.
+
+    Two passes: (1) an Arrow `mapInPandas` Misra-Gries sketch per
+    partition — O({HH_CAPACITY}) memory per task regardless of partition
+    size, emitting a provable candidate SUPERSET (see the capacity note
+    above) of a few hundred rows per partition; (2) exact counts for the
+    candidates only, via a broadcast semi-join filter on the token stream
+    — so the count shuffle carries ONLY candidate tokens, never the full
+    vocabulary. N joins as a broadcast 1-row aggregate and the threshold
+    compares integer-exactly (cnt * d > N). At 100 TB the full-vocab
+    groupBy this replaces is the difference between shuffling ~billions
+    of distinct URLs/terms and shuffling a few hundred candidates.
+    (Misra & Gries 1982; the two-pass exact variant is the standard
+    distributed deployment.)"""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens()).alias("term"))
+    cand = (
+        toks.mapInPandas(_misra_gries_partial, "term string")
+        .distinct()
+    )
+    n = toks.agg(F.count("*").cast("long").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * HH_THRESHOLD_DENOM > F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 4).alias("share"),
+        )
+    )

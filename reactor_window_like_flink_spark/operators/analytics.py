@@ -644,3 +644,69 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w_fill).alias("value"),
         F.col("observed").cast("int").alias("observed"),
     )
+
+
+@REG.add(
+    "q_scd2_runs",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS new_run
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(run_idx AS BIGINT) AS run_idx,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(us) AS BIGINT) AS valid_from_us,
+           CAST(max(us) AS BIGINT) AS last_seen_us
+    FROM runs
+    GROUP BY user_id, run_idx, event_type
+    """,
+)
+def q_scd2_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style run-length encoding of each user's event_type stream:
+    consecutive same-type events collapse into one validity run
+    (valid_from = first ts, last_seen = last ts) — the gaps-and-islands
+    build behind slowly-changing-dimension tables and state-transition
+    analysis (a type CHANGE starts a new version; q_sessionize is the
+    same shape keyed on time gaps instead of value changes).
+
+    Scale shape: identical to sessionize — ONE (user_id) sort-shuffle
+    feeds a lag flag and a running sum in a single WindowExec pass, and
+    the run aggregate reuses the user_id partitioning (no second
+    exchange for the groupBy's user_id component). Microsecond ties
+    break on event_id so run boundaries are engine-deterministic."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    lagged = F.lag("event_type").over(w)
+    flagged = b.withColumn(
+        "new_run",
+        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1).otherwise(0),
+    )
+    runs = flagged.withColumn("run_idx", F.sum("new_run").over(w_run))
+    return runs.groupBy(
+        "user_id", F.col("run_idx").cast("long").alias("run_idx"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("us").cast("long").alias("valid_from_us"),
+        F.max("us").cast("long").alias("last_seen_us"),
+    )

@@ -194,3 +194,78 @@ def test_embedding_candidates_join_on_lsh_bucket(q):
     key_lists = _join_key_lists(q("q_dedup_embedding"))
     assert any({"band", "bucket"} <= set(k) for k in key_lists)
     assert all("label" not in k for k in key_lists)
+
+
+def test_corr_matrix_single_pass_no_join(q):
+    """All C(n,2) co-moments fold in ONE wide aggregate over one scan —
+    a join or a second data-sized exchange means the matrix regressed to
+    per-pair rescans."""
+    df = q("q_corr_matrix")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    # one single-partition gather for the global aggregate is expected
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+
+
+def test_dedup_chunks_one_shuffle_no_join(q):
+    """Chunking is a narrow explode; the dedup aggregate keys on
+    chunk_hash. Two exchanges are the exact count-distinct's two-phase
+    plan ((chunk_hash, doc_id) partial -> chunk_hash final, both keyed on
+    the hash); anything more, or a join, is a regression."""
+    df = q("q_dedup_chunks")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_mad_and_winsorize_broadcast_stats_onto_scan(q):
+    """The O(groups) percentile aggregates must come back as broadcast
+    builds — a SortMergeJoin here would shuffle the fact side twice."""
+    for key in ("q_anomaly_mad", "q_winsorize"):
+        df = q(key)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, key
+        assert "SortMergeJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_bm25_no_cartesian_one_scalar_bnlj(q):
+    """tf/df/dl joins are keyed; the only nested-loop join allowed is the
+    broadcast of the ONE-ROW (N, avgdl) stats aggregate."""
+    df = q("q_bm25_topterms")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_bnlj <= 1
+
+
+def test_retrieval_stats_keys_no_cartesian(q):
+    """Entropy/Zipf/novelty/drift all join on real keys (source, shingle,
+    bucket) or broadcast O(1)-row / O(buckets)-row aggregates — a
+    CartesianProduct anywhere is a scale regression."""
+    for key in (
+        "q_token_entropy",
+        "q_zipf_slope",
+        "q_ngram_novelty",
+        "q_source_drift",
+        "q_bigram_pmi",
+    ):
+        assert "CartesianProduct" not in formatted_plan(q(key)), key
+
+
+def test_resample_ffill_joins_keyed_no_cartesian(q):
+    """The grid join must stay an equi join on (user_id, hr); the fill
+    window shares the user_id partitioning."""
+    df = q("q_resample_ffill")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = _join_key_lists(df)
+    assert any("user_id" in side for side in keys)
+
+
+def test_skew_profile_no_join_aggregate_only(q):
+    """Skew metrics are count-aggregate -> rank window -> 1-row fold per
+    key column; a join would mean the Gini fold regressed to self-joins."""
+    plan = formatted_plan(q("q_skew_profile"))
+    assert "Join" not in plan

@@ -301,3 +301,57 @@ def test_resample_ffill_gap_filling(spark):
     assert [r["observed"] for r in u1] == [1, 0, 0, 1]
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["value"] == 4.0
+
+
+def test_heavy_hitters_exact_despite_bounded_sketch(spark):
+    # 600 distinct rare terms (1 occurrence each) far exceed the MG
+    # capacity; the two heavy terms must still surface with EXACT counts.
+    common = ("hot " * 300 + "warm " * 150).strip()
+    rare = " ".join(f"r{i}" for i in range(600))
+    rows = _docs([(1, common), (2, rare)])
+    out = _with_table(spark, rows, DOC_SCHEMA, "q_heavy_hitters", ["retrieval"])
+    by = {r["term"]: r for r in out}
+    n = 300 + 150 + 600
+    assert by["hot"]["cnt"] == 300 and by["warm"]["cnt"] == 150
+    # threshold n/200 = 5.25: no rare term (count 1) may appear
+    assert set(by) == {"hot", "warm"}
+    assert abs(by["hot"]["share"] - round(300 / n, 4)) < 1e-12
+
+
+def test_misra_gries_partial_superset_guarantee(spark):
+    import pandas as pd
+
+    from reactor_window_like_flink_spark.llm.retrieval import (
+        HH_THRESHOLD_DENOM,
+        _misra_gries_partial,
+    )
+
+    # adversarial stream: heavy item interleaved with a churn of uniques
+    stream = []
+    for i in range(5000):
+        stream.append("heavy" if i % 3 == 0 else f"u{i}")
+    (cand,) = _misra_gries_partial(iter([pd.DataFrame({"term": stream})]))
+    # 'heavy' has count ~1667 > n/HH_THRESHOLD_DENOM = 25 -> must survive
+    assert "heavy" in set(cand["term"])
+
+
+def test_scd2_runs_collapse_consecutive_types(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(0), 1, "view", 0.0, "{}"),
+        (2, t(1), 1, "view", 0.0, "{}"),
+        (3, t(2), 1, "click", 0.0, "{}"),
+        (4, t(3), 1, "view", 0.0, "{}"),  # back to view -> NEW run
+        (5, t(0), 2, "buy", 0.0, "{}"),
+    ]
+    out = _with_table(spark, rows, EVENT_SCHEMA, "q_scd2_runs", ["analytics"])
+    u1 = sorted((r for r in out if r["user_id"] == 1), key=lambda r: r["run_idx"])
+    assert [(r["event_type"], r["n_events"]) for r in u1] == [
+        ("view", 2),
+        ("click", 1),
+        ("view", 1),
+    ]
+    assert u1[0]["valid_from_us"] < u1[0]["last_seen_us"]  # 2-event run spans
+    assert len([r for r in out if r["user_id"] == 2]) == 1
