@@ -74,6 +74,8 @@ HEADLINE = [
     "q_resample_ffill",
     "q_scd2_runs",
     "q_heavy_hitters",
+    "q_join_asof_tolerance",
+    "q_curation_pipeline",
     "q_fingerprint",
     "q_fingerprint_fast",
     "q_pack_sequences",

@@ -663,3 +663,79 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# End-to-end curation composite: the LLM-pipeline analog of the TPC-H
+# composite keys — length gate -> exact dedup -> deterministic split ->
+# mixture report, as ONE plan.
+PIPE_MIN_CHARS = 100
+PIPE_MAX_CHARS = 500
+PIPE_TRAIN_PCT = 80
+PIPE_VAL_PCT = 10
+
+
+@REG.add(
+    "q_curation_pipeline",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, lang, source, n_chars, md5(text) AS h
+      FROM documents
+      WHERE n_chars BETWEEN {PIPE_MIN_CHARS} AND {PIPE_MAX_CHARS}
+    ),
+    kept AS (
+      SELECT h, min(doc_id) AS doc_id FROM gated GROUP BY h
+    ),
+    winners AS (
+      SELECT g.doc_id, g.lang, g.source, g.n_chars
+      FROM gated g JOIN kept k ON g.doc_id = k.doc_id AND g.h = k.h
+    ),
+    split AS (
+      SELECT lang, source, n_chars,
+             CASE WHEN {_duck_bucket("doc_id")} < {PIPE_TRAIN_PCT}
+                    THEN 'train'
+                  WHEN {_duck_bucket("doc_id")}
+                         < {PIPE_TRAIN_PCT + PIPE_VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM winners
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM split
+    GROUP BY split, lang
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite (the pipeline a user actually runs,
+    as one Catalyst plan): length gate -> exact dedup (min-id winner per
+    md5) -> deterministic 80/10/10 split (md5 bucket of doc_id, same
+    machinery as q_train_split) -> per-(split, lang) mixture report.
+
+    Scale shape: the gate is a pushdown-eligible predicate on the stored
+    n_chars column (never touches text); the only data-sized shuffle keys
+    on the 32-hex md5; the winner join keys on (h, doc_id); split
+    assignment is a pure hash expression; the report is a tiny two-level
+    aggregate. One composite plan means Catalyst prunes columns across
+    stage boundaries — text is read once for the md5 and never carried
+    further — which is the argument for running curation as chained
+    DataFrames instead of materialized intermediate tables when no stage
+    is reused."""
+    docs = load(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("n_chars").between(PIPE_MIN_CHARS, PIPE_MAX_CHARS)
+    ).select("doc_id", "lang", "source", "n_chars", F.md5("text").alias("h"))
+    kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    winners = gated.join(kept, ["h", "doc_id"])
+    b = _hash_bucket(F.col("doc_id"))
+    split = winners.withColumn(
+        "split",
+        F.when(b < PIPE_TRAIN_PCT, "train")
+        .when(b < PIPE_TRAIN_PCT + PIPE_VAL_PCT, "val")
+        .otherwise("test"),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )

@@ -1329,3 +1329,71 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# Feature-store as-of tolerance: a click older than this is too stale to
+# attribute (point-in-time join with TTL).
+ASOF_TOLERANCE_US = 24 * 3600 * 1_000_000
+
+
+@REG.add(
+    "q_join_asof_tolerance",
+    f"""
+    SELECT event_id, user_id, purchase_us,
+           CASE WHEN last_click_us IS NOT NULL
+                     AND purchase_us - last_click_us <= {ASOF_TOLERANCE_US}
+                THEN last_click_us END AS click_us,
+           CASE WHEN last_click_us IS NOT NULL
+                     AND purchase_us - last_click_us <= {ASOF_TOLERANCE_US}
+                THEN 1 ELSE 0 END AS fresh
+    FROM (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN CAST(epoch_us(ts) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_click_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (feature-store point-in-time
+    join semantics): each purchase matches the latest same-user click
+    at-or-before it ONLY if that click is within 24 h — older matches
+    surface as NULL with fresh = 0, so downstream attribution can
+    distinguish "no click" / "click too old" from a fresh match. This is
+    the TTL variant of q_join_asof (Flink temporal join's idle-state
+    eviction expressed in batch).
+
+    Same single-shuffle composition as q_join_asof: one sort within
+    user_id partitions + last_value(ignore nulls); the tolerance is a
+    pure post-window expression, so the bound adds zero plan cost
+    (microsecond-exact on both engines)."""
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_us = F.when(
+        F.col("event_type") == "click", F.unix_micros("ts")
+    )
+    base = (
+        events.withColumn("purchase_us", F.unix_micros("ts"))
+        .withColumn("last_click_us", F.last(click_us, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    is_fresh = F.col("last_click_us").isNotNull() & (
+        F.col("purchase_us") - F.col("last_click_us") <= ASOF_TOLERANCE_US
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        F.when(is_fresh, F.col("last_click_us")).alias("click_us"),
+        F.when(is_fresh, 1).otherwise(0).alias("fresh"),
+    )

@@ -355,3 +355,51 @@ def test_scd2_runs_collapse_consecutive_types(spark):
     ]
     assert u1[0]["valid_from_us"] < u1[0]["last_seen_us"]  # 2-event run spans
     assert len([r for r in out if r["user_id"] == 2]) == 1
+
+
+def test_asof_tolerance_fresh_stale_and_missing(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0)
+    rows = [
+        # user 1: click 10 min before purchase -> fresh
+        (1, t0 - dt.timedelta(minutes=10), 1, "click", 0.0, "{}"),
+        (2, t0, 1, "purchase", 0.0, "{}"),
+        # user 2: click 3 days before purchase -> stale (NULL, fresh=0)
+        (3, t0 - dt.timedelta(days=3), 2, "click", 0.0, "{}"),
+        (4, t0, 2, "purchase", 0.0, "{}"),
+        # user 3: no click at all
+        (5, t0, 3, "purchase", 0.0, "{}"),
+    ]
+    out = _with_table(
+        spark, rows, EVENT_SCHEMA, "q_join_asof_tolerance", ["relational"]
+    )
+    by = {r["user_id"]: r for r in out}
+    assert by[1]["fresh"] == 1 and by[1]["click_us"] is not None
+    assert by[1]["purchase_us"] - by[1]["click_us"] == 600 * 1_000_000
+    assert by[2]["fresh"] == 0 and by[2]["click_us"] is None
+    assert by[3]["fresh"] == 0 and by[3]["click_us"] is None
+
+
+def test_curation_pipeline_gate_dedup_and_split_partition(spark):
+    long_enough = "x " * 80  # 160 chars, inside [100, 500]
+    rows = [
+        (1, long_enough + "a", "en", "s0", 161),
+        (2, long_enough + "a", "en", "s1", 161),  # exact dup -> collapsed
+        (3, long_enough + "b", "de", "s0", 161),
+        (4, "too short", "en", "s0", 9),          # gated out
+    ]
+    out = _with_table(
+        spark,
+        [(i, t, l, s, n) for i, t, l, s, n in rows],
+        DOC_SCHEMA,
+        "q_curation_pipeline",
+        ["curation"],
+    )
+    # 2 winners total (doc 1 beats doc 2; doc 3; doc 4 gated)
+    assert sum(r["n_docs"] for r in out) == 2
+    langs = {r["lang"] for r in out}
+    assert langs == {"en", "de"}
+    for r in out:
+        assert r["split"] in {"train", "val", "test"}
+        assert r["total_chars"] == 161 * r["n_docs"]
