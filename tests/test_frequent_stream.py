@@ -1,0 +1,127 @@
+"""Continuous frequent-items (sharded Misra-Gries) on a live stream:
+candidate guarantee, lower-bound property, and bounded state under
+high-cardinality churn."""
+
+from __future__ import annotations
+
+import time
+from collections import Counter
+from datetime import datetime, timezone
+
+from reactor_window_like_flink_spark.streaming.frequent import (
+    frequent_items_stateful,
+)
+from reactor_window_like_flink_spark.streaming.publisher import FileStreamInput
+
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+CAPACITY = 16
+SHARDS = 4
+
+
+def _rows(types, start=0):
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    return [(start + i, t0, 1, t, 1.0) for i, t in enumerate(types)]
+
+
+def _poll(predicate, timeout_s=90.0, step=0.5):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        result = predicate()
+        if result:
+            return result
+        time.sleep(step)
+    return predicate()
+
+
+def test_streaming_frequent_items_bounds_and_churn(spark, tmp_path):
+    # stream: two heavy items drowned in 600 distinct churn items —
+    # far beyond SHARDS * CAPACITY total counters.
+    types = []
+    for i in range(600):
+        types.append(f"churn{i}")
+        if i % 2 == 0:
+            types.append("hot")
+        if i % 4 == 0:
+            types.append("warm")
+    true = Counter(types)
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = frequent_items_stateful(
+        src.stream(), "event_type", n_shards=SHARDS, capacity=CAPACITY
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_freq")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish(_rows(types))
+        rows = _poll(
+            lambda: (
+                r
+                if (r := spark.sql("SELECT * FROM t_freq").collect())
+                and {x["item"] for x in r} >= {"hot", "warm"}
+                else None
+            )
+        )
+        assert rows, "sketch rows must appear in the memory sink"
+        # latest emission per (shard, item): max n_seen wins
+        latest = {}
+        for r in rows:
+            k = (r["shard"], r["item"])
+            if k not in latest or r["n_seen"] > latest[k]["n_seen"]:
+                latest[k] = r
+        by_item = {r["item"]: r for r in latest.values()}
+
+        # (1) candidate guarantee: the heavy items survive the churn
+        assert "hot" in by_item and "warm" in by_item
+        for name in ("hot", "warm"):
+            r = by_item[name]
+            # (2) MG counter is a lower bound within n_shard/(cap+1)
+            assert r["lb_count"] <= true[name]
+            assert r["lb_count"] >= true[name] - r["n_seen"] / (CAPACITY + 1)
+        # (3) bounded state: no shard ever emits more than CAPACITY rows
+        per_shard = Counter(k[0] for k in latest)
+        assert all(c <= CAPACITY for c in per_shard.values())
+        # (4) sharding is consistent: an item only ever appears on one shard
+        shard_of = {}
+        for r in rows:
+            assert shard_of.setdefault(r["item"], r["shard"]) == r["shard"]
+    finally:
+        query.stop()
+
+
+def test_streaming_frequent_items_state_survives_batches(spark, tmp_path):
+    # counts must accumulate ACROSS micro-batches, not reset per batch
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = frequent_items_stateful(
+        src.stream(), "event_type", n_shards=2, capacity=8
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_freq2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish(_rows(["a"] * 5))
+        _poll(lambda: spark.sql("SELECT * FROM t_freq2").collect() or None)
+        src.publish(_rows(["a"] * 7, start=100))
+        rows = _poll(
+            lambda: (
+                r
+                if (
+                    r := spark.sql(
+                        "SELECT * FROM t_freq2 WHERE item = 'a' AND lb_count = 12"
+                    ).collect()
+                )
+                else None
+            )
+        )
+        assert rows, "second batch must accumulate onto checkpointed state"
+        assert rows[0]["lb_count"] == 12 and rows[0]["n_seen"] == 12
+    finally:
+        query.stop()
