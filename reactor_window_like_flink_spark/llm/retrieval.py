@@ -97,6 +97,10 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # tf feeds dl, df AND the scoring join; without materialization
+        # the text scan + explode runs 4x (ReusedExchange can't fire
+        # across the divergently-pruned subtrees — measured)
+        .localCheckpoint()
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -374,6 +378,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(_tokens()).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # shared by the totals and the H fold
     )
     s = tf.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
     p = F.col("c") / F.col("ns")

@@ -383,8 +383,10 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TFIDF_TOP_TERMS} TF-IDF terms per document — the classic
     keyword/topic-surfacing pass.
 
-    Pipeline: explode -> (doc, term) tf aggregate -> term df aggregate
-    (re-aggregation of tf, so the token explode shuffles ONCE) -> keyed
+    Pipeline: explode -> (doc, term) tf aggregate, materialized once
+    (localCheckpoint — measured: exchange reuse does not fire across the
+    divergently-pruned df/score branches, so without it the text scan +
+    explode runs 3x) -> term df aggregate (re-aggregation of tf) -> keyed
     join tf⋈df on the term -> per-doc top-k window. The document count N
     joins in as a broadcast 1-row aggregate (scalar-subquery shape, no
     driver collect). All shuffles are keyed on term or doc_id; the window
@@ -395,6 +397,11 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        # materialize ONCE: tf feeds both the df re-aggregate and the
+        # scoring join, and Catalyst's ReusedExchange does NOT fire here
+        # (divergent column pruning changes the canonical subtrees —
+        # measured: 3 scans without this, 1 with)
+        .localCheckpoint()
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
@@ -446,9 +453,10 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_logprob = (1/|doc|) * sum ln(count(tok)/N)
                 = sum(tf * ln count) / sum(tf) - ln N.
 
-    Pipeline: ONE token explode into a (doc, term) tf aggregate; corpus
-    counts re-aggregate tf per term (token shuffle happens once, same
-    trick as q_tfidf_topterms); keyed join tf⋈counts on the term; per-doc
+    Pipeline: ONE token explode into a (doc, term) tf aggregate,
+    materialized once (localCheckpoint, same reasoning as
+    q_tfidf_topterms); corpus counts re-aggregate tf per term; keyed
+    join tf⋈counts on the term; per-doc
     aggregate; corpus total N joins as a broadcast 1-row aggregate. Every
     shuffle is keyed on term or doc_id — no all-token global pass, fully
     map-side combined.
@@ -460,6 +468,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # shared by c and the scoring join (see tfidf)
     )
     c = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     n = c.agg(F.sum("c").cast("double").alias("n"))
