@@ -113,27 +113,22 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     first event; for each (cohort_week, week_offset) cell, how many of
     the cohort's users were active that week.
 
-    Shape: per-user first-seen aggregate (one user_id shuffle) joined
-    back onto the per-(user, week) distinct activity — both sides
-    pre-shrunk to O(users) / O(users × weeks) before the join, so the
-    join never touches raw events. Week arithmetic is integer epoch
-    division on week-truncated timestamps: exact and identical across
-    engines under the UTC session contract."""
-    first = events.groupBy("user_id").agg(
-        F.min(F.unix_micros("ts")).alias("_first_us")
+    Shape: ONE raw-events pass builds the per-(user, week) distinct
+    activity (materialized via localCheckpoint); the per-user first-seen
+    week RE-aggregates it as min(week) — date_trunc is monotone, so
+    min-of-truncated equals truncated-min — and the join touches only
+    the two pre-shrunk O(users × weeks) / O(users) sides. Week
+    arithmetic is integer epoch division on week-truncated timestamps:
+    exact and identical across engines under the UTC session contract."""
+    active = (
+        events.select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("week", "ts")).alias("_aw"),
+        )
+        .distinct()
+        .localCheckpoint()  # shared by the cohort re-aggregate and the join
     )
-    cohort = first.select(
-        "user_id",
-        (
-            F.unix_timestamp(
-                F.date_trunc("week", F.timestamp_micros(F.col("_first_us")))
-            )
-        ).alias("_cw"),
-    )
-    active = events.select(
-        "user_id",
-        F.unix_timestamp(F.date_trunc("week", "ts")).alias("_aw"),
-    ).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("_aw").alias("_cw"))
     joined = active.join(cohort, "user_id")
     return (
         joined.groupBy(
