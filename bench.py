@@ -72,6 +72,7 @@ HEADLINE = [
     "q_winsorize",
     "q_skew_profile",
     "q_resample_ffill",
+    "q_embed_norm_profile",
     "q_scd2_runs",
     "q_heavy_hitters",
     "q_join_asof_tolerance",

@@ -477,3 +477,77 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_metrics(events, "user_id", "events.user_id").unionAll(
         skew_metrics(li, "l_orderkey", "lineitem.l_orderkey")
     )
+
+
+# Embedding-norm profile bands: ~unit-norm vectors are healthy; tiny or
+# huge norms flag encoder bugs / zero rows upstream.
+NORM_LO = 0.5
+NORM_HI = 2.0
+
+
+@REG.add(
+    "q_embed_norm_profile",
+    f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a, b) -> a + b)) AS nrm,
+             CAST(len(embedding) AS BIGINT) AS dim
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           ROUND(avg(nrm), 4) AS mean_norm,
+           ROUND(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+           ROUND(quantile_cont(nrm, 0.95), 4) AS p95_norm,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(sum(CASE WHEN nrm < {NORM_LO} OR nrm > {NORM_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_band
+    FROM n
+    """,
+)
+def q_embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health profile: L2-norm distribution (mean, exact
+    p50/p95), dimension min/max (a dim mismatch means a mixed-encoder
+    table), zero-vector count, and out-of-band [{NORM_LO}, {NORM_HI}]
+    norms — the pre-flight check before any cosine/ANN pass assumes
+    well-scaled vectors.
+
+    Scale shape: the norm is a pure JVM higher-order fold per row
+    (sequential left fold, bit-identical to the DuckDB oracle's
+    list_reduce — same trick as q_similarity_cosine), then ONE global
+    aggregate to a single row. No shuffle of vectors; 100 TB swap for
+    the exact percentiles is ``percentile_approx`` as usual."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    n = emb.select(
+        nrm.alias("nrm"), F.size("embedding").cast("long").alias("dim")
+    )
+    return n.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
+        F.round(F.expr("percentile(nrm, 0.95)"), 4).alias("p95_norm"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(
+            F.when((F.col("nrm") < NORM_LO) | (F.col("nrm") > NORM_HI), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_out_of_band"),
+    )

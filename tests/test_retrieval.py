@@ -403,3 +403,25 @@ def test_curation_pipeline_gate_dedup_and_split_partition(spark):
     for r in out:
         assert r["split"] in {"train", "val", "test"}
         assert r["total_chars"] == 161 * r["n_docs"]
+
+
+def test_embed_norm_profile_zero_and_band_counts(spark):
+    rows = [
+        (1, [3.0, 4.0], 0),     # norm 5 -> out of band
+        (2, [0.0, 0.0], 0),     # zero vector (also out of band)
+        (3, [0.6, 0.8], 1),     # norm 1 -> in band
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    import reactor_window_like_flink_spark.llm.profiling as prof
+
+    orig = prof.load
+    prof.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_embed_norm_profile"](spark, "unused").collect()
+    finally:
+        prof.load = orig
+    r = out[0]
+    assert r["n_vecs"] == 3 and r["min_dim"] == 2 and r["max_dim"] == 2
+    assert r["n_zero"] == 1
+    assert r["n_out_of_band"] == 2
+    assert r["p50_norm"] == 1.0
