@@ -425,6 +425,10 @@ def skew_metrics(df: DataFrame, key: str, label: str) -> DataFrame:
         F.round(
             gini_num.cast("double") / (F.max("i") * F.sum("c")), 4
         ).alias("gini"),
+    ).filter(
+        # an ungrouped agg emits one row even over an empty relation;
+        # the grouped SQL oracle emits none — align on "no keys, no row"
+        F.col("n_keys") > 0
     ).select(
         F.lit(label).alias("key_col"),
         "n_keys",

@@ -101,3 +101,55 @@ def test_quality_and_langid_do_not_crash_on_edges(spark, edge_dir):
     }
     assert lang[3] == "en"  # 'the' x2
     assert lang[0] == "unknown"  # no markers
+
+
+ROUND5_KEYS = [
+    "q_bm25_topterms",
+    "q_inverted_index",
+    "q_bigram_pmi",
+    "q_zipf_slope",
+    "q_token_entropy",
+    "q_heavy_hitters",
+    "q_anomaly_mad",
+    "q_corr_matrix",
+    "q_winsorize",
+    "q_skew_profile",
+    "q_embed_norm_profile",
+    "q_source_drift",
+    "q_dedup_chunks",
+    "q_ngram_novelty",
+    "q_curation_pipeline",
+    "q_resample_ffill",
+    "q_scd2_runs",
+    "q_join_asof_tolerance",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    """Every fixture table, schema-correct but zero rows — the classic
+    ANSI/empty-relation crash source (aggregates returning NULL, windows
+    over nothing, divisions of empty sums)."""
+    d = tmp_path_factory.mktemp("empty")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(0)
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_round5_keys_survive_empty_tables(spark, empty_dir):
+    qs = entry_mod.queries()
+    for key in ROUND5_KEYS:
+        rows = qs[key](spark, empty_dir).collect()  # must not raise
+        if key == "q_corr_matrix":
+            # global aggregate: emits its C(4,2) rows with NULL corr
+            assert len(rows) == 6
+            assert all(r["pearson_r"] is None for r in rows)
+        elif key == "q_embed_norm_profile":
+            # ungrouped summary in BOTH engines: one row, zero counts
+            assert len(rows) == 1 and rows[0]["n_vecs"] == 0
+        else:
+            assert rows == [], key

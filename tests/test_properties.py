@@ -277,3 +277,114 @@ def test_fuzzy_join_matches_brute_force(spark, names):
         if _lev1(names[i], names[j])
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- round 5
+
+
+@given(
+    stream=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=400,
+    ),
+    capacity=st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_superset_and_lower_bound(stream, capacity):
+    """Pure-kernel MG property on arbitrary streams: every item with
+    count > n/(capacity+1) survives, and every surviving counter is a
+    lower bound within n/(capacity+1) of the true count."""
+    import pandas as pd
+
+    import reactor_window_like_flink_spark.llm.retrieval as retrieval
+
+    orig = retrieval.HH_CAPACITY
+    retrieval.HH_CAPACITY = capacity
+    try:
+        (out,) = retrieval._misra_gries_partial(
+            iter([pd.DataFrame({"term": stream})])
+        )
+    finally:
+        retrieval.HH_CAPACITY = orig
+    counts: dict[str, int] = {}
+    for t in stream:
+        counts[t] = counts.get(t, 0) + 1
+    n = len(stream)
+    survivors = set(out["term"])
+    bound = n / (capacity + 1)
+    for t, c in counts.items():
+        if c > bound:
+            assert t in survivors, (t, c, bound)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=12)
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skew_metrics_match_sequential_model(spark, sizes):
+    """Gini/max-share from the aggregate fold must equal the textbook
+    sorted-cumsum computation on arbitrary group-size multisets."""
+    from reactor_window_like_flink_spark.llm.profiling import skew_metrics
+
+    rows = []
+    rid = 0
+    for g, size in enumerate(sizes):
+        for _ in range(size):
+            rows.append((rid, f"k{g}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "id LONG, k STRING")
+    r = skew_metrics(df, "k", "t").collect()[0]
+
+    c = sorted(sizes)
+    n, tot = len(c), sum(c)
+    gini = sum((2 * (i + 1) - n - 1) * ci for i, ci in enumerate(c)) / (n * tot)
+    assert abs(r["gini"] - round(gini, 4)) < 1e-9
+    assert abs(r["max_share"] - round(max(c) / tot, 4)) < 1e-9
+    assert r["n_keys"] == n and r["n_rows"] == tot
+
+
+@given(
+    types=st.lists(
+        st.sampled_from(["view", "click", "buy"]), min_size=1, max_size=30
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_runs_match_groupby_model(spark, types):
+    """Run-length encoding must equal itertools.groupby on any sequence."""
+    import datetime as dt
+    from itertools import groupby
+
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.operators.analytics as an
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 7, t, 0.0, "{}")
+        for i, t in enumerate(types)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    orig = an.load
+    an.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_scd2_runs"](spark, "unused").collect()
+    finally:
+        an.load = orig
+    got = [
+        (r["event_type"], r["n_events"])
+        for r in sorted(out, key=lambda r: r["run_idx"])
+    ]
+    expected = [(t, len(list(g))) for t, g in groupby(types)]
+    assert got == expected
