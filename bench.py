@@ -39,6 +39,7 @@ HEADLINE = [
     "q_similarity_cosine",
     "q_similarity_ann",
     "q_similarity_pq",
+    "q_knn_graph",
     "q_text_stats",
     "q_decontaminate",
     "q_repetition_score",

@@ -386,13 +386,13 @@ EMB_LSH_BITS = 4
 EMB_COSINE_THRESHOLD = 0.3
 
 
-def _emb_hyperplanes() -> list[list[float]]:
+def _emb_hyperplanes(
+    n_planes: int = EMB_LSH_BANDS * EMB_LSH_BITS, seed: int = EMB_LSH_SEED
+) -> list[list[float]]:
     import numpy as np
 
-    rng = np.random.default_rng(EMB_LSH_SEED)
-    return np.round(
-        rng.standard_normal((EMB_LSH_BANDS * EMB_LSH_BITS, EMB_DIM)), 6
-    ).tolist()
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_planes, EMB_DIM)), 6).tolist()
 
 
 def _emb_lsh_oracle() -> str:
@@ -450,6 +450,50 @@ def _emb_lsh_oracle() -> str:
     """
 
 
+def emb_band_buckets(
+    emb: DataFrame,
+    bands: int = EMB_LSH_BANDS,
+    bits: int = EMB_LSH_BITS,
+    seed: int = EMB_LSH_SEED,
+) -> DataFrame:
+    """Sign-LSH band/bucket assignment: (vec_id, band, bucket), one row
+    per band. Shared by the embedding near-dup join (defaults — the
+    oracle literals depend on them) and the kNN-graph builder
+    (llm/similarity.py — more bands at its own seed, since kNN needs
+    recall at moderate cosine where near-dup only needs it near 1.0).
+    The interpreted HOF dot products are the oracle-exact form; the fast
+    twin (`lsh_cosine_pairs_fast`) does the same banding as one numpy
+    matmul."""
+    planes = _emb_hyperplanes(bands * bits, seed)
+
+    def plane_dot(h: list[float]) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(v) for v in h]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def band_bucket(j: int) -> F.Column:
+        bucket = F.lit(0)
+        for lane in range(bits):
+            bit = F.when(
+                plane_dot(planes[j * bits + lane]) > 0, 1 << lane
+            ).otherwise(0)
+            bucket = bucket + bit
+        return bucket
+
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[band_bucket(j) for j in range(bands)])
+        ).alias("band", "bucket"),
+    )
+
+
 @REG.add("q_dedup_embedding", _emb_lsh_oracle())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-LSH banded candidate buckets
@@ -469,7 +513,6 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     products per row are the oracle-exact form; a production signature pass
     is one numpy matmul in an Arrow-batched ``mapInPandas`` (bucket
     assignment itself needs no cross-engine bit-exactness)."""
-    planes = _emb_hyperplanes()
     emb = load(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
@@ -477,33 +520,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     e = emb.select("vec_id", "embedding", F.sqrt(sq_sum).alias("nrm"))
-
-    def plane_dot(h: list[float]) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                "embedding",
-                F.array(*[F.lit(v) for v in h]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def band_bucket(j: int) -> F.Column:
-        bucket = F.lit(0)
-        for lane in range(EMB_LSH_BITS):
-            bit = F.when(
-                plane_dot(planes[j * EMB_LSH_BITS + lane]) > 0, 1 << lane
-            ).otherwise(0)
-            bucket = bucket + bit
-        return bucket
-
-    buckets = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[band_bucket(j) for j in range(EMB_LSH_BANDS)])
-        ).alias("band", "bucket"),
-    )
+    buckets = emb_band_buckets(emb)
     # hint("merge"): sort-merge makes both self-join sides identical
     # shuffle children, so ReuseExchange evaluates the 32-dot signature
     # pass once; a broadcast build would recompute it for the build side.

@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -520,3 +520,105 @@ def quantize_int8(vectors: DataFrame) -> DataFrame:
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantize every embedding (see ``quantize_int8``)."""
     return quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
+# kNN graph: neighbors per vector, the vector-JOIN primitive (vs the
+# vector-QUERY primitive above). Feeds embedding-dedup clustering,
+# label propagation, and graph-based diversity sampling.
+KNN_K = 5
+# kNN banding: more bands than the near-dup join (16 x 4 bits, own seed)
+# — near-dup only needs collisions at cosine ~ 1.0; a kNN graph needs
+# recall at moderate cosine, and extra bands buy it at bounded candidate
+# volume (bucket occupancy stays the dial).
+KNN_LSH_BANDS = 16
+KNN_LSH_BITS = 4
+KNN_LSH_SEED = 20260814
+
+
+@REG.add("q_knn_graph")  # rows-only: LSH candidate generation is
+# probabilistic (no DuckDB xxhash mirror needed — the hyperplanes ARE
+# shared literals, but the candidate-set-restricted top-k has no clean
+# SQL mirror); pytest asserts recall vs brute force on clustered data
+# and exactness of every emitted cosine.
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph: top-{KNN_K} cosine neighbors per vector
+    among sign-LSH candidates (same banding as the embedding near-dup
+    join — `llm/dedup.py:emb_band_buckets`). This is the all-vectors
+    neighbor JOIN (kNN-graph construction for clustering/diversity
+    passes), not the single-query top-k of q_similarity_cosine.
+
+    Scale shape: candidates come from the (band, bucket) self-join —
+    pair count bounded by bucket occupancy, never O(n²); the half-join
+    (a < b) is mirrored by a cheap projection instead of joining twice;
+    exact-cosine confirm is the JVM fold; per-vector top-k is a
+    row_number window on (cosine desc, neighbor) —
+    WindowGroupLimit-prunable, no global sort. Vectors with no LSH
+    collision emit no row (documented: a production build unions a
+    random-probe fallback for isolated vectors)."""
+    emb = load(spark, sf_dir, "embeddings")
+    from reactor_window_like_flink_spark.llm.dedup import emb_band_buckets
+
+    sq_sum = F.aggregate(
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = emb.select("vec_id", "embedding", F.sqrt(sq_sum).alias("nrm"))
+    buckets = emb_band_buckets(
+        emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED
+    )
+    a, b = buckets.hint("merge").alias("a"), buckets.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    cand = half.unionAll(
+        half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    )
+    ea = e.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
+        .withColumn("_cos", dot / (F.col("nrm_a") * F.col("nrm_b")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("_cos", 4).alias("cosine"),
+            "rank",
+        )
+    )

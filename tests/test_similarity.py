@@ -260,3 +260,72 @@ def test_ivf_recall_on_clustered_vectors(spark):
     recall = sum(1 for v in true10 if cell_of[v] in probes) / 10
     index.assigned.unpersist()
     assert recall >= 0.9, f"recall@10 = {recall} with {IVF_PROBES} probes"
+
+
+def test_knn_graph_recall_and_exactness_on_clustered_vectors(spark):
+    """kNN-graph contract: on data with neighborhood structure, LSH
+    candidates recover most true top-k neighbors, and every emitted
+    cosine is the exact pair cosine (the approximation is WHICH pairs
+    are scored, never the score)."""
+    import reactor_window_like_flink_spark.llm.similarity as sim
+    from reactor_window_like_flink_spark.llm.similarity import KNN_K
+
+    rng = np.random.default_rng(11)
+    n_clusters, per_cluster, dim = 8, 40, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vecs = [], {}
+    for c in range(n_clusters):
+        pts = centers[c] + 0.25 * rng.standard_normal((per_cluster, dim))
+        for i, p in enumerate(pts):
+            vid = c * per_cluster + i
+            rows.append((vid, c, [float(x) for x in p]))
+            vecs[vid] = np.array([float(np.float32(x)) for x in p])
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    orig = sim.load
+    sim.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_knn_graph"](spark, "unused").collect()
+    finally:
+        sim.load = orig
+
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+
+    def brute_topk(vid):
+        q = vecs[vid]
+        scored = sorted(
+            (
+                (
+                    float(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v)),
+                    u,
+                )
+                for u, v in vecs.items()
+                if u != vid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return scored[:KNN_K]
+
+    # recall@K averaged over a sample of vectors
+    sample = list(vecs)[::13]
+    hits = total = 0
+    for vid in sample:
+        true = {u for _, u in brute_topk(vid)}
+        got = {r["neighbor_id"] for r in by_vec.get(vid, [])}
+        hits += len(true & got)
+        total += KNN_K
+    recall = hits / total
+    assert recall >= 0.8, f"kNN-graph recall@{KNN_K} = {recall}"
+
+    # exactness: every emitted cosine equals the brute-force pair cosine
+    for vid in sample:
+        for r in by_vec.get(vid, []):
+            q, v = vecs[vid], vecs[r["neighbor_id"]]
+            expect = float(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
+            assert abs(r["cosine"] - round(expect, 4)) < 2e-4
+        ranks = [r["rank"] for r in by_vec.get(vid, [])]
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
