@@ -60,6 +60,7 @@ HEADLINE = [
     "q_sessionize",
     "q_pattern_sequence",
     "q_pattern_sequence_strict",
+    "q_pattern_absence",
     "q_unigram_logprob",
     "q_bm25_topterms",
     "q_inverted_index",

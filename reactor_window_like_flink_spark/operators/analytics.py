@@ -705,3 +705,80 @@ def q_scd2_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").cast("long").alias("valid_from_us"),
         F.max("us").cast("long").alias("last_seen_us"),
     )
+
+
+# Absence detection (Flink CEP notFollowedBy): a view with NO purchase in
+# the following window is a churn/abandonment signal.
+ABSENCE_SPAN_US = 24 * 3600 * 1_000_000
+
+
+@REG.add(
+    "q_pattern_absence",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id,
+             CAST(epoch_us(ts) AS BIGINT) AS view_us
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS mx FROM events)
+    SELECT v.user_id, v.view_id, v.view_us
+    FROM v, m
+    WHERE v.view_us + {ABSENCE_SPAN_US} < m.mx
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.us > v.view_us
+          AND p.us <= v.view_us + {ABSENCE_SPAN_US}
+      )
+    """,
+)
+def q_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative CEP pattern (Flink's ``notFollowedBy`` /
+    MATCH_RECOGNIZE absence): views NOT followed by a same-user purchase
+    within 24 h — the abandonment/churn detector, the complement of
+    q_pattern_sequence's positive chains. Only OBSERVABLE absences are
+    emitted: a view whose 24 h window extends past the end of the data
+    cannot be judged yet (exactly the rows the streaming twin's
+    event-time timer has not fired for — see
+    ``streaming/cep.py:not_followed_by_stateful``).
+
+    Scale shape: ONE user_id sort-shuffle; the "next purchase within the
+    window" resolves as a conditional min over a RANGE frame
+    (us+1 .. us+span) on the event-time long — no self-join, no
+    NOT-EXISTS subquery at plan level, and the range frame makes the
+    strictly-after semantics exact under same-microsecond ties. The
+    data-end cutoff joins as a broadcast 1-row max."""
+    events = load(spark, sf_dir, "events")
+    b = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, ABSENCE_SPAN_US)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(w)
+    mx = b.agg(F.max("us").alias("mx"))
+    return (
+        b.withColumn("_np", next_p)
+        .filter(F.col("event_type") == "view")
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("us") + ABSENCE_SPAN_US < F.col("mx"))
+            & F.col("_np").isNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("us").alias("view_us"),
+        )
+    )

@@ -38,6 +38,7 @@ joins or extra shuffles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.operators.analytics import (
     FUNNEL_STAGES,
@@ -242,8 +243,6 @@ def pattern_sequence_stateful(
     """Streaming view->click->purchase chain matcher: the
     ``FUNNEL_STAGES`` instance of ``followed_by_chain_stateful``, with
     the batch ``q_pattern_sequence`` key's column names."""
-    from pyspark.sql import functions as F
-
     out = followed_by_chain_stateful(
         events_stream, FUNNEL_STAGES, watermark_delay, span_us
     )
@@ -254,3 +253,162 @@ def pattern_sequence_stateful(
         F.col("stage2_id").alias("purchase_id"),
         "span_us",
     )
+
+
+def not_followed_by_stateful(
+    events_stream: DataFrame,
+    first: str = "view",
+    absent: str = "purchase",
+    watermark_delay: str = "1 hour",
+    span_us: int | None = None,
+) -> DataFrame:
+    """Negative CEP pattern on a live stream — Flink's ``notFollowedBy``
+    with a ``within`` window: emit (user_id, view_id, view_us) for every
+    ``first`` event that is NOT followed by a same-user ``absent`` event
+    inside ``span_us``. Absence can only be decided by TIME, never by
+    arrival: the row emits when the event-time watermark passes
+    ``first_ts + span`` with no matching ``absent`` seen — the
+    event-time-timer pattern the positive chain matcher above never
+    needs, and the reason this operator exists separately.
+
+    Out-of-order safety: arrivals buffer until the watermark passes them
+    (same finalize discipline as ``followed_by_chain_stateful``), so a
+    late-but-within-delay purchase still cancels its views. Rows later
+    than the watermark delay are dropped (Flink's past-watermark
+    discard). State per key = pending firsts inside their spans + the
+    pre-finalize buffer — bounded by rate x (delay + span), independent
+    of stream lifetime; a key with nothing pending drops its state row.
+
+    Replay equivalence (tests/test_cep.py): on a bounded replay whose
+    watermark is pushed past every view's window, the emitted set EQUALS
+    the batch ``q_pattern_absence`` key's observable absences.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if span_us is None:
+        from reactor_window_like_flink_spark.operators.analytics import (
+            ABSENCE_SPAN_US,
+        )
+
+        span_us = ABSENCE_SPAN_US
+    span = int(span_us)
+
+    out_schema = "user_id long, view_id long, view_us long"
+    state_schema = (
+        "frontier_us long, "
+        "buf_us array<long>, buf_id array<long>, buf_first array<int>, "
+        "pend_us array<long>, pend_id array<long>"
+    )
+
+    tagged = (
+        events_stream.select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isin(first, absent))
+        .withWatermark("ts", watermark_delay)
+    )
+
+    def match(key, pdfs, state):
+        if state.exists:
+            vals = state.get
+            frontier = vals[0]
+            buf_us, buf_id, buf_first = (
+                list(vals[1]), list(vals[2]), list(vals[3])
+            )
+            pend_us, pend_id = list(vals[4]), list(vals[5])
+        else:
+            frontier = _NEG
+            buf_us, buf_id, buf_first = [], [], []
+            pend_us, pend_id = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            for row_us, row_id, row_type in zip(
+                ts_us, pdf["event_id"], pdf["event_type"]
+            ):
+                if row_us < frontier:
+                    continue  # late past the frontier: dropped
+                buf_us.append(int(row_us))
+                buf_id.append(int(row_id))
+                buf_first.append(1 if row_type == first else 0)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        if wm_us > 0:
+            if buf_us:
+                b_us = np.asarray(buf_us, dtype="int64")
+                b_id = np.asarray(buf_id, dtype="int64")
+                b_first = np.asarray(buf_first, dtype="int64")
+                fin = b_us < wm_us
+                if fin.any():
+                    order = np.lexsort((b_id[fin], b_us[fin]))
+                    for e_us, e_id, e_first in zip(
+                        b_us[fin][order], b_id[fin][order], b_first[fin][order]
+                    ):
+                        if e_first:
+                            pend_us.append(int(e_us))
+                            pend_id.append(int(e_id))
+                        else:
+                            # cancel every pending first this event follows
+                            # inside the span: v_us < e_us <= v_us + span
+                            keep_p = [
+                                (v_us, v_id)
+                                for v_us, v_id in zip(pend_us, pend_id)
+                                if not (v_us < e_us <= v_us + span)
+                            ]
+                            pend_us = [v for v, _ in keep_p]
+                            pend_id = [i for _, i in keep_p]
+                    keep = ~fin
+                    buf_us = [int(x) for x in b_us[keep]]
+                    buf_id = [int(x) for x in b_id[keep]]
+                    buf_first = [int(x) for x in b_first[keep]]
+                frontier = max(frontier, wm_us)
+            else:
+                frontier = max(frontier, wm_us)
+            # the timer path: absence is decided when the watermark
+            # passes view + span with the view still pending
+            fired = [
+                (v_us, v_id)
+                for v_us, v_id in zip(pend_us, pend_id)
+                if wm_us > v_us + span
+            ]
+            if fired:
+                fired.sort()
+                out.extend(
+                    (int(key[0]), int(v_id), int(v_us))
+                    for v_us, v_id in fired
+                )
+                live = [
+                    (v_us, v_id)
+                    for v_us, v_id in zip(pend_us, pend_id)
+                    if wm_us <= v_us + span
+                ]
+                pend_us = [v for v, _ in live]
+                pend_id = [i for _, i in live]
+        if not buf_us and not pend_us:
+            state.remove()
+        else:
+            state.update(
+                (frontier, buf_us, buf_id, buf_first, pend_us, pend_id)
+            )
+            wm_ms = wm_us // 1000
+            anchors = []
+            if buf_us:
+                anchors.append(min(buf_us))  # finalize wake
+            if pend_us:
+                anchors.append(min(pend_us) + span)  # absence-timer wake
+            state.setTimeoutTimestamp(max(min(anchors) // 1000, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "view_id", "view_us"]
+            )
+
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        match,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+

@@ -260,3 +260,106 @@ def test_followed_by_chain_stateful_strict_matches_batch(spark, tmp_path):
     assert got == want_batch
     assert want_batch == _chain_model(rows, stages, span_us, strict=True)
     assert len(want_batch) > 0
+
+
+def test_absence_stream_matches_batch_on_replayed_events(spark, sf_dir, tmp_path):
+    """notFollowedBy replay equivalence: the fixture replayed in three
+    time-shuffled micro-batches, with a sentinel placing the final
+    watermark EXACTLY at the fixture's max event time, emits exactly the
+    batch q_pattern_absence key's observable-absence set (whose cutoff
+    is that same max)."""
+    from datetime import timedelta
+
+    from reactor_window_like_flink_spark.sources.tables import load
+    from reactor_window_like_flink_spark.streaming.cep import (
+        not_followed_by_stateful,
+    )
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "events"))
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    rows = ev.collect()
+    max_ts = max(r["ts"] for r in rows)
+    delay_days = 3650
+    out = not_followed_by_stateful(
+        src.stream(), watermark_delay=f"{delay_days} days"
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_absence_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for part in range(3):
+            src.publish(
+                [tuple(r) for r in rows if r["event_id"] % 3 == part]
+            )
+            query.processAllAvailable()
+        # sentinel at max_ts + delay -> final watermark lands EXACTLY on
+        # max_ts, matching the batch key's observability cutoff
+        src.publish(
+            [(10**9, max_ts + timedelta(days=delay_days), 10**9, "view", 0.0)]
+        )
+        query.processAllAvailable()
+        got = {
+            (r["user_id"], r["view_id"], r["view_us"])
+            for r in spark.sql("SELECT * FROM t_absence_replay").collect()
+        }
+    finally:
+        query.stop()
+    want = {
+        (r["user_id"], r["view_id"], r["view_us"])
+        for r in entry_mod.queries()["q_pattern_absence"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_absence_late_purchase_still_cancels(spark, tmp_path):
+    """A purchase arriving a micro-batch late (but inside the watermark
+    delay) must still cancel its view; a view whose window expires with
+    no purchase fires exactly once."""
+    from datetime import timedelta
+
+    from reactor_window_like_flink_spark.streaming.cep import (
+        not_followed_by_stateful,
+    )
+
+    span_us = 10 * 60 * 1_000_000  # 10-minute absence window
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = not_followed_by_stateful(
+        src.stream(), watermark_delay="30 minutes", span_us=span_us
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_absence_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: two views; batch 2 (later arrival, earlier time):
+        # a purchase that follows view 1 inside its window
+        src.publish(
+            [
+                (1, _ts(0), 1, "view", 0.0),
+                (2, _ts(1), 2, "view", 0.0),
+            ]
+        )
+        query.processAllAvailable()
+        src.publish([(3, _ts(5), 1, "purchase", 0.0)])
+        query.processAllAvailable()
+        # advance the watermark far past both windows
+        src.publish([(9, _ts(0) + timedelta(days=2), 99, "view", 0.0)])
+        query.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_absence_late").collect()
+    finally:
+        query.stop()
+    got = {(r["user_id"], r["view_id"]) for r in rows}
+    assert got == {(2, 2)}  # user 1's view was cancelled; user 2 fired
+    assert len(rows) == 1  # exactly once
