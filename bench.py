@@ -40,6 +40,7 @@ HEADLINE = [
     "q_similarity_ann",
     "q_similarity_pq",
     "q_knn_graph",
+    "q_bpe_merges",
     "q_text_stats",
     "q_decontaminate",
     "q_repetition_score",

@@ -10,6 +10,7 @@ BASELINE.json, built expression-first so the hot path stays JVM-side.
 
 from __future__ import annotations
 
+from reactor_window_like_flink_spark.llm.bpe import REG as BPE_REG
 from reactor_window_like_flink_spark.llm.clustering import REG as CLUSTERING_REG
 from reactor_window_like_flink_spark.llm.curation import REG as CURATION_REG
 from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
@@ -29,6 +30,7 @@ REGS = [
     CURATION_REG,
     PROFILING_REG,
     SAMPLING_REG,
+    BPE_REG,
     MULTIMODAL_REG,
 ]
 
@@ -42,5 +44,6 @@ __all__ = [
     "TEXT_REG",
     "RETRIEVAL_REG",
     "SAMPLING_REG",
+    "BPE_REG",
     "MULTIMODAL_REG",
 ]

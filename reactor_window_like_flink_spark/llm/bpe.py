@@ -1,0 +1,129 @@
+"""Distributed BPE merge learning (Sennrich et al., ACL 2016): the
+tokenizer-training step of an LLM data pipeline, on Spark.
+
+The scale split is the classic one: the 100 TB step is collapsing the
+corpus to a (word, freq) vocabulary — one explode + count whose shuffle
+carries words and counts, never documents. Merge learning then iterates
+on the vocabulary table (millions of rows for a web corpus, not
+billions), still distributed: each round is an adjacent-pair frequency
+aggregate (map-side combined), a deterministic argmax (top-1 via
+TakeOrderedAndProject — max joint freq, lexicographic (left, right)
+tie-break), and one Arrow `mapInPandas` pass rewriting the symbol
+arrays with greedy left-to-right non-overlapping application. The vocab
+is re-materialized per round (`localCheckpoint`) so round r+1's lineage
+does not replay rounds 1..r — the same iterative-algorithm posture as
+k-means (`llm/similarity.py:fit_ivf`) and connected components
+(`llm/clustering.py`).
+
+Verified rows-only: iterative argmax has no DuckDB oracle; pytest
+asserts the learned merge list EQUALS a sequential pure-Python
+reference implementation (same tie-break, same greedy application) on
+fixture corpora.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.llm.text import _tokens
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+BPE_MERGES = 16
+EOW = "</w>"  # end-of-word marker (word-boundary-aware merges)
+BPE_MIN_PAIR_FREQ = 2  # stop early when the best pair is a singleton
+
+
+def _word_vocab(docs: DataFrame) -> DataFrame:
+    """(symbols array<string>, freq): whitespace vocabulary with each
+    word burst into characters + the end-of-word marker."""
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.expr(
+        "concat(transform(sequence(1, length(word)),"
+        f" i -> substring(word, i, 1)), array('{EOW}'))"
+    )
+    return vocab.select(chars.alias("sym"), "freq")
+
+
+def _apply_merge(left: str, right: str):
+    """mapInPandas stage: greedy left-to-right non-overlapping rewrite
+    of (left, right) -> left+right in every symbol array."""
+    merged = left + right
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for sym in pdf["sym"]:
+                res, i, n = [], 0, len(sym)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and sym[i] == left
+                        and sym[i + 1] == right
+                    ):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(sym[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame({"sym": out, "freq": pdf["freq"]})
+
+    return fn
+
+
+def learn_bpe_merges(
+    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges from the documents frame.
+    Returns [(rank, left, right, joint_freq)] in learning order."""
+    vocab = _word_vocab(docs).localCheckpoint()
+    pairs_expr = F.expr(
+        "transform(sequence(1, size(sym) - 1),"
+        " i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            vocab.filter(F.size("sym") >= 2)
+            .select("freq", F.explode(pairs_expr).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < BPE_MIN_PAIR_FREQ:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, left, right, c))
+        new_vocab = vocab.mapInPandas(
+            _apply_merge(left, right), "sym array<string>, freq long"
+        ).localCheckpoint()
+        vocab = new_vocab
+    return merges
+
+
+@REG.add("q_bpe_merges")  # rows-only: iterative argmax has no SQL
+# oracle; pytest asserts equality with a sequential reference BPE.
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {BPE_MERGES} BPE merges learned from the documents corpus:
+    (rank, left, right, joint_freq) in learning order — the
+    tokenizer-training pass (see module docstring for the scale split)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(spark, docs, BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, joint_freq long"
+    )

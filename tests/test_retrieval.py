@@ -425,3 +425,64 @@ def test_embed_norm_profile_zero_and_band_counts(spark):
     assert r["n_zero"] == 1
     assert r["n_out_of_band"] == 2
     assert r["p50_norm"] == 1.0
+
+
+def _bpe_reference(texts, n_merges):
+    """Sequential Sennrich BPE with the operator's exact contracts:
+    freq-weighted adjacent pairs (overlaps count), argmax tie-break
+    (freq desc, left asc, right asc), greedy left-to-right application,
+    stop when best joint freq < 2."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                vocab[w] += 1
+    words = {w: list(w) + ["</w>"] for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, sym in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((rank, l, r, c))
+        for w, sym in words.items():
+            res, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            words[w] = res
+    return merges
+
+
+def test_bpe_merges_match_sequential_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa aaaa aa",  # overlapping identical pairs
+        "tie tye",       # tie-break exercise
+    ]
+    rows = _docs([(i, t) for i, t in enumerate(texts)])
+    out = _with_table(spark, rows, DOC_SCHEMA, "q_bpe_merges", ["bpe"])
+    got = [(r["rank"], r["left"], r["right"], r["joint_freq"]) for r in out]
+    got.sort()
+    want = _bpe_reference(texts, 16)
+    assert got == want
+    assert len(got) >= 8  # the corpus supports a real merge sequence
+
+
+def test_bpe_merges_deterministic_across_runs(spark):
+    rows = _docs([(1, "repeat repeat repeatable repeating")])
+    a = _with_table(spark, rows, DOC_SCHEMA, "q_bpe_merges", ["bpe"])
+    b = _with_table(spark, rows, DOC_SCHEMA, "q_bpe_merges", ["bpe"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
