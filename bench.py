@@ -41,6 +41,7 @@ HEADLINE = [
     "q_similarity_pq",
     "q_knn_graph",
     "q_bpe_merges",
+    "q_bpe_encode",
     "q_text_stats",
     "q_decontaminate",
     "q_repetition_score",

@@ -127,3 +127,90 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, joint_freq long"
     )
+
+
+# Learned-merge memo per sf_dir: the index-lifecycle posture (same as
+# fit_ivf/fit_pq in llm/similarity.py) — training runs once, encode
+# queries reuse the artifact.
+_MERGE_CACHE: dict[tuple[int, str], list[tuple[int, str, str, int]]] = {}
+
+
+def merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    key = (id(spark), sf_dir)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = learn_bpe_merges(
+            spark, load(spark, sf_dir, "documents"), BPE_MERGES
+        )
+    return _MERGE_CACHE[key]
+
+
+def encode_word(sym: list[str], ranked: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges in learned-rank order (the standard BPE encode):
+    repeatedly merge the present pair with the LOWEST rank until none
+    applies. Greedy left-to-right within a rank, same as training."""
+    while len(sym) >= 2:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranked.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym = (
+            sym[:best_i]
+            + [sym[best_i] + sym[best_i + 1]]
+            + sym[best_i + 2 :]
+        )
+    return sym
+
+
+@REG.add("q_bpe_encode")  # rows-only: depends on the learned merge
+# table (see q_bpe_merges); pytest asserts equality with a sequential
+# reference encode and the compression invariant.
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode of every document under the corpus-learned merges
+    (the inference side of q_bpe_merges): per doc, whitespace token
+    count, BPE token count, and fertility (BPE tokens per word) — the
+    metric tokenizer work optimizes.
+
+    Scale shape: the merge table is a tiny learned artifact broadcast
+    into one Arrow `mapInPandas` pass over the narrow (doc_id, text)
+    scan — encode is embarrassingly parallel, no shuffle at all; the
+    per-word encode memoizes within each batch (Zipf makes the word
+    cache hit rate high)."""
+    ranked = {
+        (left, right): rank
+        for rank, left, right, _ in merges_for(spark, sf_dir)
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in text.lower().split(" ") if w]
+                n_bpe = 0
+                for w in words:
+                    if w not in cache:
+                        cache[w] = len(
+                            encode_word(list(w) + [EOW], ranked)
+                        )
+                    n_bpe += cache[w]
+                n_ws = len(words)
+                out.append(
+                    (
+                        int(doc_id),
+                        n_ws,
+                        n_bpe,
+                        round(n_bpe / n_ws, 4) if n_ws else None,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_tokens_ws", "n_tokens_bpe", "fertility"]
+            )
+
+    return docs.mapInPandas(
+        encode,
+        "doc_id long, n_tokens_ws long, n_tokens_bpe long, fertility double",
+    )

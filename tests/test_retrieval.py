@@ -486,3 +486,43 @@ def test_bpe_merges_deterministic_across_runs(spark):
     a = _with_table(spark, rows, DOC_SCHEMA, "q_bpe_merges", ["bpe"])
     b = _with_table(spark, rows, DOC_SCHEMA, "q_bpe_merges", ["bpe"])
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bpe_encode_matches_reference_and_compresses(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low new lower newer",
+    ]
+    rows = _docs([(i, t) for i, t in enumerate(texts)])
+
+    import reactor_window_like_flink_spark.llm.bpe as bpe
+
+    orig_load, orig_cache = bpe.load, dict(bpe._MERGE_CACHE)
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    bpe.load = lambda s, d, t: df
+    bpe._MERGE_CACHE.clear()
+    try:
+        out = entry_mod.queries()["q_bpe_encode"](spark, "unused").collect()
+    finally:
+        bpe.load = orig_load
+        bpe._MERGE_CACHE.clear()
+        bpe._MERGE_CACHE.update(orig_cache)
+
+    merges = _bpe_reference(texts, 16)
+    ranked = {(l, r): rank for rank, l, r, _ in merges}
+
+    def ref_encode_len(w):
+        from reactor_window_like_flink_spark.llm.bpe import encode_word
+
+        return len(encode_word(list(w) + ["</w>"], ranked))
+
+    by_doc = {r["doc_id"]: r for r in out}
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split(" ") if w]
+        want_bpe = sum(ref_encode_len(w) for w in words)
+        r = by_doc[i]
+        assert r["n_tokens_ws"] == len(words)
+        assert r["n_tokens_bpe"] == want_bpe
+        # merges learned on this corpus must beat character fallback
+        assert r["n_tokens_bpe"] < sum(len(w) + 1 for w in words)
