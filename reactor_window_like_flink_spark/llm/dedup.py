@@ -450,6 +450,50 @@ def _emb_lsh_oracle() -> str:
     """
 
 
+def emb_band_buckets_fast(
+    emb: DataFrame,
+    bands: int = EMB_LSH_BANDS,
+    bits: int = EMB_LSH_BITS,
+    seed: int = EMB_LSH_SEED,
+) -> DataFrame:
+    """Production-kernel twin of ``emb_band_buckets``: the same sign-LSH
+    assignment as ONE numpy matmul per Arrow batch instead of
+    bands x bits interpreted HOF folds per row (the measured
+    fixed-width-numeric kernel rule, BASELINE.md). Materialized
+    (`localCheckpoint`) because every caller joins it against itself."""
+    import numpy as np
+    import pandas as pd
+
+    planes_t = _emb_hyperplanes(bands * bits, seed)
+
+    def sig_batches(batches):
+        h_mat = np.array(planes_t).T  # (dim, planes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bits_m = (e_mat @ h_mat) > 0  # (n, planes)
+            buckets = np.zeros((len(e_mat), bands), dtype="int32")
+            for j in range(bands):
+                for lane in range(bits):
+                    buckets[:, j] |= (
+                        bits_m[:, j * bits + lane].astype("int32") << lane
+                    )
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.tile(
+                        np.arange(bands, dtype="int32"), len(e_mat)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.mapInPandas(
+        sig_batches, "vec_id long, band int, bucket int"
+    ).localCheckpoint()
+
+
 def emb_band_buckets(
     emb: DataFrame,
     bands: int = EMB_LSH_BANDS,
@@ -588,37 +632,8 @@ def lsh_cosine_pairs_fast(
     import numpy as np
     import pandas as pd
 
-    planes_t = _emb_hyperplanes()
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def sig_batches(batches):
-        h_mat = np.array(planes_t).T  # (dim, planes)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            e_mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            bits = (e_mat @ h_mat) > 0  # (n, planes)
-            buckets = np.zeros((len(e_mat), EMB_LSH_BANDS), dtype="int32")
-            for j in range(EMB_LSH_BANDS):
-                for lane in range(EMB_LSH_BITS):
-                    buckets[:, j] |= (
-                        bits[:, j * EMB_LSH_BITS + lane].astype("int32") << lane
-                    )
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), EMB_LSH_BANDS
-                    ),
-                    "band": np.tile(
-                        np.arange(EMB_LSH_BANDS, dtype="int32"), len(e_mat)
-                    ),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
-
-    buckets = emb.mapInPandas(
-        sig_batches, "vec_id long, band int, bucket int"
-    ).localCheckpoint()
+    buckets = emb_band_buckets_fast(emb)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

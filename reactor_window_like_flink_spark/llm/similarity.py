@@ -542,34 +542,34 @@ KNN_LSH_SEED = 20260814
 # and exactness of every emitted cosine.
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph: top-{KNN_K} cosine neighbors per vector
-    among sign-LSH candidates (same banding as the embedding near-dup
-    join — `llm/dedup.py:emb_band_buckets`). This is the all-vectors
-    neighbor JOIN (kNN-graph construction for clustering/diversity
-    passes), not the single-query top-k of q_similarity_cosine.
+    among sign-LSH candidates (same banding family as the embedding
+    near-dup join — `llm/dedup.py:emb_band_buckets_fast`, numpy-matmul
+    signature pass). This is the all-vectors neighbor JOIN (kNN-graph
+    construction for clustering/diversity passes), not the single-query
+    top-k of q_similarity_cosine.
 
     Scale shape: candidates come from the (band, bucket) self-join —
-    pair count bounded by bucket occupancy, never O(n²); the half-join
-    (a < b) is mirrored by a cheap projection instead of joining twice;
-    exact-cosine confirm is the JVM fold; per-vector top-k is a
-    row_number window on (cosine desc, neighbor) —
-    WindowGroupLimit-prunable, no global sort. Vectors with no LSH
-    collision emit no row (documented: a production build unions a
-    random-probe fallback for isolated vectors)."""
-    emb = load(spark, sf_dir, "embeddings")
-    from reactor_window_like_flink_spark.llm.dedup import emb_band_buckets
+    pair count bounded by bucket occupancy, never O(n²); cosines are
+    computed ONCE per unordered pair (fused numpy batch kernel — the
+    fixed-width-numeric rule, BASELINE.md) and the SCORED rows are then
+    mirrored by a projection, so the confirm cost is half what scoring
+    both directions would pay; per-vector top-k is a row_number window
+    on (cosine desc, neighbor) — WindowGroupLimit-prunable, no global
+    sort. Vectors with no LSH collision emit no row (documented: a
+    production build unions a random-probe fallback for isolated
+    vectors)."""
+    import numpy as np
+    import pandas as pd
 
-    sq_sum = F.aggregate(
-        F.expr(
-            "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    from reactor_window_like_flink_spark.llm.dedup import (
+        emb_band_buckets_fast,
     )
-    e = emb.select("vec_id", "embedding", F.sqrt(sq_sum).alias("nrm"))
-    buckets = emb_band_buckets(
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    buckets = emb_band_buckets_fast(
         emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED
     )
-    a, b = buckets.hint("merge").alias("a"), buckets.alias("b")
+    a, b = buckets.alias("a"), buckets.alias("b")
     half = (
         a.join(
             b,
@@ -583,37 +583,48 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["vec_id", "neighbor_id"])
     )
-    cand = half.unionAll(
-        half.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("vec_id").alias("neighbor_id"),
-        )
+    ea = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("emb_a")
     )
-    ea = e.select(
-        F.col("vec_id"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    eb = e.select(
+    eb = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    paired = half.join(ea, "vec_id").join(eb, "neighbor_id")
+
+    def cos_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_mat = np.stack(pdf["emb_a"].to_numpy()).astype("float64")
+            b_mat = np.stack(pdf["emb_b"].to_numpy()).astype("float64")
+            cos = (a_mat * b_mat).sum(axis=1) / (
+                np.linalg.norm(a_mat, axis=1)
+                * np.linalg.norm(b_mat, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "_cos": cos,
+                }
+            )
+
+    scored_half = paired.mapInPandas(
+        cos_batches, "vec_id long, neighbor_id long, _cos double"
+    )
+    scored = scored_half.unionAll(
+        scored_half.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "_cos",
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")
     )
     return (
-        cand.join(ea, "vec_id")
-        .join(eb, "neighbor_id")
-        .withColumn("_cos", dot / (F.col("nrm_a") * F.col("nrm_b")))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
         .select(
             "vec_id",
