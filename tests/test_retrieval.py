@@ -526,3 +526,17 @@ def test_bpe_encode_matches_reference_and_compresses(spark):
         assert r["n_tokens_bpe"] == want_bpe
         # merges learned on this corpus must beat character fallback
         assert r["n_tokens_bpe"] < sum(len(w) + 1 for w in words)
+
+
+def test_bpe_distributed_and_driver_paths_identical(spark):
+    """The size-dispatched merge loop is an optimization, not a
+    semantics change: forcing the distributed path (driver_vocab_max=0)
+    must produce the same merges as the driver fast path."""
+    from reactor_window_like_flink_spark.llm.bpe import learn_bpe_merges
+
+    texts = ["low lower lowest low low", "new newer newest new", "aaaa aa"]
+    df = spark.createDataFrame(_docs([(i, t) for i, t in enumerate(texts)]), DOC_SCHEMA)
+    fast = learn_bpe_merges(spark, df, 12)
+    dist = learn_bpe_merges(spark, df, 12, driver_vocab_max=0)
+    assert fast == dist
+    assert fast == _bpe_reference(texts, 12)
