@@ -77,6 +77,7 @@ HEADLINE = [
     "q_skew_profile",
     "q_resample_ffill",
     "q_embed_norm_profile",
+    "q_multimodal_dedup",
     "q_scd2_runs",
     "q_heavy_hitters",
     "q_join_asof_tolerance",

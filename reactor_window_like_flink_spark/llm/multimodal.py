@@ -228,3 +228,57 @@ def resize_images(media_df: DataFrame, max_side: int = 224) -> DataFrame:
         ),
         F.round(scale, 4).alias("scale"),
     )
+
+
+@REG.add(
+    "q_multimodal_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id, md5(text) AS checksum,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(length(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT checksum,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           min(doc_id) AS keep_doc_id,
+           CAST(max(n_bytes) AS BIGINT) AS n_bytes,
+           list_sort(list(DISTINCT kind)) AS kinds,
+           CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS is_dup
+    FROM m
+    GROUP BY checksum
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset ledger + dedup across the multimodal corpus: one row per
+    distinct content checksum with its embed count, min-id survivor,
+    distinct-kind provenance (the same bytes re-encoded as "image" in
+    one doc and "video" in another still collapse to one asset), and an
+    is_dup flag for checksums embedded in >= 2 documents — the dedup
+    decision plus the reprocessing inventory in one pass.
+
+    Scale shape: the checksum is stored METADATA (written once at
+    ingest), so the dedup groupBy keys on the 32-hex string and the
+    payload bytes are never read, never shuffled — the same economics as
+    q_dedup_exact but over binary assets. Dedup at 100 TB of media is a
+    metadata-only job."""
+    media = with_media(load(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "doc_id",
+            F.col("media.checksum").alias("checksum"),
+            F.col("media.kind").alias("kind"),
+            F.col("media.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("checksum")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("n_bytes").cast("long").alias("n_bytes"),
+            F.array_sort(F.collect_set("kind")).alias("kinds"),
+        )
+        .withColumn(
+            "is_dup", F.when(F.col("n_assets") >= 2, 1).otherwise(0)
+        )
+    )
