@@ -97,3 +97,32 @@ def test_resize_images_aspect_preserving(spark):
     assert set(got) == {0, 192}
     assert got[0] == (64, 64, 64, 64, 1.0)  # never upscale
     assert got[192] == (256, 384, 149, 224, 0.5833)  # 224/384, round(256*scale)
+
+
+def test_asset_dedup_collapses_across_container_kinds(spark):
+    """Identical payload bytes embedded under different container kinds
+    (doc_id % 3 differs) must collapse to ONE asset row with both kinds
+    in provenance; unique payloads carry is_dup = 0."""
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.llm.multimodal as mm
+
+    rows = [
+        # doc 3 -> 'image', doc 4 -> 'audio': same text, different kind
+        (3, "shared bytes here", "en", "s0", 17),
+        (4, "shared bytes here", "en", "s1", 17),
+        (5, "unique bytes", "en", "s0", 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = mm.load
+    mm.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_multimodal_dedup"](spark, "unused").collect()
+    finally:
+        mm.load = orig
+    by_keep = {r["keep_doc_id"]: r for r in out}
+    dup = by_keep[3]
+    assert dup["n_assets"] == 2 and dup["is_dup"] == 1
+    assert dup["kinds"] == ["audio", "image"]  # cross-kind collapse
+    assert by_keep[5]["is_dup"] == 0 and by_keep[5]["kinds"] == ["video"]
