@@ -614,6 +614,11 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_last))
         .filter(F.col("rn") == 1)
         .select("user_id", "hr", "value")
+        # O(users x active-hours) rows, consumed by both the span
+        # aggregate and the grid join — materialize once (the branches
+        # prune differently, so exchange reuse alone won't fire;
+        # measured: 2 raw-event scans without)
+        .localCheckpoint()
     )
     span = hv.groupBy("user_id").agg(
         F.min("hr").alias("lo"), F.max("hr").alias("hi")
