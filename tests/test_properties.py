@@ -388,3 +388,66 @@ def test_scd2_runs_match_groupby_model(spark, types):
     ]
     expected = [(t, len(list(g))) for t, g in groupby(types)]
     assert got == expected
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),       # user
+            st.integers(min_value=0, max_value=600),     # minute offset
+            st.integers(min_value=-50, max_value=50),    # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resample_ffill_matches_pandas_model(spark, evs):
+    """The distributed hourly resample + forward fill must equal
+    pandas' groupby → hourly-last → reindex → ffill on arbitrary event
+    sets (duplicate timestamps included: latest (ts, event_id) wins)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.operators.analytics as an
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, "m", float(v), "{}")
+        for i, (u, m, v) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    orig = an.load
+    an.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_resample_ffill"](spark, "unused").collect()
+    finally:
+        an.load = orig
+    got = {
+        (r["user_id"], r["hour_ts"]): (r["value"], r["observed"])
+        for r in out
+    }
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "t", "value", "p"])
+    want = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        g["hr"] = g["ts"].dt.floor("h")
+        last = g.groupby("hr")["value"].last()
+        grid = pd.date_range(last.index.min(), last.index.max(), freq="h")
+        filled = last.reindex(grid).ffill()
+        observed = last.reindex(grid).notna()
+        for hr, v, o in zip(grid, filled, observed):
+            epoch = int(hr.replace(tzinfo=dt.timezone.utc).timestamp())
+            want[(u, epoch)] = (float(v), int(o))
+    assert got == want
