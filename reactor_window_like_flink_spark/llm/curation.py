@@ -750,3 +750,52 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+def corpus_ingest_sink(spark: SparkSession, ledger_dir: str):
+    """Continuous corpus curation as a ``foreachBatch`` sink: each
+    micro-batch of raw documents is exact-deduped IN-batch (min-id winner
+    per md5) and admitted against everything already in the ledger, and
+    the admitted rows land in the ledger's own ``batch_id=N`` partition
+    — the streaming composition of ``incremental_dedup`` (the admit
+    join), ``sources/sinks.py:idempotent_batch_sink`` (the exactly-once
+    write), and the corpus ledger itself.
+
+    The exactly-once subtlety this encodes: on crash-replay, Spark
+    re-runs the last batch with the SAME batch_id — but by then the
+    ledger already contains that batch's own rows, so a naive admit
+    anti-join would drop them all and the idempotent overwrite would
+    EMPTY the partition (silent data loss on recovery). The admit
+    therefore reads the ledger EXCLUDING the current batch_id — a
+    partition-pruned filter on the hive column — making replay a no-op
+    rewrite of identical content (asserted by
+    ``tests/test_curation.py``).
+
+    Scale posture: the per-batch ledger read is a one-column (text_hash)
+    scan; at corpus scale that side lives as the bucketed hash index
+    (``build_corpus_hash_index``) so the admit anti-join co-locates
+    without an Exchange, and ``sources/layout.py:compact`` folds the
+    per-batch files."""
+    from pyspark.errors import AnalysisException
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("doc_id", "text", "lang", "source").withColumn(
+            "text_hash", F.md5("text")
+        )
+        winners = b.join(
+            b.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id")),
+            ["text_hash", "doc_id"],
+        )
+        try:
+            ledger = spark.read.parquet(ledger_dir)
+            prior = ledger.filter(F.col("batch_id") != batch_id).select(
+                "text_hash"
+            )
+            admitted = winners.join(prior, "text_hash", "left_anti")
+        except AnalysisException:  # first batch: no ledger yet
+            admitted = winners
+        admitted.write.mode("overwrite").parquet(
+            f"{ledger_dir}/batch_id={batch_id}"
+        )
+
+    return admit

@@ -114,3 +114,48 @@ def test_prefix_groups_find_shared_boilerplate(spark):
     assert g["prefix"] == "terms of service apply to all users here"
     assert (g["keep_id"], g["n_docs"], g["n_sources"]) == (1, 3, 2)
     assert g["sources_csv"] == "s0,s1"
+
+
+def test_corpus_ingest_sink_dedup_and_crash_replay(spark, tmp_path):
+    """Continuous ingestion: in-batch dedup, cross-batch admit against
+    the ledger, and the crash-replay case — re-running a batch with the
+    same batch_id (whose rows are already IN the ledger) must rewrite
+    identical content, not drop it."""
+    from reactor_window_like_flink_spark.llm.curation import corpus_ingest_sink
+
+    ledger = str(tmp_path / "ledger")
+    sink = corpus_ingest_sink(spark, ledger)
+    schema = "doc_id long, text string, lang string, source string"
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha text", "en", "s0"),
+            (2, "beta text", "en", "s0"),
+            (3, "alpha text", "en", "s1"),  # in-batch dup of doc 1
+        ],
+        schema,
+    )
+    sink(b1, 0)
+    got1 = {
+        r["doc_id"] for r in spark.read.parquet(ledger).collect()
+    }
+    assert got1 == {1, 2}  # in-batch winner kept, dup dropped
+
+    b2 = spark.createDataFrame(
+        [
+            (4, "beta text", "de", "s2"),   # already in corpus -> rejected
+            (5, "gamma text", "en", "s0"),  # new -> admitted
+        ],
+        schema,
+    )
+    sink(b2, 1)
+    got2 = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+    assert got2 == {1, 2, 5}
+
+    # crash replay: batch 1 re-runs with its rows already in the ledger
+    sink(b2, 1)
+    got3 = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert got3 == [(1, 0), (2, 0), (5, 1)]  # identical, no loss, no dupes
