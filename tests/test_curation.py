@@ -159,3 +159,39 @@ def test_corpus_ingest_sink_dedup_and_crash_replay(spark, tmp_path):
         for r in spark.read.parquet(ledger).collect()
     )
     assert got3 == [(1, 0), (2, 0), (5, 1)]  # identical, no loss, no dupes
+
+
+def test_corpus_ingest_sink_live_stream(spark, tmp_path):
+    """The sink wired into a real foreachBatch query: documents streamed
+    in two file batches land deduped in the ledger."""
+    import time
+
+    from reactor_window_like_flink_spark.llm.curation import corpus_ingest_sink
+    from reactor_window_like_flink_spark.streaming.publisher import (
+        FileStreamInput,
+    )
+
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING"
+    src = FileStreamInput(spark, schema, str(tmp_path / "in"))
+    ledger = str(tmp_path / "ledger")
+    query = (
+        src.stream()
+        .writeStream.foreachBatch(corpus_ingest_sink(spark, ledger))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish([(1, "doc one", "en", "s0"), (2, "doc two", "en", "s0")])
+        query.processAllAvailable()
+        src.publish([(3, "doc one", "en", "s1"), (4, "doc three", "en", "s0")])
+        query.processAllAvailable()
+        deadline = time.time() + 30
+        got = set()
+        while time.time() < deadline:
+            got = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+            if got >= {1, 2, 4}:
+                break
+            time.sleep(0.5)
+    finally:
+        query.stop()
+    assert got == {1, 2, 4}  # doc 3 rejected as a cross-batch duplicate
