@@ -25,6 +25,8 @@ HEADLINE = [
     "q_join_broadcast",
     "q_join_multi",
     "q_join_asof",
+    "q_join_salted",
+    "q_agg_quantile_approx",
     "q_window_rank",
     "q_topk_per_group",
     "q_sort_limit",

@@ -1397,3 +1397,73 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_fresh, F.col("last_click_us")).alias("click_us"),
         F.when(is_fresh, 1).otherwise(0).alias("fresh"),
     )
+
+
+@REG.add("q_agg_quantile_approx")  # rows-only: the t-digest-style
+# mergeable sketch is engine-specific by construction; pytest bounds it
+# against the exact form (tests/test_retrieval.py).
+def q_agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production twin of q_agg_quantile: mergeable
+    approximate percentiles (``percentile_approx``, relative-accuracy
+    10000) — one pass, map-side-combinable sketches, no per-group sort.
+    Registered so the production swap every exact-percentile key's
+    docstring points at is itself a tested, benched surface."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile_approx(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("percentile_approx(value, 0.95, 10000)"), 4).alias("p95"),
+    )
+
+
+# Salted JOIN (the join-side twin of q_agg_salted): pre-aggregation
+# cannot help a join probe, so the skew fix is replicating the build
+# side k ways and spreading the probe side across the replicas.
+JOIN_SALT = 8
+
+
+@REG.add(
+    "q_join_salted",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi join: events⋈customer on the user key with
+    the BUILD side replicated {JOIN_SALT}x and the probe side salted by
+    a deterministic hash — every hot key's probe rows spread across
+    {JOIN_SALT} tasks instead of one. The salt is plan-only: the result
+    is salt-invariant, so the oracle is the PLAIN join (the correctness
+    contract that makes salting safe to deploy).
+
+    This is the join-side twin of q_agg_salted: a skewed AGGREGATE fixes
+    itself with partial combine, but a skewed JOIN probe cannot
+    pre-combine — replication is the lever (AQE's skew-join split is the
+    automatic form; explicit salting is the portable one and composes
+    with it). Shuffle volume: probe unchanged, build x{JOIN_SALT} —
+    cheap when the build side is dimension-sized."""
+    events = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_probe = events.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(JOIN_SALT)).cast("int")
+    )
+    replicated_build = cust.select(
+        "*", F.explode(F.expr(f"sequence(0, {JOIN_SALT - 1})")).alias("_salt")
+    )
+    return (
+        salted_probe.join(
+            replicated_build,
+            (F.col("user_id") == F.col("c_custkey"))
+            & (salted_probe["_salt"] == replicated_build["_salt"]),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

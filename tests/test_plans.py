@@ -269,3 +269,27 @@ def test_skew_profile_no_join_aggregate_only(q):
     key column; a join would mean the Gini fold regressed to self-joins."""
     plan = formatted_plan(q("q_skew_profile"))
     assert "Join" not in plan
+
+
+def test_pattern_absence_one_shuffle_range_frame(q):
+    """Absence resolves through one user_id sort + a range-frame window;
+    a join (other than the broadcast 1-row max) or second exchange means
+    it regressed to NOT-EXISTS self-join matching."""
+    df = q("q_pattern_absence")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 2  # keyed window shuffle + the 1-row max gather
+
+
+def test_join_salted_spreads_probe_and_replicates_build(q):
+    """The salted join must stay an equi hash/merge join on
+    (key, salt) — a BNLJ or cartesian means the salt condition broke
+    the equi-join detection."""
+    df = q("q_join_salted")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = _join_key_lists(df)
+    assert any("_salt" in side for side in keys)

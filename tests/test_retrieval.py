@@ -540,3 +540,47 @@ def test_bpe_distributed_and_driver_paths_identical(spark):
     dist = learn_bpe_merges(spark, df, 12, driver_vocab_max=0)
     assert fast == dist
     assert fast == _bpe_reference(texts, 12)
+
+
+def test_quantile_approx_within_tolerance_of_exact(spark, sf_dir):
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in entry_mod.queries()["q_agg_quantile"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in entry_mod.queries()["q_agg_quantile_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for t in exact:
+        for e, a in zip(exact[t], approx[t]):
+            # accuracy 10000 on ~200-row groups: near-exact
+            assert abs(e - a) <= max(0.05 * abs(e), 0.5), (t, e, a)
+
+
+def test_join_salted_is_salt_invariant(spark, sf_dir):
+    """The salted plan must produce exactly the plain join's result —
+    the correctness contract that makes salting deployable."""
+    import reactor_window_like_flink_spark.operators.relational as rel
+    from reactor_window_like_flink_spark.sources.tables import load as rload
+    from pyspark.sql import functions as F
+
+    salted = {
+        tuple(r)
+        for r in entry_mod.queries()["q_join_salted"](spark, sf_dir).collect()
+    }
+    ev = rload(spark, sf_dir, "events")
+    cu = rload(spark, sf_dir, "customer")
+    plain = {
+        tuple(r)
+        for r in ev.join(cu, ev.user_id == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert salted == plain
