@@ -584,3 +584,23 @@ def test_join_salted_is_salt_invariant(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_winsorize_matches_numpy_model(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    values = np.round(rng.exponential(100.0, size=300), 3)  # heavy tail
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "pay", float(v), "{}") for i, v in enumerate(values)]
+    out = _with_table(spark, rows, EVENT_SCHEMA, "q_winsorize", ["profiling"])
+    r = out[0]
+    p01, p99 = np.percentile(values, [1, 99], method="linear")
+    assert abs(r["p01"] - round(p01, 4)) < 1e-9
+    assert abs(r["p99"] - round(p99, 4)) < 1e-9
+    assert r["n_clipped_lo"] == int((values < p01).sum())
+    assert r["n_clipped_hi"] == int((values > p99).sum())
+    wins = np.clip(values, p01, p99)
+    assert abs(r["mean_winsor"] - round(float(wins.mean()), 4)) < 1e-3

@@ -78,3 +78,26 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = formatted_plan(filtered)
     assert "PushedFilters" in plan and "c_acctbal" in plan
     assert filtered.count() == customer.filter(F.col("c_acctbal") > 0).count()
+
+
+def test_register_views_enables_spark_sql_surface(spark, sf_dir):
+    """The SQL-first entry point: after register_views, users can run
+    plain spark.sql text against every fixture table."""
+    from reactor_window_like_flink_spark.sources.tables import (
+        TABLES,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    for t in TABLES:
+        assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0]["n"] > 0
+    out = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    ).collect()
+    assert sum(r["n"] for r in out) == spark.table("customer").count()
