@@ -293,3 +293,21 @@ def test_join_salted_spreads_probe_and_replicates_build(q):
     assert "BroadcastNestedLoopJoin" not in plan
     keys = _join_key_lists(df)
     assert any("_salt" in side for side in keys)
+
+
+def test_heavy_hitters_confirm_is_candidate_semi_join(q):
+    """The exact confirm must filter the token stream through a
+    broadcast semi join on the (few-hundred-row) candidate set — a
+    shuffle-side join or cartesian means the full vocabulary is back on
+    the wire."""
+    df = q("q_heavy_hitters")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_uses_window_group_limit(q):
+    """The per-doc rank filter must compile to WindowGroupLimit so each
+    partition keeps k rows instead of ranking everything first."""
+    assert has_node(q("q_bm25_topterms"), "WindowGroupLimit")
