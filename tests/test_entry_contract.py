@@ -28,3 +28,18 @@ def test_query_executes(spark, sf_dir, key):
     # limit(5) keeps this a smoke pass; full-result correctness is the
     # DuckDB oracle differential (tools/verify_oracle.py, driver-run).
     df.limit(5).collect()
+
+
+def test_sweep_rotation_puts_unrecorded_keys_first():
+    """The driver verifies a budget-capped prefix of queries() per round;
+    never-recorded keys (this round's additions) must sort before any
+    key with a green record, and recorded keys must sort stalest-first,
+    so the rotation is self-maintaining."""
+    qs = list(entry_mod.queries())
+    seen = entry_mod._SEEN
+    rounds = [seen.get(k, -1) for k in qs]
+    assert rounds == sorted(rounds), "queries() must be stalest-first"
+    if -1 in rounds and max(rounds) > -1:
+        last_new = max(i for i, r in enumerate(rounds) if r == -1)
+        first_old = min(i for i, r in enumerate(rounds) if r > -1)
+        assert last_new < first_old
