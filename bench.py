@@ -53,6 +53,7 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_profile_stats",
     "q_histogram",
+    "q_length_deciles",
     "q_upsert_latest",
     "q_embed_quantize",
     "q_join_fuzzy",

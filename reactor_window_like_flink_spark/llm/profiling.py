@@ -555,3 +555,71 @@ def q_embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_out_of_band"),
     )
+
+
+DECILES = 10
+
+
+@REG.add(
+    "q_length_deciles",
+    f"""
+    WITH e AS (
+      SELECT [{", ".join(f"quantile_cont(n_chars, {q / DECILES})" for q in range(1, DECILES))}]
+               AS edges
+      FROM documents
+    ),
+    b AS (
+      SELECT d.n_chars,
+             CAST(1 + len(list_filter(e.edges,
+                                      x -> x < d.n_chars)) AS INT) AS decile
+      FROM documents d, e
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           ROUND(avg(n_chars), 4) AS avg_chars
+    FROM b
+    GROUP BY decile
+    """,
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth length distribution: documents bucketed into
+    {DECILES} deciles by exact n_chars percentile EDGES, with per-decile
+    stats — the quantile complement of the fixed-width q_histogram
+    (fixed-width answers "where is the mass", equi-depth answers "what
+    does a typical p40-p50 document look like"). Bucket rule: decile =
+    1 + number of edges strictly below the value, so ties on an edge
+    land identically in both engines.
+
+    Scale shape: NO global sort — the edges come from one tiny
+    percentile aggregate (O(deciles) rows) broadcast back as a pure
+    comparison expression on the scan; the decile aggregate is
+    map-side-combined to O(deciles) rows. The classic ntile() window
+    formulation would funnel the corpus through a single-partition sort;
+    this one never shuffles the fact side at all. 100 TB swap:
+    ``percentile_approx`` edges, same plan."""
+    docs = load(spark, sf_dir, "documents")
+    qs = ", ".join(str(q / DECILES) for q in range(1, DECILES))
+    edges = docs.agg(
+        F.expr(f"percentile(n_chars, array({qs}))").alias("edges")
+    )
+    decile = (
+        F.lit(1)
+        + F.expr(
+            "aggregate(edges, 0, (acc, e) ->"
+            " acc + CASE WHEN e < CAST(n_chars AS DOUBLE)"
+            " THEN 1 ELSE 0 END)"
+        )
+    ).cast("int")
+    return (
+        docs.crossJoin(F.broadcast(edges))
+        .select("n_chars", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
