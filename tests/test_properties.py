@@ -451,3 +451,83 @@ def test_resample_ffill_matches_pandas_model(spark, evs):
             epoch = int(hr.replace(tzinfo=dt.timezone.utc).timestamp())
             want[(u, epoch)] = (float(v), int(o))
     assert got == want
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["hh", "mid"] + [f"r{i}" for i in range(40)]),
+        min_size=20,
+        max_size=200,
+    )
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_heavy_hitters_operator_equals_brute_force(spark, words):
+    """End-to-end operator property: for ANY corpus, the emitted set is
+    exactly {term : count * DENOM > N} with exact counts — the MG
+    candidate stage must never cost a true heavy hitter."""
+    from collections import Counter
+
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.llm.retrieval as retrieval
+    from reactor_window_like_flink_spark.llm.retrieval import (
+        HH_THRESHOLD_DENOM,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, text, "en", "s0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = retrieval.load
+    retrieval.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_heavy_hitters"](spark, "unused").collect()
+    finally:
+        retrieval.load = orig
+    counts = Counter(words)
+    n = len(words)
+    want = {t: c for t, c in counts.items() if c * HH_THRESHOLD_DENOM > n}
+    got = {r["term"]: r["cnt"] for r in out}
+    assert got == want
+
+
+@given(
+    comp=st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.integers(min_value=40, max_value=580),
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_source_drift_psi_nonnegative(spark, comp):
+    """PSI is a sum of (p-q)ln(p/q) terms, each >= 0 — the operator must
+    never emit a negative index for any source composition."""
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.llm.curation as cur
+
+    rows = [
+        (i, "t", "en", s, n) for i, (s, n) in enumerate(comp)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = cur.load
+    cur.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_source_drift"](spark, "unused").collect()
+    finally:
+        cur.load = orig
+    assert {r["source"] for r in out} == {s for s, _ in comp}
+    for r in out:
+        assert r["psi"] >= -1e-9, r
