@@ -66,6 +66,7 @@ HEADLINE = [
     "q_pattern_sequence",
     "q_pattern_sequence_strict",
     "q_pattern_absence",
+    "q_changepoint_cusum",
     "q_unigram_logprob",
     "q_bm25_topterms",
     "q_inverted_index",

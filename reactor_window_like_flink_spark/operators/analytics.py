@@ -787,3 +787,86 @@ def q_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("us").alias("view_us"),
         )
     )
+
+
+@REG.add(
+    "q_changepoint_cusum",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             avg(value) AS daily_mean
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    m AS (
+      SELECT event_type, day, daily_mean,
+             avg(daily_mean) OVER (PARTITION BY event_type) AS type_mean,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+      FROM d
+    ),
+    s AS (
+      SELECT event_type, day, n_days,
+             ROUND(SUM(daily_mean - type_mean)
+                     OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING), 6) AS cusum
+      FROM m
+    ),
+    r AS (
+      SELECT event_type, day, n_days, cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day) AS rn
+      FROM s
+    )
+    SELECT event_type, n_days,
+           CAST(epoch(day) AS BIGINT) AS cp_day,
+           ROUND(cusum, 4) AS cp_cusum
+    FROM r WHERE rn = 1
+    """,
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event_type: the day where the
+    cumulative sum of (daily mean - series mean) peaks in magnitude —
+    the classic level-shift locator (Page 1954) run as the
+    did-this-metric-move monitor over the daily series.
+
+    Scale shape: raw events collapse to ONE map-side-combined daily
+    aggregate (O(types x days) rows — tiny forever); the series mean,
+    the running CUSUM, and the argmax all ride windows over that tiny
+    frame partitioned by event_type, reusing one partitioning. The
+    CUSUM is rounded to 6 decimals BEFORE ranking so the argmax is
+    engine-deterministic even when two days' statistics differ only by
+    float-summation order; remaining ties break on the earlier day."""
+    events = load(spark, sf_dir, "events")
+    d = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.avg("value").alias("daily_mean"))
+    )
+    w_type = Window.partitionBy("event_type")
+    w_cum = w_type.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = d.select(
+        "event_type",
+        "day",
+        "daily_mean",
+        F.avg("daily_mean").over(w_type).alias("type_mean"),
+        F.count("*").over(w_type).cast("long").alias("n_days"),
+    )
+    s = m.withColumn(
+        "cusum",
+        F.round(
+            F.sum(F.col("daily_mean") - F.col("type_mean")).over(w_cum), 6
+        ),
+    )
+    w_rank = w_type.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("day"))
+    return (
+        s.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.unix_timestamp("day").alias("cp_day"),
+            F.round("cusum", 4).alias("cp_cusum"),
+        )
+    )

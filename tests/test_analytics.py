@@ -279,3 +279,48 @@ def test_followed_by_chain_strict_contiguity_brute_force(spark):
     relaxed = _chain_model(rows, stages, span_us, strict=False)
     assert want <= relaxed and len(want) < len(relaxed)
     assert len(want) > 0  # the fixture really produces strict chains
+
+
+def test_changepoint_cusum_locates_planted_level_shift(spark):
+    """A series flat at 10 for 10 days then flat at 20 for 10 days has
+    its |CUSUM| peak exactly at the last day of the first regime."""
+    import datetime as dt
+
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.operators.analytics as an
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(20):
+        level = 10.0 if day < 10 else 20.0
+        for k in range(3):  # a few events per day
+            rows.append(
+                (
+                    day * 10 + k,
+                    base + dt.timedelta(days=day, hours=k),
+                    1,
+                    "m",
+                    level,
+                    "{}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    orig = an.load
+    an.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_changepoint_cusum"](spark, "unused").collect()
+    finally:
+        an.load = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 20
+    import calendar
+
+    cp = dt.datetime.fromtimestamp(r["cp_day"], dt.timezone.utc)
+    assert cp.date() == (base + dt.timedelta(days=9)).date()
+    # drift per pre-shift day = 10 - 15 = -5; peak |CUSUM| = 50
+    assert abs(r["cp_cusum"] - (-50.0)) < 1e-6
