@@ -43,3 +43,23 @@ def test_sweep_rotation_puts_unrecorded_keys_first():
         last_new = max(i for i, r in enumerate(rounds) if r == -1)
         first_old = min(i for i, r in enumerate(rounds) if r > -1)
         assert last_new < first_old
+
+
+def test_every_oracle_sql_binds_in_duckdb(sf_dir):
+    """Static contract guard: each registered oracle string must parse
+    AND bind (tables, columns, functions) against the fixture views —
+    catching oracle typos without waiting for the driver's full
+    differential."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for key, sql in entry_mod.oracle_sql().items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as ex:  # pragma: no cover - failure reporting
+            raise AssertionError(f"{key}: oracle does not bind: {ex}") from ex
