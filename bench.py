@@ -67,6 +67,7 @@ HEADLINE = [
     "q_pattern_sequence_strict",
     "q_pattern_absence",
     "q_changepoint_cusum",
+    "q_attribution_linear",
     "q_unigram_logprob",
     "q_bm25_topterms",
     "q_inverted_index",

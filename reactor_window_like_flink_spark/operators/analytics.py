@@ -870,3 +870,147 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cusum", 4).alias("cp_cusum"),
         )
     )
+
+
+# Linear multi-touch attribution: every touch (view/click) inside the
+# window before a purchase shares its value equally.
+ATTRIB_SPAN_US = 24 * 3600 * 1_000_000
+ATTRIB_TOUCHES = ("view", "click")
+
+
+@REG.add(
+    "q_attribution_linear",
+    f"""
+    WITH b AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN event_type IN ('view', 'click')
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {ATTRIB_SPAN_US} PRECEDING
+                               AND 1 PRECEDING), 0) AS n_touches
+      FROM b
+    ),
+    shares AS (
+      SELECT user_id, us,
+             value / n_touches AS share
+      FROM w WHERE event_type = 'purchase' AND n_touches > 0
+    ),
+    credited AS (
+      SELECT w.event_type,
+             SUM(s.cred) AS credited_value,
+             CAST(SUM(CASE WHEN s.cred > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_credited
+      FROM (
+        SELECT w.user_id, w.event_id, w.event_type, w.us
+        FROM w WHERE w.event_type IN ('view', 'click')
+      ) w
+      JOIN LATERAL (
+        SELECT COALESCE(SUM(share), 0) AS cred
+        FROM shares s
+        WHERE s.user_id = w.user_id
+          AND s.us > w.us AND s.us <= w.us + {ATTRIB_SPAN_US}
+      ) s ON true
+      GROUP BY w.event_type
+    ),
+    unattr AS (
+      SELECT 'unattributed' AS event_type,
+             SUM(value) AS credited_value,
+             CAST(count(*) AS BIGINT) AS n_credited
+      FROM w WHERE event_type = 'purchase' AND n_touches = 0
+    )
+    SELECT event_type, ROUND(credited_value, 2) AS credited_value,
+           n_credited
+    FROM credited
+    UNION ALL
+    SELECT event_type, ROUND(credited_value, 2), n_credited
+    FROM unattr WHERE n_credited > 0
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution: each purchase's value is
+    split equally across every same-user touch (view/click) in the
+    preceding 24 h; purchases with no touch in window report as
+    'unattributed'. Output: credited value + credited-touch count per
+    touch type — the marketing-mix report that usually gets built with
+    an events-to-events self-join.
+
+    Scale shape: NO self-join — one user_id sort-shuffle carries both
+    directions as RANGE frames on the event-time long: each purchase
+    counts its preceding-window touches (share = value/n), then each
+    touch sums the FOLLOWING-window purchase shares; both window passes
+    and the final aggregate reuse the same partitioning. The strict
+    (1 PRECEDING / us+1) frame bounds make the same-microsecond tie rule
+    identical in both engines. (The oracle states the touch-side sum as
+    a LATERAL join because SQL window frames cannot carry the
+    purchase-only conditional sum — same semantics, different plan; at
+    Spark scale the window form is the one that runs.)"""
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*ATTRIB_TOUCHES, "purchase")
+    )
+    b = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTRIB_SPAN_US, -1)
+    )
+    is_touch = F.col("event_type").isin(*ATTRIB_TOUCHES)
+    # an EMPTY range frame sums to NULL, not 0 — coalesce so the
+    # no-touch purchase lands in the unattributed branch (both engines)
+    w = b.withColumn(
+        "n_touches",
+        F.coalesce(
+            F.sum(F.when(is_touch, 1).otherwise(0)).over(w_before),
+            F.lit(0),
+        ),
+    )
+    share = F.when(
+        (F.col("event_type") == "purchase") & (F.col("n_touches") > 0),
+        F.col("value") / F.col("n_touches"),
+    )
+    w_after = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(1, ATTRIB_SPAN_US)
+    )
+    credited = (
+        w.withColumn("_share", share)
+        .withColumn("cred", F.sum("_share").over(w_after))
+        .filter(is_touch)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("cred"), F.lit(0.0))), 2).alias(
+                "credited_value"
+            ),
+            F.sum(F.when(F.col("cred") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_credited"),
+        )
+    )
+    unattr = (
+        w.filter(
+            (F.col("event_type") == "purchase") & (F.col("n_touches") == 0)
+        )
+        .agg(
+            F.round(F.sum("value"), 2).alias("credited_value"),
+            F.count("*").cast("long").alias("n_credited"),
+        )
+        .select(
+            F.lit("unattributed").alias("event_type"),
+            "credited_value",
+            "n_credited",
+        )
+        .filter(F.col("n_credited") > 0)
+    )
+    return credited.unionAll(unattr)

@@ -324,3 +324,43 @@ def test_changepoint_cusum_locates_planted_level_shift(spark):
     assert cp.date() == (base + dt.timedelta(days=9)).date()
     # drift per pre-shift day = 10 - 15 = -5; peak |CUSUM| = 50
     assert abs(r["cp_cusum"] - (-50.0)) < 1e-6
+
+
+def test_attribution_linear_conserves_value_and_splits_equally(spark):
+    """Mass conservation: credited + unattributed == total purchase
+    value; a purchase preceded by one view and one click splits 50/50."""
+    import datetime as dt
+
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.operators.analytics as an
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    rows = [
+        # user 1: view + click then a 10.0 purchase -> 5.0 each
+        (1, t(0), 1, "view", 0.0, "{}"),
+        (2, t(5), 1, "click", 0.0, "{}"),
+        (3, t(10), 1, "purchase", 10.0, "{}"),
+        # user 2: purchase with no touches -> unattributed
+        (4, t(0), 2, "purchase", 7.0, "{}"),
+        # user 3: touch AFTER the purchase must not be credited
+        (5, t(1), 3, "purchase", 3.0, "{}"),
+        (6, t(2), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    orig = an.load
+    an.load = lambda s, d, t_: df
+    try:
+        out = entry_mod.queries()["q_attribution_linear"](spark, "unused").collect()
+    finally:
+        an.load = orig
+    by = {r["event_type"]: r for r in out}
+    assert by["view"]["credited_value"] == 5.0
+    assert by["click"]["credited_value"] == 5.0
+    assert by["unattributed"]["credited_value"] == 10.0  # users 2 + 3
+    assert by["unattributed"]["n_credited"] == 2
+    total = sum(r["credited_value"] for r in out)
+    assert abs(total - 20.0) < 1e-9  # conservation
