@@ -11,7 +11,16 @@ Determinism rules (so the driver's order-insensitive value-hash matches):
     HUGEINT, Spark stays at LongType);
   * emit computed timestamps as epoch-seconds BIGINT or formatted strings
     (Spark TIMESTAMP_LTZ vs DuckDB naive timestamps hash differently);
-  * break every window/sort ordering tie with a unique key column.
+  * break every window/sort ordering tie with a unique key column;
+  * NO bare array/map/struct columns in contract outputs — the driver's
+    canonicalizer sorts raw cells and list cells are unhashable there
+    (pandas ``sort_values`` raises ``TypeError: unhashable type``). Encode
+    lists as CSV strings: sort in the element type first (numeric sort,
+    THEN stringify), e.g. Spark
+    ``array_join(transform(array_sort(xs), x -> string(x)), ',')`` vs
+    DuckDB ``array_to_string(list_transform(list_sort(xs), x ->
+    CAST(x AS VARCHAR)), ',')``. Enforced by
+    ``tests/test_contract.py::test_no_bare_container_columns``.
 """
 
 from __future__ import annotations

@@ -244,7 +244,7 @@ def resize_images(media_df: DataFrame, max_side: int = 224) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_assets,
            min(doc_id) AS keep_doc_id,
            CAST(max(n_bytes) AS BIGINT) AS n_bytes,
-           list_sort(list(DISTINCT kind)) AS kinds,
+           array_to_string(list_sort(list(DISTINCT kind)), ',') AS kinds,
            CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS is_dup
     FROM m
     GROUP BY checksum
@@ -276,7 +276,11 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_assets"),
             F.min("doc_id").alias("keep_doc_id"),
             F.max("n_bytes").cast("long").alias("n_bytes"),
-            F.array_sort(F.collect_set("kind")).alias("kinds"),
+            # CSV-encode: the driver's canonicalizer cannot sort bare
+            # array cells (unhashable) — same pattern as q_agg_collect.
+            F.array_join(F.array_sort(F.collect_set("kind")), ",").alias(
+                "kinds"
+            ),
         )
         .withColumn(
             "is_dup", F.when(F.col("n_assets") >= 2, 1).otherwise(0)

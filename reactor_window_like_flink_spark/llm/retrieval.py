@@ -139,7 +139,9 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT term,
            CAST(count(*) AS BIGINT) AS df,
            CAST(sum(tf) AS BIGINT) AS total_tf,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_transform(list_sort(list(doc_id)),
+                                          x -> CAST(x AS VARCHAR)),
+                           ',') AS postings
     FROM tf
     GROUP BY term
     HAVING count(*) >= {INDEX_MIN_DF}
@@ -170,7 +172,17 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("df"),
             F.sum("tf").cast("long").alias("total_tf"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            # CSV-encode the sorted postings: the driver's canonicalizer
+            # sorts raw cells, and bare array columns are unhashable
+            # there. Sort NUMERICALLY first, stringify after, so the
+            # order matches the DuckDB oracle's list_sort(list(doc_id)).
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
     )

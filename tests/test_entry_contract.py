@@ -45,6 +45,24 @@ def test_sweep_rotation_puts_unrecorded_keys_first():
         assert last_new < first_old
 
 
+def test_no_bare_container_columns(spark, sf_dir):
+    """Contract determinism rule (contract.py): oracle-checked outputs
+    must not emit bare array/map/struct columns — the driver's
+    canonicalizer sorts raw cells and container cells are unhashable in
+    pandas. List outputs must be CSV-encoded (q_agg_collect pattern).
+    Rows-only keys are exempt: the driver never canonicalizes them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    oracles = entry_mod.oracle_sql()
+    bad = []
+    for key in sorted(oracles):
+        schema = entry_mod.queries()[key](spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{key}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"bare container columns in contract outputs: {bad}"
+
+
 def test_every_oracle_sql_binds_in_duckdb(sf_dir):
     """Static contract guard: each registered oracle string must parse
     AND bind (tables, columns, functions) against the fixture views —

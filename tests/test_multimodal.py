@@ -124,5 +124,5 @@ def test_asset_dedup_collapses_across_container_kinds(spark):
     by_keep = {r["keep_doc_id"]: r for r in out}
     dup = by_keep[3]
     assert dup["n_assets"] == 2 and dup["is_dup"] == 1
-    assert dup["kinds"] == ["audio", "image"]  # cross-kind collapse
-    assert by_keep[5]["is_dup"] == 0 and by_keep[5]["kinds"] == ["video"]
+    assert dup["kinds"] == "audio,image"  # cross-kind collapse, CSV-encoded
+    assert by_keep[5]["is_dup"] == 0 and by_keep[5]["kinds"] == "video"

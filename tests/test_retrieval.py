@@ -88,7 +88,9 @@ def test_inverted_index_postings_sorted_and_hapax_dropped(spark):
     out = _with_table(spark, rows, DOC_SCHEMA, "q_inverted_index", ["retrieval"])
     by_term = {r["term"]: r for r in out}
     assert "solo" not in by_term  # df=1 dropped
-    assert by_term["a"]["postings"] == [1, 2, 3]
+    # postings are CSV-encoded (numeric sort, then stringify) so the
+    # driver's canonicalizer can sort the column
+    assert by_term["a"]["postings"] == "1,2,3"
     assert by_term["a"]["total_tf"] == 4
     assert by_term["b"]["df"] == 2
 
