@@ -553,6 +553,233 @@ def q_pattern_sequence_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTIFIED_STAGES = (
+    # Flink CEP  begin('view').oneOrMore()
+    #            .next('click').timesOrMore(2).consecutive()
+    #            .next('error').times(1).optional()
+    #            .next('purchase')                     .within(72h)
+    ("view", 1, None),
+    ("click", 2, None),
+    ("error", 0, 1),
+    ("purchase", 1, None),
+)
+
+
+def followed_by_quantified(
+    events: DataFrame,
+    stages: list[tuple[str, int, int | None]],
+    span_us: int = PATTERN_SPAN_US,
+) -> DataFrame:
+    """Quantified strict-contiguity CEP — Flink CEP's ``times(n)`` /
+    ``timesOrMore(n).consecutive()`` / ``optional()`` quantifiers
+    (MATCH_RECOGNIZE ``A+ B{2,} C? D`` shapes), the piece
+    ``followed_by_chain`` doesn't cover. Each stage is a triple
+    ``(event_type, lo, hi)`` — ``hi=None`` for unbounded, ``lo=0`` (with
+    ``hi=1``) for ``optional()``.
+
+    Semantics (documented contract): quantifiers bind to MAXIMAL runs of
+    consecutive same-type events per user — ``times(2)`` means "exactly a
+    run of 2 consecutive clicks, flanked by non-clicks", which is Flink's
+    ``times(2).consecutive()`` between different-typed neighbors. A match
+    is a sequence of ADJACENT runs aligned to the non-skipped stages
+    (strict contiguity at run granularity: any intervening event of
+    another type closes a run and must itself be matched by the next
+    stage). ``span_us`` bounds first-event-of-anchor-run to
+    first-event-of-final-run. Anchor and final stages must be
+    non-optional; consecutive stages (and stages adjacent across an
+    optional) must name distinct types, else run-maximality makes the
+    pattern unsatisfiable.
+
+    Output: one row per matched anchor run — ``user_id``, per stage
+    ``stage{i}_id`` (first event id of the bound run, NULL when an
+    optional stage is skipped) and ``stage{i}_n`` (run length, 0 when
+    skipped), ``span_us``.
+
+    Plan shape: one (user_id, us, event_id) sort-shuffle for run
+    detection, one (user_id, run_seq) aggregate riding the SAME hash
+    partitioning, then lead() expressions over the runs — pattern depth
+    adds window expressions, never joins or extra exchanges. Runs are
+    O(events) worst case but the post-aggregate rows are runs, not
+    events, so the lead stage shrinks with every repeated event."""
+    n = len(stages)
+    if n < 2:
+        raise ValueError("need at least 2 stages")
+    for stype, lo, hi in stages:
+        if lo < 0 or (hi is not None and hi < max(lo, 1)):
+            raise ValueError(f"bad quantifier for {stype!r}: ({lo}, {hi})")
+    if stages[0][1] == 0 or stages[-1][1] == 0:
+        raise ValueError("anchor and final stages must be non-optional")
+
+    w_seq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    runs = (
+        e.withColumn(
+            "_new",
+            F.when(
+                F.lag("event_type").over(w_seq).isNull()
+                | (F.lag("event_type").over(w_seq) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_seq", F.sum("_new").over(w_run))
+        .groupBy("user_id", "run_seq")
+        .agg(
+            F.min("event_type").alias("rtype"),  # all equal within a run
+            F.count("*").cast("long").alias("n"),
+            F.min("us").alias("start_us"),
+            F.min(F.struct("us", "event_id"))["event_id"].alias("first_id"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_seq")
+    # lead depth = stages beyond the anchor, all present
+    max_off = n - 1
+    for d in range(1, max_off + 1):
+        runs = (
+            runs.withColumn(f"_t{d}", F.lead("rtype", d).over(wr))
+            .withColumn(f"_n{d}", F.lead("n", d).over(wr))
+            .withColumn(f"_f{d}", F.lead("first_id", d).over(wr))
+            .withColumn(f"_s{d}", F.lead("start_us", d).over(wr))
+        )
+
+    def at(d: int, field: str):
+        if d == 0:
+            return F.col({"t": "rtype", "n": "n", "f": "first_id",
+                          "s": "start_us"}[field])
+        return F.col(f"_{field}{d}")
+
+    optionals = [i for i, (_, lo, _) in enumerate(stages) if lo == 0]
+    # greedy optional(): masks ordered most-stages-present first
+    masks = sorted(
+        range(1 << len(optionals)),
+        key=lambda m: -bin(m).count("1"),
+    )
+    out_fields = []
+    for i in range(n):
+        out_fields += [f"stage{i}_id", f"stage{i}_n"]
+    out_fields.append("span_us")
+
+    mask_structs = []
+    for m in masks:
+        skipped = {
+            optionals[b] for b in range(len(optionals)) if not (m >> b) & 1
+        }
+        cond = F.lit(True)
+        offset = 0
+        per_stage: list[tuple] = []
+        final_off = 0
+        for i, (stype, lo, hi) in enumerate(stages):
+            if i in skipped:
+                per_stage.append((None, None))
+                continue
+            c = at(offset, "t") == stype
+            c = c & (at(offset, "n") >= max(lo, 1))
+            if hi is not None:
+                c = c & (at(offset, "n") <= hi)
+            cond = cond & c
+            per_stage.append((at(offset, "f"), at(offset, "n")))
+            final_off = offset
+            offset += 1
+        span = at(final_off, "s") - F.col("start_us")
+        cond = cond & (span <= F.lit(span_us))
+        fields = []
+        for i in range(n):
+            fid, fn = per_stage[i]
+            fields.append(
+                (fid if fid is not None else F.lit(None).cast("long"))
+                .alias(f"stage{i}_id")
+            )
+            fields.append(
+                (fn if fn is not None else F.lit(0).cast("long"))
+                .alias(f"stage{i}_n")
+            )
+        fields.append(span.alias("span_us"))
+        # a when() without otherwise() is NULL when unmatched, so the
+        # coalesce picks the FIRST matching mask = greedy optional()
+        mask_structs.append(F.when(cond, F.struct(*fields)))
+    return (
+        runs.withColumn("_m", F.coalesce(*mask_structs))
+        .filter(F.col("_m").isNotNull())
+        .select("user_id", *[F.col(f"_m.{f}").alias(f) for f in out_fields])
+    )
+
+
+@REG.add(
+    "q_pattern_quantified",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN lag(event_type)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id)
+                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS new_run
+      FROM e
+    ),
+    s AS (
+      SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run_seq
+      FROM m
+    ),
+    r AS (
+      SELECT user_id, run_seq, min(event_type) AS rtype,
+             CAST(count(*) AS BIGINT) AS n, min(us) AS start_us,
+             (min(struct_pack(us := us, id := event_id))).id AS first_id
+      FROM s GROUP BY user_id, run_seq
+    ),
+    l AS (
+      SELECT *,
+             lead(rtype, 1) OVER w AS t1, lead(n, 1) OVER w AS n1,
+             lead(first_id, 1) OVER w AS f1, lead(start_us, 1) OVER w AS s1,
+             lead(rtype, 2) OVER w AS t2, lead(n, 2) OVER w AS n2,
+             lead(first_id, 2) OVER w AS f2, lead(start_us, 2) OVER w AS s2,
+             lead(rtype, 3) OVER w AS t3, lead(n, 3) OVER w AS n3,
+             lead(first_id, 3) OVER w AS f3, lead(start_us, 3) OVER w AS s3
+      FROM r WINDOW w AS (PARTITION BY user_id ORDER BY run_seq)
+    )
+    SELECT user_id,
+           first_id AS view_id, n AS n_views,
+           f1 AS click_id, n1 AS n_clicks,
+           CASE WHEN t2 = 'error' THEN f2 END AS error_id,
+           CASE WHEN t2 = 'error' THEN f3 ELSE f2 END AS purchase_id,
+           CASE WHEN t2 = 'error' THEN s3 - start_us
+                ELSE s2 - start_us END AS span_us
+    FROM l
+    WHERE rtype = 'view' AND t1 = 'click' AND n1 >= 2
+      AND ((t2 = 'error' AND n2 = 1 AND t3 = 'purchase'
+            AND s3 - start_us <= {PATTERN_SPAN_US})
+           OR (t2 = 'purchase' AND s2 - start_us <= {PATTERN_SPAN_US}))
+    """,
+)
+def q_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified CEP: ``view+ click{{2,}} error? purchase`` with
+    consecutive (run-maximal) quantifier semantics inside 72 h — Flink
+    CEP's ``oneOrMore`` / ``timesOrMore(2).consecutive()`` / ``optional``,
+    the MATCH_RECOGNIZE ``A+ B{{2,}} C? D`` shape the plain chain matcher
+    can't express (see ``followed_by_quantified``). The oracle mirrors the
+    gaps-and-islands run construction and the two optional-presence
+    alignments exactly."""
+    out = followed_by_quantified(
+        load(spark, sf_dir, "events"), list(QUANTIFIED_STAGES)
+    )
+    return out.select(
+        "user_id",
+        F.col("stage0_id").alias("view_id"),
+        F.col("stage0_n").alias("n_views"),
+        F.col("stage1_id").alias("click_id"),
+        F.col("stage1_n").alias("n_clicks"),
+        F.col("stage2_id").alias("error_id"),
+        F.col("stage3_id").alias("purchase_id"),
+        "span_us",
+    )
+
+
 @REG.add(
     "q_resample_ffill",
     """

@@ -125,6 +125,7 @@ def temporal_join(
     ts_col: str = "ts",
     probe_id_col: str = "event_id",
     payload_col: str = "value",
+    emit: str = "left",
     idle_state_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Temporal table join (Flink's ``FOR SYSTEM_TIME AS OF`` /
@@ -146,9 +147,11 @@ def temporal_join(
     is the reference engine itself, which disclaims event-time ordering
     outright (``README.md:99``).
 
-    Probes arriving before any version emit with NULL version columns
-    (left semantics — Flink emits nothing; NULL preserves the probe for
-    downstream counting and is the documented divergence).
+    ``emit``: ``"left"`` (default) emits probes arriving before any
+    version with NULL version columns (preserves the probe for downstream
+    counting); ``"inner"`` emits nothing for them — Flink
+    ``FOR SYSTEM_TIME AS OF`` parity, matching the flag on the
+    event-time-exact twin ``temporal_join_event_time``.
 
     Scale: one keyed shuffle of both streams; per-key state is two
     scalars in the state store regardless of history length. That cost
@@ -159,6 +162,9 @@ def temporal_join(
     ``count_or_time_stateful``'s TTL).
     """
     import pandas as pd
+
+    if emit not in ("left", "inner"):
+        raise ValueError(f"emit must be 'left' or 'inner', got {emit!r}")
 
     probes = probe_stream.select(
         F.col(key_col).alias("key"),
@@ -208,6 +214,8 @@ def temporal_join(
             if row.is_version:
                 version_us, payload = row.ts_ns // 1000, float(row.payload)
             else:
+                if version_us < 0 and emit == "inner":
+                    continue  # Flink AS-OF: no version yet -> no row
                 out.append(
                     (
                         int(row.probe_id),

@@ -364,3 +364,92 @@ def test_attribution_linear_conserves_value_and_splits_equally(spark):
     assert by["unattributed"]["n_credited"] == 2
     total = sum(r["credited_value"] for r in out)
     assert abs(total - 20.0) < 1e-9  # conservation
+
+
+def test_followed_by_quantified_run_semantics(spark):
+    """view+ click{2,} error? purchase over planted per-user sequences:
+    oneOrMore anchors, timesOrMore(2).consecutive() on maximal runs,
+    greedy optional, run-maximality breaking, span bound."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        QUANTIFIED_STAGES,
+        followed_by_quantified,
+    )
+
+    m = lambda u, k: _T0 + timedelta(hours=u, minutes=k)  # noqa: E731
+    seqs = {
+        1: ["view", "click", "click", "purchase"],          # plain match
+        2: ["view", "click", "purchase"],                   # click run of 1
+        3: ["view", "click", "click", "error", "purchase"],  # optional hit
+        4: ["view", "click", "click", "error", "error", "purchase"],  # error run 2 > hi
+        5: ["view", "view", "click", "click", "click", "purchase"],  # n_views=2
+        6: ["view", "click", "click", "signup", "purchase"],  # foreign run breaks
+    }
+    rows, eid = [], 0
+    for u, types in seqs.items():
+        for k, t in enumerate(types):
+            rows.append((eid, u, t, m(u, k)))
+            eid += 1
+    # user 7: span violation — purchase lands 73 h after the anchor view
+    rows += [
+        (eid, 7, "view", _T0),
+        (eid + 1, 7, "click", _T0 + timedelta(minutes=1)),
+        (eid + 2, 7, "click", _T0 + timedelta(minutes=2)),
+        (eid + 3, 7, "purchase", _T0 + timedelta(hours=73)),
+    ]
+    out = followed_by_quantified(
+        _events_typed(spark, rows), list(QUANTIFIED_STAGES)
+    ).collect()
+    by_user = {r["user_id"]: r for r in out}
+    assert set(by_user) == {1, 3, 5}
+    assert by_user[1]["stage1_n"] == 2 and by_user[1]["stage2_id"] is None
+    assert by_user[3]["stage2_id"] is not None  # optional error bound
+    assert by_user[3]["stage2_n"] == 1
+    assert by_user[5]["stage0_n"] == 2 and by_user[5]["stage1_n"] == 3
+    # anchor id = FIRST event of the view run
+    first_view_5 = min(
+        e for e, u, t, _ in rows if u == 5 and t == "view"
+    )
+    assert by_user[5]["stage0_id"] == first_view_5
+
+
+def test_followed_by_quantified_exact_times(spark):
+    """times(2) exact: a maximal click run of 3 does NOT match {2,2}."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        followed_by_quantified,
+    )
+
+    m = lambda u, k: _T0 + timedelta(hours=u, minutes=k)  # noqa: E731
+    rows = []
+    for u, types in {
+        1: ["view", "click", "click", "purchase"],
+        2: ["view", "click", "click", "click", "purchase"],
+    }.items():
+        for k, t in enumerate(types):
+            rows.append((len(rows), u, t, m(u, k)))
+    out = followed_by_quantified(
+        _events_typed(spark, rows),
+        [("view", 1, None), ("click", 2, 2), ("purchase", 1, None)],
+    ).collect()
+    assert {r["user_id"] for r in out} == {1}
+
+
+def test_followed_by_quantified_validation(spark):
+    import pytest
+
+    from reactor_window_like_flink_spark.operators.analytics import (
+        followed_by_quantified,
+    )
+
+    df = _events_typed(spark, [(0, 1, "view", _T0)])
+    with pytest.raises(ValueError, match="non-optional"):
+        followed_by_quantified(df, [("view", 0, 1), ("click", 1, None)])
+    with pytest.raises(ValueError, match="quantifier"):
+        followed_by_quantified(df, [("view", 1, None), ("click", 3, 2)])
+    with pytest.raises(ValueError, match="2 stages"):
+        followed_by_quantified(df, [("view", 1, None)])
+
+
+def _events_typed(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    )

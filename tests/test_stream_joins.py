@@ -130,6 +130,75 @@ def test_temporal_join_enriches_with_version_as_of_event_time(spark, tmp_path):
     assert got[7] == (9.0, naive(2))  # late version, new probe: latest-seen
 
 
+def test_temporal_join_inner_emit_withholds_unversioned(spark, tmp_path):
+    """emit="inner" on the processing-time temporal join: probes with no
+    version at-or-before them emit NOTHING (Flink FOR SYSTEM_TIME AS OF
+    parity), and on in-order input the result set equals the event-time
+    twin's emit="inner" on the same files."""
+    from reactor_window_like_flink_spark.streaming.joins import (
+        temporal_join,
+        temporal_join_event_time,
+    )
+
+    probes = FileStreamInput(spark, SCHEMA, str(tmp_path / "probes"))
+    versions = FileStreamInput(spark, SCHEMA, str(tmp_path / "vers"))
+    # in-order single batch: u1 version @10:00; u1 probes @09:55
+    # (unversioned), @10:05 (bound); u2 probe @10:00 (no versions ever)
+    versions.publish([(100, _ts(0), 1, "v", 1.0)])
+    probes.publish(
+        [
+            (1, datetime(2024, 1, 1, 9, 55, tzinfo=timezone.utc), 1, "p", 0.0),
+            (2, _ts(5), 1, "p", 0.0),
+            (3, _ts(0), 2, "p", 0.0),
+        ]
+    )
+
+    def run(out, name, ckpt):
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            return {
+                r["probe_id"]: (r["payload"], r["version_ts"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+        finally:
+            query.stop()
+
+    got = run(
+        temporal_join(probes.stream(), versions.stream(), emit="inner"),
+        "t_tj_inner",
+        "ckpt_pt",
+    )
+    naive = _ts(0).replace(tzinfo=None)
+    assert got == {2: (1.0, naive)}  # probes 1 and 3 withheld
+    # sentinels push the watermark past probe 2 so the buffered twin flushes
+    noon = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc)
+    versions.publish([(999, noon, 99, "v", 0.0)])
+    probes.publish([(998, noon, 99, "p", 0.0)])
+    got_et = run(
+        temporal_join_event_time(
+            probes.stream(),
+            versions.stream(),
+            watermark_delay="30 minutes",
+            emit="inner",
+        ),
+        "t_tjet_inner_parity",
+        "ckpt_et",
+    )
+    assert got_et == got  # in-order input: the two modes agree
+
+    import pytest
+
+    with pytest.raises(ValueError, match="emit"):
+        temporal_join(probes.stream(), versions.stream(), emit="full")
+
+
 def test_temporal_join_idle_ttl_evicts_version(spark, tmp_path):
     """With idle_state_ttl_seconds set, a key idle past the TTL loses its
     version state: later probes re-match as unversioned (NULL) until a
