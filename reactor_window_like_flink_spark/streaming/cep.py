@@ -412,3 +412,227 @@ def not_followed_by_stateful(
         timeoutConf="EventTimeTimeout",
     )
 
+
+
+def followed_by_quantified_stateful(
+    events_stream: DataFrame,
+    stages: list[tuple[str, int, int | None]],
+    watermark_delay: str = "1 hour",
+    span_us: int = PATTERN_SPAN_US,
+) -> DataFrame:
+    """Streaming twin of the batch ``followed_by_quantified`` (Flink CEP
+    ``times(n)`` / ``timesOrMore(n).consecutive()`` / ``optional()``):
+    quantifiers bind to MAXIMAL same-type runs, matches are sequences of
+    adjacent runs aligned to the non-skipped stages. See the batch
+    docstring (``operators/analytics.py``) for the semantics contract.
+
+    Incremental run tracking per key: ONE open-run record (kind, n,
+    start, first_id) plus the last ``len(stages) - 1`` CLOSED runs. An
+    event of a new type closes the open run (now provably maximal — run
+    boundaries are event-driven, not time-driven) and, when it opens a
+    FINAL-stage run, alignment is checked backwards over the closed
+    runs with greedy optional masks. Because a match is decided exactly
+    when its final run OPENS, the final stage must be quantified
+    ``(1, None)`` — its eventual run length is unknowable at emission —
+    so the output carries per-stage first ids and run lengths for the
+    NON-final stages only (the batch contract key drops the final n for
+    the same reason).
+
+    State bounds: the pre-finalize buffer (rate x watermark delay, it
+    holds EVERY event type — foreign runs carry run-boundary
+    information) + at most ``len(stages)`` run records. Closed runs
+    older than ``span_us`` behind the watermark are dropped from the old
+    end (no future final run can reach back to them inside the span);
+    the OPEN run is kept as long as the key has any state — a same-type
+    event arbitrarily far in the future still extends it, and forgetting
+    it would mis-start the run (a batch-mismatched anchor). Whole-key
+    state drops only when buffer, history AND open run are all empty.
+
+    Replay equivalence (``tests/test_cep.py``): on a bounded replay with
+    the watermark pushed past every event, the emitted set EQUALS the
+    batch ``followed_by_quantified`` rows (minus the final stage's n).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(stages)
+    if n < 2:
+        raise ValueError("need at least 2 stages")
+    for stype, lo, hi in stages:
+        if lo < 0 or (hi is not None and hi < max(lo, 1)):
+            raise ValueError(f"bad quantifier for {stype!r}: ({lo}, {hi})")
+    if stages[0][1] == 0:
+        raise ValueError("anchor stage must be non-optional")
+    if stages[-1][1] != 1 or stages[-1][2] is not None:
+        raise ValueError(
+            "final stage must be quantified (1, None) in the streaming "
+            "form — its run length is unknowable at emission time"
+        )
+    kind_of = {s: i for i, (s, _, _) in enumerate(stages)}
+    if len(kind_of) != n:
+        raise ValueError("stages must be distinct")
+    final_kind = n - 1
+    optionals = [i for i, (_, lo, _) in enumerate(stages) if lo == 0]
+    # greedy optional(): most-stages-present masks first; each mask is the
+    # reversed stage-index list to align backwards from the final run
+    mask_alignments = []
+    for m in sorted(
+        range(1 << len(optionals)), key=lambda x: -bin(x).count("1")
+    ):
+        skipped = {
+            optionals[b] for b in range(len(optionals)) if not (m >> b) & 1
+        }
+        mask_alignments.append(
+            ([i for i in range(n - 1) if i not in skipped], skipped)
+        )
+
+    out_cols = (
+        ["user_id"]
+        + [f"stage{i}_id" for i in range(n)]
+        + [f"stage{i}_n" for i in range(n - 1)]
+        + ["span_us"]
+    )
+    out_schema = (
+        "user_id long, "
+        + ", ".join(f"stage{i}_id long" for i in range(n))
+        + ", "
+        + ", ".join(f"stage{i}_n long" for i in range(n - 1))
+        + ", span_us long"
+    )
+    state_schema = (
+        "frontier_us long, "
+        "buf_us array<long>, buf_id array<long>, buf_kind array<int>, "
+        "h_kind array<int>, h_n array<long>, h_start array<long>, "
+        "h_fid array<long>, "
+        "c_kind int, c_n long, c_start long, c_fid long"
+    )
+
+    tagged = events_stream.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withWatermark("ts", watermark_delay)
+
+    def try_match(hist, cur, out, user):
+        """cur just opened a final-stage run; align stages[0..n-2]
+        backwards over the trailing closed runs, greedy mask first."""
+        for present, skipped in mask_alignments:
+            if len(present) > len(hist):
+                continue
+            tail = hist[-len(present):]
+            ok = True
+            for (hk, hn, _, _), i in zip(tail, present):
+                _, lo, hi = stages[i]
+                if hk != i or hn < max(lo, 1) or (
+                    hi is not None and hn > hi
+                ):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            span = cur[2] - tail[0][2]
+            if span > span_us:
+                continue
+            ids = [None] * n
+            ns = [0] * (n - 1)
+            for (hk, hn, _, hf), i in zip(tail, present):
+                ids[i] = int(hf)
+                ns[i] = int(hn)
+            ids[n - 1] = int(cur[3])
+            out.append((int(user), *ids, *ns, int(span)))
+            return
+
+    def match(key, pdfs, state):
+        if state.exists:
+            vals = state.get
+            frontier = vals[0]
+            buf_us, buf_id, buf_kind = (
+                list(vals[1]), list(vals[2]), list(vals[3])
+            )
+            hist = [
+                [int(a), int(b), int(c), int(d)]
+                for a, b, c, d in zip(vals[4], vals[5], vals[6], vals[7])
+            ]
+            cur = (
+                None
+                if vals[8] == _NEG
+                else [int(vals[8]), int(vals[9]), int(vals[10]),
+                      int(vals[11])]
+            )
+        else:
+            frontier = _NEG
+            buf_us, buf_id, buf_kind = [], [], []
+            hist, cur = [], None
+        for pdf in pdfs:  # empty on timeout-only invocations
+            if not len(pdf):
+                continue
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            )
+            for row_us, row_id, row_type in zip(
+                ts_us, pdf["event_id"], pdf["event_type"]
+            ):
+                if row_us < frontier:
+                    continue  # late past the frontier
+                buf_us.append(int(row_us))
+                buf_id.append(int(row_id))
+                # foreign types collapse to -1: they only carry
+                # run-boundary information
+                buf_kind.append(kind_of.get(row_type, -1))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out: list = []
+        if wm_us > 0:
+            if buf_us:
+                b_us = np.asarray(buf_us, dtype="int64")
+                b_id = np.asarray(buf_id, dtype="int64")
+                b_kind = np.asarray(buf_kind, dtype="int64")
+                fin = b_us < wm_us
+                if fin.any():
+                    order = np.lexsort((b_id[fin], b_us[fin]))
+                    for e_us, e_id, e_kind in zip(
+                        b_us[fin][order], b_id[fin][order],
+                        b_kind[fin][order],
+                    ):
+                        if cur is not None and cur[0] == e_kind:
+                            cur[1] += 1  # same type: the run extends
+                            continue
+                        if cur is not None:
+                            hist.append(cur)
+                            del hist[: max(0, len(hist) - (n - 1))]
+                        cur = [int(e_kind), 1, int(e_us), int(e_id)]
+                        if e_kind == final_kind:
+                            try_match(hist, cur, out, key[0])
+                    keep = ~fin
+                    buf_us = [int(x) for x in b_us[keep]]
+                    buf_id = [int(x) for x in b_id[keep]]
+                    buf_kind = [int(x) for x in b_kind[keep]]
+            frontier = max(frontier, wm_us)
+            # closed runs a future final run can't reach inside the span
+            # are dead weight — drop from the old end
+            hist = [h for h in hist if wm_us - h[2] <= span_us]
+        if not buf_us and not hist and cur is None:
+            state.remove()
+        else:
+            state.update(
+                (
+                    frontier,
+                    buf_us, buf_id, buf_kind,
+                    [h[0] for h in hist], [h[1] for h in hist],
+                    [h[2] for h in hist], [h[3] for h in hist],
+                    *(cur if cur is not None else [_NEG, 0, 0, 0]),
+                )
+            )
+            if buf_us:
+                wm_ms = wm_us // 1000
+                # wake when the watermark passes the oldest buffered event
+                state.setTimeoutTimestamp(
+                    max(min(buf_us) // 1000, wm_ms + 1)
+                )
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        match,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
