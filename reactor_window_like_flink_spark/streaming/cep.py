@@ -504,7 +504,7 @@ def followed_by_quantified_stateful(
         "buf_us array<long>, buf_id array<long>, buf_kind array<int>, "
         "h_kind array<int>, h_n array<long>, h_start array<long>, "
         "h_fid array<long>, "
-        "c_kind int, c_n long, c_start long, c_fid long"
+        "c_kind long, c_n long, c_start long, c_fid long"
     )
 
     tagged = events_stream.select(
