@@ -401,13 +401,41 @@ def skew_metrics(df: DataFrame, key: str, label: str) -> DataFrame:
     the measurement that decides whether a join/agg on ``key`` needs
     salting (q_agg_salted) or AQE skew handling before it runs at scale.
 
-    Shape: one count-per-key aggregate (map-side combined), a rank window
-    over the O(keys) counts (ties on equal counts don't affect the Gini
-    sum — equal c makes the rank assignment order irrelevant), and a
-    1-row reduction. Nothing touches raw rows twice."""
+    Shape: one count-per-key aggregate (map-side combined), a DISTRIBUTED
+    global rank over the O(keys) counts, and a 1-row reduction. Nothing
+    touches raw rows twice. The rank is the q_shuffle_rank pattern
+    (llm/sampling.py): a bare ``row_number() OVER (ORDER BY c, k)`` would
+    funnel every distinct key through one WindowExec task — at the
+    billion-key cardinality this diagnostic targets, that single task is
+    exactly the OOM it exists to predict. Instead we range-partition by
+    the sort key (Spark's distributed ORDER BY machinery), rank within
+    partitions, and add per-partition offsets from an O(partitions)
+    count aggregate; ``localCheckpoint`` pins placement so the count job
+    and the rank job see identical partitioning. Ties on equal counts
+    don't affect the Gini sum — equal c makes rank order irrelevant."""
+    spark = df.sparkSession
     c = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.asc("c"), F.asc("k"))
-    ranked = c.withColumn("i", F.row_number().over(w))
+    parts = (
+        c.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "c", "k"
+        )
+        .sortWithinPartitions("c", "k")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    pc = sorted(
+        (r["pid"], r["cnt"])
+        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in pc:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy(F.asc("c"), F.asc("k"))
+    ranked = parts.join(F.broadcast(off_df), "pid").withColumn(
+        "i", F.row_number().over(w) + F.col("off")
+    )
     # Gini over sorted group sizes, sum((2i - n - 1) c_i) / (n sum(c)),
     # folded to pure aggregates via sum((2i-n-1)c) = 2 sum(i*c) - (n+1) sum(c)
     # with n = max(i) (ranks are dense) — integer-exact until one division.

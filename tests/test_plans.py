@@ -264,11 +264,27 @@ def test_resample_ffill_joins_keyed_no_cartesian(q):
     assert any("user_id" in side for side in keys)
 
 
-def test_skew_profile_no_join_aggregate_only(q):
-    """Skew metrics are count-aggregate -> rank window -> 1-row fold per
-    key column; a join would mean the Gini fold regressed to self-joins."""
+def test_skew_profile_distributed_rank(q):
+    """Skew metrics are count-aggregate -> DISTRIBUTED rank -> 1-row fold
+    per key column. The rank must be the range-partition + offset shape:
+    no Exchange SinglePartition feeding a Window (the old global
+    row_number() funneled every distinct key through one task — an OOM at
+    exactly the key cardinality this diagnostic predicts), and the only
+    join allowed is the O(partitions) offset broadcast."""
     plan = formatted_plan(q("q_skew_profile"))
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Window Arguments format: [functions], [partitionSpec], [orderSpec];
+    # an empty partitionSpec ("], [], [") is the single-task global rank.
+    win_blocks = re.findall(
+        r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)", plan
+    )
+    assert win_blocks, "expected a Window node for the rank"
+    for args in win_blocks:
+        assert "], [], [" not in args, "unpartitioned WindowExec in skew rank"
+    # the final 1-row folds may gather, but never O(keys) rows: every
+    # SinglePartition exchange must sit above the partial aggregate
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
 
 
 def test_pattern_absence_one_shuffle_range_frame(q):
