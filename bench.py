@@ -35,7 +35,6 @@ HEADLINE = [
     "q_dedup_near",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
-    "q_dedup_ngram_jaccard_arrow",
     "q_dedup_embedding",
     "q_dedup_embedding_fast",
     "q_similarity_cosine",
@@ -94,7 +93,19 @@ HEADLINE = [
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
     "q_tpch_q10_shape",
+    "q_pattern_quantified",
 ]
+
+# Deliberately-slow regression guards: kernels kept for comparison whose
+# cost is defined, not accidental (the Arrow jaccard kernel loses to JVM
+# array_intersect by design — BASELINE.md kernel-choice measurement).
+# Timed and recorded with a ratio vs their production twin, but EXCLUDED
+# from the headline total so real regressions aren't buried under a
+# query that is supposed to be slow.
+GUARD = {
+    # guard key -> production twin whose median it is compared against
+    "q_dedup_ngram_jaccard_arrow": "q_dedup_ngram_jaccard",
+}
 
 
 def main() -> int:
@@ -128,6 +139,24 @@ def main() -> int:
             f"# {name}: {times[name]}s (spread {spread[name]}s)", file=sys.stderr
         )
 
+    guards: dict[str, float] = {}
+    guard_ratio: dict[str, float] = {}
+    for name, twin in GUARD.items():
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        guards[name] = round(samples[1], 3)
+        if twin in times and times[twin] > 0:
+            guard_ratio[name] = round(guards[name] / times[twin], 2)
+        print(
+            f"# guard {name}: {guards[name]}s"
+            f" ({guard_ratio.get(name, '?')}x vs {twin})",
+            file=sys.stderr,
+        )
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     payload = {
@@ -136,6 +165,8 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "guards": guards,
+        "guard_ratio": guard_ratio,
         "sf": sf,
         "config": {
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

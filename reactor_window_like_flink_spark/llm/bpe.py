@@ -178,9 +178,10 @@ def learn_bpe_merges(
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First {BPE_MERGES} BPE merges learned from the documents corpus:
     (rank, left, right, joint_freq) in learning order — the
-    tokenizer-training pass (see module docstring for the scale split)."""
-    docs = load(spark, sf_dir, "documents")
-    merges = learn_bpe_merges(spark, docs, BPE_MERGES)
+    tokenizer-training pass (see module docstring for the scale split).
+    Routed through the merges_for memo so q_bpe_merges + q_bpe_encode in
+    one session share a single training pass."""
+    merges = merges_for(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, joint_freq long"
     )
@@ -188,12 +189,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Learned-merge memo per sf_dir: the index-lifecycle posture (same as
 # fit_ivf/fit_pq in llm/similarity.py) — training runs once, encode
-# queries reuse the artifact.
-_MERGE_CACHE: dict[tuple[int, str], list[tuple[int, str, str, int]]] = {}
+# queries reuse the artifact. Keyed by applicationId, not id(spark):
+# CPython reuses object ids after GC, so an id-keyed memo could hand a
+# NEW session a stale merge table trained under a dead one.
+_MERGE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, int]]] = {}
 
 
 def merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MERGE_CACHE:
         _MERGE_CACHE[key] = learn_bpe_merges(
             spark, load(spark, sf_dir, "documents"), BPE_MERGES

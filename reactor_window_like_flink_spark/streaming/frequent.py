@@ -90,6 +90,10 @@ def frequent_items_stateful(
             .alias("shard"),
             F.col(item_col).cast("string").alias("item"),
         )
+        # a NULL item is "no observation", not a countable token: the JSON
+        # state round-trip would coerce a None counter key to the string
+        # "null", silently merging nulls with that literal token
+        .filter(F.col("item").isNotNull())
         .groupBy("shard")
         .applyInPandasWithState(
             update,

@@ -125,3 +125,52 @@ def test_streaming_frequent_items_state_survives_batches(spark, tmp_path):
         assert rows[0]["lb_count"] == 12 and rows[0]["n_seen"] == 12
     finally:
         query.stop()
+
+
+def test_streaming_frequent_items_null_items_never_merge_with_literal(
+    spark, tmp_path
+):
+    """A NULL item is dropped before the stateful groupBy — the JSON
+    state round-trip would otherwise coerce a None counter key to the
+    string "null", merging real nulls with that literal token."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = frequent_items_stateful(
+        src.stream(), "event_type", n_shards=2, capacity=8
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_freq3")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # 3 literal "null" tokens, 5 genuine NULLs, 2 ordinary tokens —
+        # across two batches so the state round-trips at least once.
+        src.publish(_rows(["null", None, "x", None, "null"]))
+        _poll(lambda: spark.sql("SELECT * FROM t_freq3").collect() or None)
+        src.publish(_rows([None, "null", None, "x", None], start=100))
+        rows = _poll(
+            lambda: (
+                r
+                if (
+                    r := spark.sql(
+                        "SELECT * FROM t_freq3 WHERE item = 'null'"
+                        " AND lb_count = 3"
+                    ).collect()
+                )
+                else None
+            )
+        )
+        assert rows, "literal 'null' must count exactly its own 3 tokens"
+        all_rows = spark.sql("SELECT * FROM t_freq3").collect()
+        # n_seen is per shard; latest-per-shard totals exclude the
+        # dropped NULLs: 3 'null' + 2 'x' = 5 across all shards
+        latest = {}
+        for r in all_rows:
+            if r["shard"] not in latest or r["n_seen"] > latest[r["shard"]]:
+                latest[r["shard"]] = r["n_seen"]
+        assert sum(latest.values()) == 5
+        assert {r["item"] for r in all_rows} == {"null", "x"}
+    finally:
+        query.stop()

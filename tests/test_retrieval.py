@@ -38,11 +38,20 @@ def _with_table(spark, rows, schema, key, modules):
     origs = [m.load for m in mods]
     for m in mods:
         m.load = lambda s, d, t: df
+    # the BPE merge memo keys on (applicationId, sf_dir) and can't see a
+    # patched load; clear it so fixture runs never reuse stale merges
+    caches = [m._MERGE_CACHE for m in mods if hasattr(m, "_MERGE_CACHE")]
+    saved = [dict(c) for c in caches]
+    for c in caches:
+        c.clear()
     try:
         return entry_mod.queries()[key](spark, "unused").collect()
     finally:
         for m, o in zip(mods, origs):
             m.load = o
+        for c, s in zip(caches, saved):
+            c.clear()
+            c.update(s)
 
 
 DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
@@ -606,3 +615,38 @@ def test_winsorize_matches_numpy_model(spark):
     assert r["n_clipped_hi"] == int((values > p99).sum())
     wins = np.clip(values, p01, p99)
     assert abs(r["mean_winsor"] - round(float(wins.mean()), 4)) < 1e-3
+
+
+def test_bpe_memo_shares_one_training_pass(spark):
+    """q_bpe_merges and q_bpe_encode in one session must train ONCE
+    (merges_for memo), and the memo key must be the applicationId —
+    id(spark) is unsafe because CPython reuses ids after GC, which could
+    hand a new session a stale merge table."""
+    import reactor_window_like_flink_spark.llm.bpe as bpe
+
+    rows = _docs([(1, "low lower lowest low low"), (2, "new newer newest new")])
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+
+    calls = {"n": 0}
+    orig_learn, orig_load = bpe.learn_bpe_merges, bpe.load
+    orig_cache = dict(bpe._MERGE_CACHE)
+    bpe._MERGE_CACHE.clear()
+    bpe.load = lambda s, d, t: df
+
+    def counting_learn(*a, **kw):
+        calls["n"] += 1
+        return orig_learn(*a, **kw)
+
+    bpe.learn_bpe_merges = counting_learn
+    try:
+        entry_mod.queries()["q_bpe_merges"](spark, "unused").collect()
+        entry_mod.queries()["q_bpe_encode"](spark, "unused").collect()
+        assert calls["n"] == 1, "both BPE keys must share one training pass"
+        (key,) = bpe._MERGE_CACHE.keys()
+        assert key[0] == spark.sparkContext.applicationId
+        assert key[1] == "unused"
+    finally:
+        bpe.learn_bpe_merges = orig_learn
+        bpe.load = orig_load
+        bpe._MERGE_CACHE.clear()
+        bpe._MERGE_CACHE.update(orig_cache)
