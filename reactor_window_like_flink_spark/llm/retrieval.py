@@ -158,9 +158,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the shuffled payload is (doc_id, tf) pairs — text never moves.
     Posting lists are per-term rows, so a 100 TB corpus parallelizes by
     vocabulary; the known hazard is a stopword's posting list exceeding
-    one task's memory, which a production build tiers out by storing
-    df-above-threshold terms as bitmap/roaring segments instead of one
-    array row (the HAVING clause is where that tier split attaches)."""
+    one task's memory. ``build_inverted_index_tiered`` (below) is the
+    production form: df-above-threshold terms store as fixed-width
+    doc_id-range segment rows with hard-bounded payloads, cold terms
+    keep the one-row layout this oracle-checked flat build uses."""
     docs = load(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
@@ -185,6 +186,71 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+
+
+# Tiered index: terms at or above this df go to fixed-width segment rows.
+INDEX_HOT_DF = 10_000
+# Hot-tier segment width: each segment row covers a doc_id range of this
+# size, so its postings payload is HARD-bounded by the width regardless
+# of how hot the term is.
+INDEX_SEGMENT_WIDTH = 100_000
+
+
+def build_inverted_index_tiered(
+    docs: DataFrame,
+    min_df: int = INDEX_MIN_DF,
+    hot_df: int = INDEX_HOT_DF,
+    segment_width: int = INDEX_SEGMENT_WIDTH,
+) -> DataFrame:
+    """Inverted index with bounded per-row posting payloads — the
+    production form of ``q_inverted_index`` whose docstring names the
+    hazard: a stopword-adjacent term (df in the hundreds of millions at
+    corpus scale) materializes ONE unbounded ``collect_list`` row, a
+    single-task memory blowup.
+
+    Tier split (attached at the df seam the flat build's HAVING uses):
+
+    - **cold** (df < ``hot_df``): one row per term, ``segment_id = -1``,
+      payload bounded by ``hot_df``.
+    - **hot** (df >= ``hot_df``): one row per (term, doc_id-range
+      segment), ``segment_id = doc_id div segment_width``. Payload is
+      hard-bounded by ``segment_width`` — a doc_id range holds at most
+      that many documents — with NO per-term global sort or rank: a
+      rank-based segmenter would funnel the hot term's postings through
+      one window task, re-creating exactly the blowup being tiered away.
+      Range segments also reconstruct for free: concatenating a term's
+      segments in segment_id order yields the globally sorted postings.
+
+    The groupBy key widens from ``term`` to ``(term, segment_id)``, so a
+    hot term's aggregation spreads over its segments across tasks — the
+    shuffle itself is skew-split, not just the output rows.
+
+    Output: (term, segment_id, df, seg_df, seg_tf, postings) where df is
+    the term's corpus-wide document frequency and seg_df/seg_tf are the
+    segment-local counts; cold rows have seg_df = df.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    seg = F.when(
+        F.col("df") >= hot_df,
+        F.floor(F.col("doc_id") / F.lit(segment_width)),
+    ).otherwise(F.lit(-1))
+    return (
+        tf.join(df, "term")
+        .filter(F.col("df") >= min_df)
+        .withColumn("segment_id", seg.cast("long"))
+        .groupBy("term", "segment_id")
+        .agg(
+            F.first("df").alias("df"),
+            F.count("*").cast("long").alias("seg_df"),
+            F.sum("tf").cast("long").alias("seg_tf"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
     )
 
 

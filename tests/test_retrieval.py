@@ -650,3 +650,55 @@ def test_bpe_memo_shares_one_training_pass(spark):
         bpe.load = orig_load
         bpe._MERGE_CACHE.clear()
         bpe._MERGE_CACHE.update(orig_cache)
+
+
+def test_inverted_index_tiered_bounds_rows_and_reconstructs(spark):
+    """Tiered index: a deliberately hot term must split into fixed-width
+    doc_id-range segment rows with HARD-bounded payloads; concatenating
+    segments in segment_id order must reconstruct the flat build's
+    sorted postings exactly; cold terms keep the one-row layout."""
+    from reactor_window_like_flink_spark.llm.retrieval import (
+        build_inverted_index_tiered,
+    )
+
+    # "hot" in every doc (df=60), "warm" in 7 docs, "solo" hapax.
+    rows = []
+    for i in range(60):
+        text = "hot" + (" hot" if i % 3 == 0 else "")  # tf varies
+        if i % 9 == 0:
+            text += " warm"
+        if i == 5:
+            text += " solo"
+        rows.append((i, text, "en", "src0", len(text)))
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+
+    out = build_inverted_index_tiered(
+        docs, min_df=2, hot_df=20, segment_width=16
+    ).collect()
+
+    by_term: dict = {}
+    for r in out:
+        by_term.setdefault(r["term"], []).append(r)
+
+    assert "solo" not in by_term  # hapax dropped
+    # cold tier: one row, segment_id = -1
+    (warm,) = by_term["warm"]
+    assert warm["segment_id"] == -1
+    assert warm["seg_df"] == warm["df"] == 7
+    assert warm["postings"] == [i for i in range(60) if i % 9 == 0]
+
+    # hot tier: ceil(60/16) = 4 range segments, payloads <= width
+    hot = sorted(by_term["hot"], key=lambda r: r["segment_id"])
+    assert [r["segment_id"] for r in hot] == [0, 1, 2, 3]
+    assert all(len(r["postings"]) <= 16 for r in hot)
+    assert all(r["df"] == 60 for r in hot)
+    assert sum(r["seg_df"] for r in hot) == 60
+    # per-segment tf sums to the corpus tf: 60 + 20 extra from i%3==0
+    assert sum(r["seg_tf"] for r in hot) == 80
+    # reconstruction: concat in segment order == globally sorted postings
+    recon = [d for r in hot for d in r["postings"]]
+    assert recon == list(range(60))
+    # each segment's postings stay inside its doc_id range
+    for r in hot:
+        lo = r["segment_id"] * 16
+        assert all(lo <= d < lo + 16 for d in r["postings"])
