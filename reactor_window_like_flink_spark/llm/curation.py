@@ -40,6 +40,9 @@ from reactor_window_like_flink_spark.llm.sampling import (
     _hash_bucket,
     q_chunk_tokens,
 )
+from reactor_window_like_flink_spark.sources.layout import (
+    compact as layout_compact,
+)
 from reactor_window_like_flink_spark.sources.tables import load
 
 REG = Registry()
@@ -752,7 +755,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_ingest_sink(spark: SparkSession, ledger_dir: str):
+def corpus_ingest_sink(
+    spark: SparkSession,
+    ledger_dir: str,
+    compact_every: int = 0,
+    target_file_bytes: int = 128 * 1024 * 1024,
+):
     """Continuous corpus curation as a ``foreachBatch`` sink: each
     micro-batch of raw documents is exact-deduped IN-batch (min-id winner
     per md5) and admitted against everything already in the ledger, and
@@ -774,9 +782,45 @@ def corpus_ingest_sink(spark: SparkSession, ledger_dir: str):
     Scale posture: the per-batch ledger read is a one-column (text_hash)
     scan; at corpus scale that side lives as the bucketed hash index
     (``build_corpus_hash_index``) so the admit anti-join co-locates
-    without an Exchange, and ``sources/layout.py:compact`` folds the
-    per-batch files."""
+    without an Exchange.
+
+    Compaction (``compact_every > 0``): continuous ingestion otherwise
+    writes one file per micro-batch partition FOREVER — the small-files
+    problem ``sources/layout.py:compact`` exists to solve. Every
+    ``compact_every`` batches, the just-completed window of batch
+    partitions is folded to ~``target_file_bytes`` files each via
+    ``compact`` into a side directory, then swapped in. Only COMPLETED
+    partitions (batch_id < current) are touched, so compaction never
+    races the current batch's overwrite; crash-replay of the triggering
+    batch re-runs the same fold over identical content (idempotent —
+    ``compact`` derives its file count from source bytes). The swap is
+    delete-then-rename, fine on HDFS/local; an object-store deployment
+    swaps a catalog pointer instead, per the ``compact`` docstring."""
     from pyspark.errors import AnalysisException
+
+    def _fold_window(lo: int, hi: int) -> None:
+        """Compact ledger partitions batch_id in [lo, hi) in place."""
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        jpath_cls = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        fs = jpath_cls(ledger_dir).getFileSystem(hconf)
+        for k in range(lo, hi):
+            src = f"{ledger_dir}/batch_id={k}"
+            jsrc = jpath_cls(src)
+            if not fs.exists(jsrc):
+                continue
+            n_files = sum(
+                1
+                for s in fs.listStatus(jsrc)
+                if s.getPath().getName().startswith("part-")
+            )
+            if n_files <= 1:
+                continue  # already compact (or replay after a fold)
+            tmp = f"{ledger_dir}/.compact-tmp-{k}"
+            jtmp = jpath_cls(tmp)
+            fs.delete(jtmp, True)
+            layout_compact(spark, src, tmp, target_file_bytes)
+            fs.delete(jsrc, True)
+            fs.rename(jtmp, jsrc)
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select("doc_id", "text", "lang", "source").withColumn(
@@ -797,5 +841,7 @@ def corpus_ingest_sink(spark: SparkSession, ledger_dir: str):
         admitted.write.mode("overwrite").parquet(
             f"{ledger_dir}/batch_id={batch_id}"
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            _fold_window(batch_id - compact_every, batch_id)
 
     return admit

@@ -195,3 +195,53 @@ def test_corpus_ingest_sink_live_stream(spark, tmp_path):
     finally:
         query.stop()
     assert got == {1, 2, 4}  # doc 3 rejected as a cross-batch duplicate
+
+
+def test_corpus_ingest_sink_compaction_bounds_files(spark, tmp_path):
+    """Compaction composed into the sink: across 3x the compaction
+    interval, completed batch partitions fold to one file each while
+    ledger CONTENTS stay identical; the current (uncompacted) tail and
+    crash-replay behavior are unaffected."""
+    import os
+
+    from reactor_window_like_flink_spark.llm.curation import corpus_ingest_sink
+
+    ledger = str(tmp_path / "ledger")
+    sink = corpus_ingest_sink(spark, ledger, compact_every=2)
+    schema = "doc_id long, text string, lang string, source string"
+
+    def n_part_files(k):
+        d = f"{ledger}/batch_id={k}"
+        return sum(
+            1 for f in os.listdir(d) if f.startswith("part-") and
+            not f.endswith(".crc")
+        )
+
+    expect = set()
+    for b in range(6):  # 3x the interval of 2
+        rows = [
+            (b * 10 + i, f"text {b}-{i}", "en", "s0")
+            # multi-partition frame -> several part files per batch
+            for i in range(4)
+        ]
+        expect |= {r[0] for r in rows}
+        sink(spark.createDataFrame(rows, schema).repartition(4), b)
+
+    got = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert [g[0] for g in got] == sorted(expect)
+    # every completed window folded: batches 0..3 are 1 file each
+    for k in range(4):
+        assert n_part_files(k) == 1, f"batch {k} not compacted"
+    # the tail written after the last fold trigger is untouched
+    assert n_part_files(5) > 1
+    # replaying the triggering batch (crash recovery) keeps everything
+    rows4 = [(40 + i, f"text 4-{i}", "en", "s0") for i in range(4)]
+    sink(spark.createDataFrame(rows4, schema).repartition(4), 4)
+    got2 = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert got2 == got
