@@ -455,12 +455,16 @@ def emb_band_buckets_fast(
     bands: int = EMB_LSH_BANDS,
     bits: int = EMB_LSH_BITS,
     seed: int = EMB_LSH_SEED,
+    materialize: bool = False,
 ) -> DataFrame:
     """Production-kernel twin of ``emb_band_buckets``: the same sign-LSH
     assignment as ONE numpy matmul per Arrow batch instead of
     bands x bits interpreted HOF folds per row (the measured
-    fixed-width-numeric kernel rule, BASELINE.md). Materialized
-    (`localCheckpoint`) because every caller joins it against itself."""
+    fixed-width-numeric kernel rule, BASELINE.md). Pass
+    ``materialize=True`` from call sites that consume the buckets more
+    than once (the self-joining dedup/kNN builders do — ReusedExchange
+    can't fire across a Python mapInPandas); single-consumption callers
+    keep the default and skip the eager localCheckpoint copy."""
     import numpy as np
     import pandas as pd
 
@@ -489,9 +493,8 @@ def emb_band_buckets_fast(
                 }
             )
 
-    return emb.mapInPandas(
-        sig_batches, "vec_id long, band int, bucket int"
-    ).localCheckpoint()
+    out = emb.mapInPandas(sig_batches, "vec_id long, band int, bucket int")
+    return out.localCheckpoint() if materialize else out
 
 
 def emb_band_buckets(
@@ -633,7 +636,7 @@ def lsh_cosine_pairs_fast(
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = emb_band_buckets_fast(emb)
+    buckets = emb_band_buckets_fast(emb, materialize=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

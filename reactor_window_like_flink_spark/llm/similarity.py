@@ -567,7 +567,8 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = emb_band_buckets_fast(
-        emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED
+        emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED,
+        materialize=True,
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     half = (
