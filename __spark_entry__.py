@@ -69,7 +69,15 @@ def _last_recorded_round() -> dict[str, int]:
                 records = json.load(f)
         except (OSError, ValueError):
             continue
-        for key in records:
+        for key, rec in records.items():
+            # A harness-error record (err set, other than the rows-only
+            # marker "no_oracle") is NOT a verification: the key must
+            # sort as stale as a never-recorded one so it re-sweeps
+            # immediately (r5's canonicalizer error left two green-coded
+            # keys with only an error record for two rounds).
+            err = rec.get("err") if isinstance(rec, dict) else None
+            if err is not None and err != "no_oracle":
+                continue
             seen[key] = max(seen.get(key, -1), rnd)
     return seen
 

@@ -1,0 +1,284 @@
+"""sf1 scale probe for the dedup family: measured candidate-pair volumes
+and wall times at 10x the largest shipped fixture, validating the
+bucket-occupancy claims in llm/dedup.py with data instead of argument.
+
+Usage::
+
+    python tools/scale_probe.py [out_dir]     # default /tmp/sparkgraft_scale
+
+Builds (once) an sf1-equivalent corpus at ``out_dir/sf1`` by replicating
+the sf0.1 ``documents``/``embeddings`` tables 10x with per-replica
+perturbation chosen so the SCALE grows but the dup structure doesn't
+degenerate:
+
+- documents: each replica renames ~half the corpus vocabulary
+  (``hash(token, replica) % 2`` -> ``token~r``), deterministically per
+  replica. Two docs that shared text inside a replica still share it
+  (same renaming applies to both), so within-replica near-dup structure
+  mirrors the original corpus; ACROSS replicas shingle overlap collapses
+  (a 3-gram survives only if all 3 tokens kept their names on both
+  sides, ~ (1/2 * 1/2)^3), so replicas are NOT near-dups of each other —
+  total true-pair count scales ~linearly with replication, the way a
+  genuinely larger corpus behaves, instead of quadratically the way
+  naive copies would.
+- embeddings: deterministic per-(replica, vec, dim) noise at +-5% of the
+  coordinate scale — same rationale, vector clones don't all collapse
+  into one near-dup clique.
+
+Candidate volume is measured as bucket co-occupancy sum(C(n,2)) over
+the banding/bucketing key of each variant — computed from a groupBy over
+the bucket frame, NOT by executing the pair join, so the probe observes
+the quantity the docstrings bound. The jaccard prefix-filter candidate
+count comes from the probe's own reconstruction of the prefix frame.
+
+Output: one JSON line with per-query wall seconds (single run — this is
+a probe, not a regression bench) and per-stage candidate counts, plus a
+markdown table on stderr ready for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC_SF = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+def build_corpus(spark, out_sf: str) -> None:
+    if os.path.exists(os.path.join(out_sf, "documents.parquet", "_SUCCESS")):
+        return
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("r"))
+
+    docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
+    scaled = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("r").cast("long") * 10_000_000).alias(
+                "doc_id"
+            ),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda x: F.when(
+                        F.pmod(F.xxhash64(x, F.col("r")), F.lit(2)) == 0,
+                        F.concat(x, F.lit("~"), F.col("r").cast("string")),
+                    ).otherwise(x),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{out_sf}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
+    noise = lambda r: F.transform(  # noqa: E731
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            * (
+                1.0
+                + (
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id"), F.lit(r), i), F.lit(1000)
+                    ).cast("double")
+                    / 1000.0
+                    - 0.5
+                )
+                * 0.1
+            )
+        ).cast("float"),
+    )
+    parts = []
+    for r in range(REPLICAS):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                noise(r).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_sf}/embeddings.parquet"
+    )
+
+
+def cooccupancy(bucket_df, *keys) -> int:
+    """sum over buckets of C(n, 2) — the candidate-pair volume a banded
+    self-join generates, measured without running the join."""
+    row = (
+        bucket_df.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0)
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraft_scale"
+    out_sf = os.path.join(out_dir, "sf1")
+
+    import __spark_entry__ as e
+    from reactor_window_like_flink_spark.llm import dedup as dd
+    from reactor_window_like_flink_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    t0 = time.perf_counter()
+    build_corpus(spark, out_sf)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    n_docs = spark.read.parquet(f"{out_sf}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{out_sf}/embeddings.parquet").count()
+
+    qs = e.queries()
+    result: dict = {
+        "sf": 1.0,
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "build_s": build_s,
+        "queries": {},
+        "candidates": {},
+    }
+
+    # --- candidate-stage volumes (bucket co-occupancy, no pair join) ---
+    toks = dd._tokenized(spark, out_sf)
+    sigs = (
+        toks.select(
+            "doc_id", F.explode(dd._shingles_from_toks(3)).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.xxhash64("shingle", F.lit(i)))
+                    for i in range(dd.MINHASH_PERMS)
+                ]
+            ).alias("sig")
+        )
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {dd.MINHASH_BANDS - 1}),"
+                f" b -> hash(slice(sig, b * {dd.MINHASH_ROWS} + 1,"
+                f" {dd.MINHASH_ROWS})))"
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    result["candidates"]["minhash_band_pairs"] = cooccupancy(
+        bands, "band_id", "band_hash"
+    )
+
+    sim = dd.simhash_signatures(toks)
+    chunks = sim.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {dd.SIMHASH_CHUNKS - 1}),"
+                f" j -> shiftright(simhash, j * {dd.SIMHASH_CHUNK_BITS})"
+                f"      & {(1 << dd.SIMHASH_CHUNK_BITS) - 1})"
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    result["candidates"]["simhash_chunk_pairs"] = cooccupancy(
+        chunks, "chunk_id", "chunk_val"
+    )
+
+    emb = spark.read.parquet(f"{out_sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    buckets = dd.emb_band_buckets_fast(emb)
+    result["candidates"]["emb_band_pairs"] = cooccupancy(
+        buckets, "band", "bucket"
+    )
+
+    # jaccard prefix-filter candidates: reconstruct the prefix frame the
+    # PPJoin candidate join keys on (df-ranked prefix explode)
+    t = dd.JACCARD_THRESHOLD
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            dd._shingles_from_toks(2), lambda x: F.xxhash64(x)
+        ).alias("hs"),
+    )
+    ex = hashed.select("doc_id", "lang", F.explode("hs").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, h))), s -> s.h)"
+            ).alias("sorted_hs")
+        )
+    )
+    prefix = ranked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"slice(sorted_hs, 1,"
+                f" CAST(floor((1.0 - {t}) * size(sorted_hs)) AS INT) + 1)"
+            )
+        ).alias("h"),
+    )
+    result["candidates"]["jaccard_prefix_pairs"] = cooccupancy(
+        prefix, "lang", "h"
+    )
+
+    # --- end-to-end wall times + output sizes ---
+    for key in (
+        "q_dedup_exact",
+        "q_dedup_near",
+        "q_dedup_simhash",
+        "q_dedup_ngram_jaccard",
+        "q_dedup_embedding",
+        "q_dedup_embedding_fast",
+        "q_dedup_chunks",
+        "q_knn_graph",
+    ):
+        t1 = time.perf_counter()
+        df = qs[key](spark, out_sf)
+        n_out = df.count()
+        result["queries"][key] = {
+            "wall_s": round(time.perf_counter() - t1, 1),
+            "rows_out": n_out,
+        }
+        print(f"# {key}: {result['queries'][key]}", file=sys.stderr)
+
+    print(json.dumps(result))
+    # markdown table for BASELINE.md
+    lines = [
+        "| query | wall s (sf1, single run) | rows out |",
+        "|---|---|---|",
+    ]
+    for k, v in result["queries"].items():
+        lines.append(f"| {k} | {v['wall_s']} | {v['rows_out']} |")
+    lines.append("")
+    lines.append("| candidate stage | pair volume |")
+    lines.append("|---|---|")
+    for k, v in result["candidates"].items():
+        lines.append(f"| {k} | {v} |")
+    print("\n".join(lines), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
