@@ -609,6 +609,19 @@ def followed_by_quantified(
             raise ValueError(f"bad quantifier for {stype!r}: ({lo}, {hi})")
     if stages[0][1] == 0 or stages[-1][1] == 0:
         raise ValueError("anchor and final stages must be non-optional")
+    # run-maximality makes same-type adjacent stages unsatisfiable —
+    # including stages that BECOME adjacent when the optionals between
+    # them are skipped; fail loudly instead of silently matching nothing
+    # (mirrors the streaming twin's distinctness validation, cep.py)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if all(stages[k][1] == 0 for k in range(i + 1, j)):
+                if stages[i][0] == stages[j][0]:
+                    raise ValueError(
+                        f"stages {i} and {j} share type {stages[i][0]!r} "
+                        "and can be adjacent (directly or across skipped "
+                        "optionals): maximal runs make that unsatisfiable"
+                    )
 
     w_seq = Window.partitionBy("user_id").orderBy("us", "event_id")
     w_run = (

@@ -447,6 +447,19 @@ def test_followed_by_quantified_validation(spark):
         followed_by_quantified(df, [("view", 1, None), ("click", 3, 2)])
     with pytest.raises(ValueError, match="2 stages"):
         followed_by_quantified(df, [("view", 1, None)])
+    # adjacent same-type stages: unsatisfiable under maximal runs
+    with pytest.raises(ValueError, match="share type"):
+        followed_by_quantified(df, [("view", 1, None), ("view", 1, None)])
+    # same-type stages adjacent ACROSS a skipped optional
+    with pytest.raises(ValueError, match="share type"):
+        followed_by_quantified(
+            df,
+            [("view", 1, None), ("click", 0, 1), ("view", 1, None)],
+        )
+    # distinct neighbors stay valid
+    followed_by_quantified(
+        df, [("view", 1, None), ("click", 0, 1), ("buy", 1, None)]
+    )
 
 
 def _events_typed(spark, rows):
