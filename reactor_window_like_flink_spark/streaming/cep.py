@@ -443,10 +443,17 @@ def followed_by_quantified_stateful(
     information) + at most ``len(stages)`` run records. Closed runs
     older than ``span_us`` behind the watermark are dropped from the old
     end (no future final run can reach back to them inside the span);
-    the OPEN run is kept as long as the key has any state — a same-type
-    event arbitrarily far in the future still extends it, and forgetting
-    it would mis-start the run (a batch-mismatched anchor). Whole-key
-    state drops only when buffer, history AND open run are all empty.
+    an event-time timeout at the oldest closed run's expiry keeps that
+    trimming live even when the key sees no new data. The OPEN run is
+    retained FOREVER — a deliberate O(1)-per-key floor (~12 longs, the
+    same posture as Flink keyed state): a same-type event arbitrarily
+    far in the future still extends it, and an extended-but-expired run
+    keeps its ORIGINAL start, so forgetting it would restart the run
+    with a fresh start timestamp and let the span check admit matches
+    the true maximal run forbids (a correctness bug, not a leak trade).
+    Whole-key state therefore drops only for keys whose buffer, history
+    and open run are all empty; every key that ever emitted a finalized
+    event keeps the O(1) floor for the stream's lifetime.
 
     Replay equivalence (``tests/test_cep.py``): on a bounded replay with
     the watermark pushed past every event, the emitted set EQUALS the
@@ -620,12 +627,24 @@ def followed_by_quantified_stateful(
                     *(cur if cur is not None else [_NEG, 0, 0, 0]),
                 )
             )
+            wm_ms = wm_us // 1000
             if buf_us:
-                wm_ms = wm_us // 1000
                 # wake when the watermark passes the oldest buffered event
                 state.setTimeoutTimestamp(
                     max(min(buf_us) // 1000, wm_ms + 1)
                 )
+            elif hist:
+                # nothing buffered, but closed runs still hold state: wake
+                # when the oldest one ages past the span so trimming isn't
+                # stalled until the key happens to see new data
+                state.setTimeoutTimestamp(
+                    max(
+                        (min(h[2] for h in hist) + span_us) // 1000 + 1,
+                        wm_ms + 1,
+                    )
+                )
+            # only cur (+frontier) left: no timeout — see the state-bounds
+            # note in the docstring for why the open run is kept forever
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 
