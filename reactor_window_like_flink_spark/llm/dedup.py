@@ -368,6 +368,142 @@ def q_dedup_ngram_jaccard_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment threshold: fraction of the SMALLER side's shingles that must
+# appear in the other doc. Catches doc-inclusion (quoting, page-in-crawl,
+# prompt-in-dump) that symmetric Jaccard misses: a 50-line doc fully
+# embedded in a 5,000-line doc has containment 1.0 but Jaccard ~0.01.
+CONTAINMENT_THRESHOLD = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(string_split(lower(text), ' ')) < 2
+               THEN [lower(text)]
+               ELSE list_transform(
+                 generate_series(1, len(string_split(lower(text), ' ')) - 1),
+                 i -> string_split(lower(text), ' ')[i] || ' '
+                      || string_split(lower(text), ' ')[i + 1]) END) AS bg
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+                 / len(a.bg), 4) AS cont_a,
+           ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+                 / len(b.bg), 4) AS cont_b
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE greatest(
+            CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(a.bg),
+            CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(b.bg)
+          ) >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+@REG.add("q_dedup_containment", _CONTAINMENT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (Broder's resemblance/containment
+    split): same-``lang`` doc pairs where at least one side has >=
+    {CONTAINMENT_THRESHOLD} of its word-bigram shingles inside the other.
+    The inclusion detector symmetric Jaccard structurally misses — a doc
+    fully quoted inside a much larger one scores containment 1.0 but
+    Jaccard ~|small|/|large|.
+
+    Scale shape (the containment variant of the PPJoin prefix filter):
+    if |A∩B| >= t|A| then at most (1-t)|A| of A's elements miss B, so
+    A's df-rarest ``floor((1-t)|A|)+1`` prefix must share an element
+    with B — candidates come from joining each doc's PREFIX against the
+    FULL posting lists (both directions, unioned), a high-cardinality
+    keyed join like the Jaccard build. No symmetric length filter
+    applies (b may be arbitrarily larger — that asymmetry is the point),
+    but the prefix holds each doc's RAREST shingles, so the posting
+    lists the join touches are short exactly where fan-out would hurt.
+    One ``array_intersect`` verify per candidate emits both directions'
+    containments."""
+    return containment_pairs(
+        spark, sf_dir, CONTAINMENT_THRESHOLD, shingle_n=2
+    )
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact containment self-join with the asymmetric prefix filter —
+    see ``q_dedup_containment`` for the theorem and scale rationale."""
+    t = threshold
+    hashed = _tokenized(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.transform(
+            _shingles_from_toks(shingle_n), lambda x: F.xxhash64(x)
+        ).alias("hs"),
+    ).localCheckpoint()  # read by 4 passes: df count, prefix, full, verify
+    ex = hashed.select("doc_id", F.explode("hs").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, h))), s -> s.h)"
+            ).alias("sorted_hs")
+        )
+    )
+    docs2 = (
+        hashed.select("doc_id", "lang").join(ranked, "doc_id").localCheckpoint()
+    )
+    prefix = docs2.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"slice(sorted_hs, 1,"
+                f" CAST(floor((1.0 - {t}) * size(sorted_hs)) AS INT) + 1)"
+            )
+        ).alias("h"),
+    )
+    full = docs2.select("doc_id", "lang", F.explode("sorted_hs").alias("h"))
+    p, f_ = prefix.alias("p"), full.alias("f")
+    # direction 1: a's prefix hits b's full postings (a contained in b);
+    # direction 2 is the same join with roles swapped — both collapse to
+    # the id-ordered unordered pair, so emit min/max and dedup once.
+    cand = (
+        p.join(
+            f_,
+            (F.col("p.h") == F.col("f.h"))
+            & (F.col("p.lang") == F.col("f.lang"))
+            & (F.col("p.doc_id") != F.col("f.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = docs2.select("doc_id", "sorted_hs")
+    with_a = sets.join(cand, sets.doc_id == cand.doc_a).select(
+        "doc_a", "doc_b", F.col("sorted_hs").alias("hs_a")
+    )
+    paired = sets.join(with_a, sets.doc_id == with_a.doc_b).select(
+        "doc_a", "doc_b", "hs_a", F.col("sorted_hs").alias("hs_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    cont_a = inter / F.size("hs_a")
+    cont_b = inter / F.size("hs_b")
+    return (
+        paired.withColumn("_ca", cont_a)
+        .withColumn("_cb", cont_b)
+        .filter(F.greatest("_ca", "_cb") >= t)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("_ca", 4).alias("cont_a"),
+            F.round("_cb", 4).alias("cont_b"),
+        )
+    )
+
+
 # Sign-LSH (random-hyperplane) banding for embedding near-dup candidates.
 # EMB_LSH_BITS per band → 2^bits bucket values per band; a pair is a
 # candidate iff it collides in >= 1 of EMB_LSH_BANDS bands. P(bit agrees) =

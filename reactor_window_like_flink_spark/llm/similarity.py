@@ -548,16 +548,24 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction for clustering/diversity passes), not the single-query
     top-k of q_similarity_cosine.
 
-    Scale shape: candidates come from the (band, bucket) self-join —
-    pair count bounded by bucket occupancy, never O(n²); cosines are
-    computed ONCE per unordered pair (fused numpy batch kernel — the
-    fixed-width-numeric rule, BASELINE.md) and the SCORED rows are then
-    mirrored by a projection, so the confirm cost is half what scoring
-    both directions would pay; per-vector top-k is a row_number window
-    on (cosine desc, neighbor) — WindowGroupLimit-prunable, no global
-    sort. Vectors with no LSH collision emit no row (documented: a
-    production build unions a random-probe fallback for isolated
-    vectors)."""
+    Scale shape (round-7 rework — the sf1 probe measured the previous
+    pair-join form at 309 s / ~10⁸ candidate rows at 20k vectors,
+    BASELINE.md): instead of MATERIALIZING every bucket-mate pair
+    through a self-join and two embedding re-joins, each (band, bucket)
+    group computes its members' cosines as a row-blocked numpy matmul
+    and emits only each member's LOCAL top-{KNN_K} — per-group local
+    top-k under the global tie-break (cos desc, neighbor asc) provably
+    preserves the exact global top-k over the union of candidates (any
+    global top-k neighbor shares a bucket with the vector, and fewer
+    than k candidates outrank it there), so the output is IDENTICAL to
+    the pair-join form while the shuffled row count drops from
+    Σ C(bucket,2) pairs (quadratic in occupancy) to n x bands x k.
+    The downstream dedup + window sees O(n·bands·k) rows —
+    WindowGroupLimit-prunable, no global sort. Vectors with no LSH
+    collision emit no row (documented: a production build unions a
+    random-probe fallback for isolated vectors); degenerate bucket
+    occupancy is the bits-too-small regime — scale bits with
+    log2(n_vectors), the BASELINE.md probe rule."""
     import numpy as np
     import pandas as pd
 
@@ -567,59 +575,55 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = emb_band_buckets_fast(
-        emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED,
-        materialize=True,
+        emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    grouped = buckets.join(emb, "vec_id")
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "_cos": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64",
+                      "_cos": "float64"})
+        # id-ascending row order + STABLE argsort on -cos per row gives
+        # exactly the (cos desc, id asc) global tie-break locally — ties
+        # keep the ids the final window would keep, so no candidate the
+        # global top-k needs is ever dropped here.
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        xn = x / np.linalg.norm(x, axis=1)[:, None]
+        k = KNN_K
+        out_v: list = []
+        out_u: list = []
+        out_c: list = []
+        block = 512  # bound the (block x m) gram slab, not the bucket
+        for s in range(0, m, block):
+            g = xn[s : s + block] @ xn.T
+            for i in range(g.shape[0]):
+                gi = g[i]
+                order = np.argsort(-gi, kind="stable")
+                taken = 0
+                for j in order:
+                    if j == s + i:
+                        continue
+                    out_v.append(ids[s + i])
+                    out_u.append(ids[j])
+                    out_c.append(gi[j])
+                    taken += 1
+                    if taken == k:
+                        break
+        return pd.DataFrame(
+            {"vec_id": out_v, "neighbor_id": out_u, "_cos": out_c}
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
+
+    scored = (
+        grouped.groupBy("band", "bucket")
+        .applyInPandas(bucket_topk, "vec_id long, neighbor_id long, _cos double")
+        # the same neighbor surfaces from every shared bucket with an
+        # identical cosine — one copy feeds the global top-k
         .dropDuplicates(["vec_id", "neighbor_id"])
-    )
-    ea = emb.select(
-        F.col("vec_id"), F.col("embedding").alias("emb_a")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_b"),
-    )
-    paired = half.join(ea, "vec_id").join(eb, "neighbor_id")
-
-    def cos_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_mat = np.stack(pdf["emb_a"].to_numpy()).astype("float64")
-            b_mat = np.stack(pdf["emb_b"].to_numpy()).astype("float64")
-            cos = (a_mat * b_mat).sum(axis=1) / (
-                np.linalg.norm(a_mat, axis=1)
-                * np.linalg.norm(b_mat, axis=1)
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "_cos": cos,
-                }
-            )
-
-    scored_half = paired.mapInPandas(
-        cos_batches, "vec_id long, neighbor_id long, _cos double"
-    )
-    scored = scored_half.unionAll(
-        scored_half.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            "_cos",
-        )
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")

@@ -217,31 +217,40 @@ def test_corpus_ingest_sink_compaction_bounds_files(spark, tmp_path):
             not f.endswith(".crc")
         )
 
-    expect = set()
-    for b in range(6):  # 3x the interval of 2
-        rows = [
-            (b * 10 + i, f"text {b}-{i}", "en", "s0")
-            # multi-partition frame -> several part files per batch
-            for i in range(4)
-        ]
-        expect |= {r[0] for r in rows}
-        sink(spark.createDataFrame(rows, schema).repartition(4), b)
+    # AQE's partition coalescing sometimes folds these tiny batches to
+    # one write task on its own, which would make "did compaction run"
+    # unobservable — pin it off so each batch lands as 4 part files.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        expect = set()
+        for b in range(6):  # 3x the interval of 2
+            rows = [
+                (b * 10 + i, f"text {b}-{i}", "en", "s0")
+                # multi-partition frame -> several part files per batch
+                for i in range(4)
+            ]
+            expect |= {r[0] for r in rows}
+            sink(spark.createDataFrame(rows, schema).repartition(4), b)
 
-    got = sorted(
-        (r["doc_id"], r["batch_id"])
-        for r in spark.read.parquet(ledger).collect()
-    )
-    assert [g[0] for g in got] == sorted(expect)
-    # every completed window folded: batches 0..3 are 1 file each
-    for k in range(4):
-        assert n_part_files(k) == 1, f"batch {k} not compacted"
-    # the tail written after the last fold trigger is untouched
-    assert n_part_files(5) > 1
-    # replaying the triggering batch (crash recovery) keeps everything
-    rows4 = [(40 + i, f"text 4-{i}", "en", "s0") for i in range(4)]
-    sink(spark.createDataFrame(rows4, schema).repartition(4), 4)
-    got2 = sorted(
-        (r["doc_id"], r["batch_id"])
-        for r in spark.read.parquet(ledger).collect()
-    )
-    assert got2 == got
+        got = sorted(
+            (r["doc_id"], r["batch_id"])
+            for r in spark.read.parquet(ledger).collect()
+        )
+        assert [g[0] for g in got] == sorted(expect)
+        # every completed window folded: batches 0..3 are 1 file each
+        for k in range(4):
+            assert n_part_files(k) == 1, f"batch {k} not compacted"
+        # the tail written after the last fold trigger is untouched
+        assert n_part_files(5) > 1
+        # replaying the triggering batch (crash recovery) keeps everything
+        rows4 = [(40 + i, f"text 4-{i}", "en", "s0") for i in range(4)]
+        sink(spark.createDataFrame(rows4, schema).repartition(4), 4)
+        got2 = sorted(
+            (r["doc_id"], r["batch_id"])
+            for r in spark.read.parquet(ledger).collect()
+        )
+        assert got2 == got
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)

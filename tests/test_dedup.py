@@ -273,3 +273,62 @@ def test_simhash_pairs_match_python_vote_model(spark, sf_dir):
         for r in entry_mod.queries()["q_dedup_simhash"](spark, sf_dir).collect()
     }
     assert got == truth
+
+
+def test_containment_matches_brute_force(spark, sf_dir, docs):
+    """Exact containment pairs equal the all-pairs ground truth — the
+    prefix-filter candidate generation (A's rarest floor((1-t)|A|)+1
+    shingles joined against full posting lists, both directions) is
+    lossless."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        CONTAINMENT_THRESHOLD,
+    )
+
+    truth = {}
+    sets = {d: (_shingle_set(t, 2), lang) for d, t, lang in docs}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if sets[a][1] != sets[b][1]:
+                continue
+            inter = len(sets[a][0] & sets[b][0])
+            ca = inter / len(sets[a][0])
+            cb = inter / len(sets[b][0])
+            if max(ca, cb) >= CONTAINMENT_THRESHOLD:
+                truth[(a, b)] = (round(ca, 4), round(cb, 4))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a"], r["cont_b"])
+        for r in entry_mod.queries()["q_dedup_containment"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_containment_detects_inclusion_jaccard_misses(spark):
+    """A small doc fully embedded in a much larger one: containment 1.0,
+    Jaccard far below any dedup threshold — the case this operator
+    exists for."""
+    from pyspark.sql import functions as F
+
+    import reactor_window_like_flink_spark.llm.dedup as dd
+
+    small = "alpha beta gamma delta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, small, "en"), (2, big, "en"), (3, "unrelated words here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    orig = dd._tokenized
+    dd._tokenized = lambda s, d: df.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
+    )
+    try:
+        out = dd.containment_pairs(spark, "unused", 0.8).collect()
+    finally:
+        dd._tokenized = orig
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_a"] == 1.0  # every bigram of the small doc is in big
+    assert r["cont_b"] < 0.05  # and Jaccard-style symmetry would miss it
