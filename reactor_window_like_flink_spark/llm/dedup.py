@@ -765,53 +765,60 @@ def lsh_cosine_pairs_fast(
     keep/drop decisions whenever no pair sits within float-summation
     error (~1e-12 relative) of the threshold or a hyperplane sign
     boundary — asserted equal on the fixtures by
-    ``tests/test_dedup.py``. Measured 2.6x faster than the HOF form at
-    sf0.1 (1.3s vs 3.3s, identical 10,357 pairs); the gap widens with
-    candidate volume. At scale this is the kernel to run."""
+    ``tests/test_dedup.py``. At scale this is the kernel to run.
+
+    Round-7 rework (probe-measured, BASELINE.md): instead of
+    MATERIALIZING every bucket-mate pair through a self-join and two
+    embedding re-joins (~10⁸ candidate rows at 20k vectors), each
+    (band, bucket) group computes its members' pairwise cosines as one
+    row-blocked numpy gram matmul and emits only the strict-upper-
+    triangle pairs already >= threshold — the shuffle after the kernel
+    carries qualifying pairs (x shared-bucket multiplicity, deduped
+    once), not the quadratic candidate volume. Identical pair set: the
+    candidate universe (>= 1 shared bucket) and the exact-cosine
+    confirm are unchanged, only where the dot products run moved."""
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = emb_band_buckets_fast(emb, materialize=True)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-    )
-    paired = cand.join(ea, "vec_a").join(eb, "vec_b")
+    grouped = emb_band_buckets_fast(emb).join(emb, "vec_id")
 
-    def cos_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_mat = np.stack(pdf["emb_a"].to_numpy()).astype("float64")
-            b_mat = np.stack(pdf["emb_b"].to_numpy()).astype("float64")
-            cos = (a_mat * b_mat).sum(axis=1) / (
-                np.linalg.norm(a_mat, axis=1) * np.linalg.norm(b_mat, axis=1)
-            )
-            out = pd.DataFrame(
-                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": cos}
-            )
-            yield out[out["cosine"] >= threshold]
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "cosine": []}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        xn = x / np.linalg.norm(x, axis=1)[:, None]
+        va: list = []
+        vb: list = []
+        cs: list = []
+        block = 512  # bound the (block x m) gram slab, not the bucket
+        for s in range(0, m, block):
+            g = xn[s : s + block] @ xn.T
+            ii, jj = np.nonzero(g >= threshold)
+            keep = jj > (ii + s)  # strict upper triangle -> vec_a < vec_b
+            va.append(ids[ii[keep] + s])
+            vb.append(ids[jj[keep]])
+            cs.append(g[ii[keep], jj[keep]])
+        if not va:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(va),
+                "vec_b": np.concatenate(vb),
+                "cosine": np.concatenate(cs),
+            }
+        )
 
     return (
-        paired.mapInPandas(
-            cos_batches, "vec_a long, vec_b long, cosine double"
-        )
+        grouped.groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cosine double")
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
     )
 
