@@ -94,6 +94,7 @@ HEADLINE = [
     "q_tpch_q5_shape",
     "q_tpch_q10_shape",
     "q_pattern_quantified",
+    "q_dedup_containment",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

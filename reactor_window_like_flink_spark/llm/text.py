@@ -488,3 +488,119 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("m") - F.log("n"), 4).alias("avg_logprob"),
     )
+
+
+# Interpolation weight for the bigram LM: P(w|u) = LM_LAMBDA * P_bi + (1 -
+# LM_LAMBDA) * P_uni — Jelinek-Mercer smoothing, the simplest backoff that
+# keeps unseen-context documents finitely scored.
+LM_LAMBDA = 0.75
+
+
+@REG.add(
+    "q_bigram_logprob",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    bp AS (
+      SELECT doc_id,
+             string_split(pr, ' ')[1] AS u,
+             string_split(pr, ' ')[2] AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i + 1]))
+                     AS pr
+            FROM t WHERE len(tk) >= 2)
+    ),
+    dtf AS (
+      SELECT doc_id, u, w, count(*) AS m FROM bp GROUP BY doc_id, u, w
+    ),
+    cb AS (
+      SELECT u, w, CAST(sum(m) AS BIGINT) AS c_uw FROM dtf GROUP BY u, w
+    ),
+    cc AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u FROM cb GROUP BY u),
+    uni AS (
+      SELECT term, count(*) AS c
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+    d AS (
+      SELECT dtf.doc_id,
+             CAST(sum(m) AS BIGINT) AS n_bigrams,
+             sum(m * ln({LM_LAMBDA} * (CAST(c_uw AS DOUBLE) / c_u)
+                        + {1.0 - LM_LAMBDA} * (CAST(c AS DOUBLE) / n.n)))
+               / sum(m) AS s
+      FROM dtf
+      JOIN cb USING (u, w)
+      JOIN cc USING (u)
+      JOIN uni ON uni.term = dtf.w, n
+      GROUP BY dtf.doc_id
+    )
+    SELECT doc_id, n_bigrams, ROUND(s, 4) AS avg_logprob_bi FROM d
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score, bigram order: per-document mean
+    ln P(w|u) under a Jelinek-Mercer-interpolated bigram model trained
+    on the corpus itself — the next step up from ``q_unigram_logprob``
+    (bag-of-words can't see scrambled or template text; a bigram model
+    scores "the of the of" low even when every unigram is common).
+
+    P(w|u) = {LM_LAMBDA}·c(u,w)/c(u·) + {1 - LM_LAMBDA}·c(w)/N, with
+    c(u·) the bigram-position context total, so the conditional is a
+    proper distribution over the observed vocabulary. Docs with < 2
+    tokens have no bigram positions and emit no row (same contract as
+    the SQL oracle's GROUP BY).
+
+    Scale shape (the ``q_unigram_logprob`` pattern one order up): per-row
+    bigram construction is a pure JVM ``transform`` over the token array;
+    ONE (doc, u, w) multiplicity aggregate is materialized
+    (``localCheckpoint``) and RE-aggregated for the corpus bigram table,
+    whose context totals re-aggregate it again — three keyed map-side-
+    combined shuffles carrying (short string pair, count), never text;
+    the vocabulary joins are term-keyed (AQE broadcasts the small side);
+    N is a broadcast 1-row aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS u,"
+                " element_at(t, i + 1) AS w))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.u", "p.w")
+    dtf = (
+        pairs.groupBy("doc_id", "u", "w")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint()  # shared by cb and the scoring join
+    )
+    cb = dtf.groupBy("u", "w").agg(F.sum("m").cast("long").alias("c_uw"))
+    cc = cb.groupBy("u").agg(F.sum("c_uw").cast("long").alias("c_u"))
+    uni = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("double").alias("n"))
+    p = F.lit(LM_LAMBDA) * (
+        F.col("c_uw").cast("double") / F.col("c_u")
+    ) + F.lit(1.0 - LM_LAMBDA) * (F.col("c").cast("double") / F.col("n"))
+    d = (
+        dtf.join(cb, ["u", "w"])
+        .join(cc, "u")
+        .join(uni, dtf["w"] == uni["term"])
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            (F.sum(F.col("m") * F.log(p)) / F.sum("m")).alias("s"),
+        )
+    )
+    return d.select(
+        "doc_id", "n_bigrams", F.round("s", 4).alias("avg_logprob_bi")
+    )

@@ -153,3 +153,9 @@ def test_round5_keys_survive_empty_tables(spark, empty_dir):
             assert len(rows) == 1 and rows[0]["n_vecs"] == 0
         else:
             assert rows == [], key
+
+
+def test_round7_keys_survive_empty_tables(spark, empty_dir):
+    qs = entry_mod.queries()
+    for key in ("q_dedup_containment", "q_bigram_logprob"):
+        assert qs[key](spark, empty_dir).collect() == [], key

@@ -57,3 +57,44 @@ def test_tfidf_scores_and_ranks(spark):
     # common scores 0 everywhere it appears
     commons = [r for r in out if r["term"] == "common"]
     assert commons and all(r["tfidf"] == 0.0 for r in commons)
+
+
+def test_bigram_logprob_penalizes_scrambled_text(spark):
+    """The bigram LM's reason to exist: a doc with the corpus's exact
+    unigram distribution but scrambled order must score BELOW the
+    naturally-ordered docs (unigram logprob cannot separate them)."""
+    import reactor_window_like_flink_spark.llm.text as txt
+    from pyspark.sql import functions as F
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (i, natural, "en", "s0", len(natural)) for i in range(6)
+    ] + [
+        # same multiset of tokens as `natural`, order destroyed
+        (100, "dog the over quick lazy fox the brown jumps", "en", "s0", 44),
+        (101, "a b", "en", "s0", 3),  # 1 bigram position
+        (102, "solo", "en", "s0", 4),  # no bigram position -> no row
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = txt.load
+    txt.load = lambda s, d, t: df
+    try:
+        import __spark_entry__ as entry_mod
+
+        out = {
+            r["doc_id"]: r
+            for r in entry_mod.queries()["q_bigram_logprob"](
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        txt.load = orig
+    assert 102 not in out  # no bigram positions
+    assert out[0]["n_bigrams"] == 8
+    assert out[101]["n_bigrams"] == 1
+    # scrambled doc scores strictly below every natural copy
+    assert out[100]["avg_logprob_bi"] < out[0]["avg_logprob_bi"]
+    # natural copies score identically (same positions, same model)
+    assert out[0]["avg_logprob_bi"] == out[5]["avg_logprob_bi"]
