@@ -95,6 +95,7 @@ HEADLINE = [
     "q_tpch_q10_shape",
     "q_pattern_quantified",
     "q_dedup_containment",
+    "q_bigram_logprob",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -1131,6 +1131,129 @@ def q_reagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable-quantile rollup: fixed equi-width bin count. 256 bins over
+# the global [min, max] bounds the per-(day, key) sketch at 256 counters
+# and the quantile estimate error at (max - min) / 256 per bin.
+QROLLUP_BINS = 256
+QROLLUP_QS = (0.5, 0.95, 0.99)
+
+
+@REG.add(
+    "q_quantile_rollup",
+    f"""
+    WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(CAST(floor((value - mn)
+                             / ((mx - mn) / {QROLLUP_BINS}.0)) AS BIGINT),
+                             {QROLLUP_BINS - 1}) END AS bin,
+             count(*) AS c
+      FROM events, s GROUP BY event_type, day, bin, mx, mn
+    ),
+    merged AS (
+      SELECT event_type, bin, CAST(sum(c) AS BIGINT) AS c
+      FROM daily GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM merged
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in QROLLUP_QS)}]) AS q),
+    hit AS (
+      SELECT event_type, q, bin, c, cum, n, mn, mx,
+             ROW_NUMBER() OVER (PARTITION BY event_type, q
+                                ORDER BY bin) AS rn
+      FROM cum, qs, s
+      WHERE cum >= q * n
+    )
+    SELECT event_type, q,
+           ROUND(CASE WHEN mx = mn THEN mn
+                 ELSE mn + ((mx - mn) / {QROLLUP_BINS}.0)
+                      * (bin + (q * n - (cum - c)) / c) END, 4) AS est,
+           CAST(n AS BIGINT) AS n_events
+    FROM hit WHERE rn = 1
+    """,
+)
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-QUANTILE rollup — completes the re-aggregation family
+    (``q_reagg_rollup``: algebraic sums, ``q_hll_rollup``: distinct
+    counts) for percentiles, which are famously NOT re-aggregatable from
+    stored percentile values: a daily p95 cannot be combined into a
+    monthly p95. The mergeable representation is the fixed-bin
+    histogram: per-(day, event_type) counts over {QROLLUP_BINS}
+    equi-width bins spanning the global [min, max] (a 2-double broadcast
+    from one 1-row aggregate). Coarser windows merge by SUMMING bin
+    counts — associative, commutative, and exactly the quantity a
+    materialized daily sketch table stores — then any quantile is
+    answered by cumulative-count inversion with within-bin linear
+    interpolation, error bounded by one bin width. (t-digest/KLL are the
+    tighter-error production sketches; the fixed-bin form is chosen
+    here because its merge AND its estimate are exactly mirrorable in
+    ANSI SQL, so the whole rollup path is oracle-checked, not argued.)
+
+    Scale shape: the daily pre-aggregate is one map-side-combined
+    (day, event_type, bin) count; the merge re-aggregates O(keys x
+    {QROLLUP_BINS}) rows; the cumulative inversion windows over at most
+    {QROLLUP_BINS} rows per key. Raw rows are touched once."""
+    events = load(spark, sf_dir, "events")
+    s = events.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    w = (F.col("mx") - F.col("mn")) / F.lit(float(QROLLUP_BINS))
+    bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / w).cast("long"),
+            F.lit(QROLLUP_BINS - 1),
+        )
+    )
+    daily = (
+        events.crossJoin(F.broadcast(s))
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            bin_expr.alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    merged = daily.groupBy("event_type", "bin").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = merged.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    qs = spark.createDataFrame([(q,) for q in QROLLUP_QS], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(s))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    wr = Window.partitionBy("event_type", "q").orderBy("bin")
+    est = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + w
+        * (
+            F.col("bin")
+            + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c")))
+            / F.col("c")
+        )
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            F.round(est, 4).alias("est"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )
+
+
 @REG.add(
     "q_upsert_latest",
     """
