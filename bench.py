@@ -96,6 +96,8 @@ HEADLINE = [
     "q_pattern_quantified",
     "q_dedup_containment",
     "q_bigram_logprob",
+    "q_quantile_rollup",
+    "q_semdedup",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

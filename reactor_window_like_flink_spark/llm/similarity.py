@@ -638,3 +638,83 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup pruned
+# within k-means clusters. The fixture threshold matches the bundled
+# isotropic embeddings (see EMB_COSINE_THRESHOLD rationale in
+# llm/dedup.py); a production run on real encoder output uses ~0.95+.
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def semdedup(
+    assigned: "DataFrame", threshold: float
+) -> "DataFrame":
+    """Cluster-then-prune semantic dedup over a cell-assigned embedding
+    frame (``vec_id, embedding, cell``): within each cluster, scan
+    vectors in vec_id order and DROP any whose cosine to an
+    already-kept vector exceeds ``threshold`` — the kept set is the
+    deterministic greedy representative set (min-id anchors, the same
+    keep-lowest-id convention as the exact-dedup keys).
+
+    Scale shape: the k-means cells ARE the blocking — candidate work is
+    per-cluster, Σ|cell|·|kept| dot products via incremental numpy
+    matvecs, never a corpus-wide pair join; cells scale with corpus
+    size at a bounded per-cell row count (the IVF posture). Known
+    recall edge, same as the paper: near-dups split across a cell
+    boundary are missed — raise cells more slowly than corpus growth or
+    probe adjacent cells to trade cost for recall.
+
+    Output: one row per vector — (vec_id, cell, kept, dup_of, cosine);
+    ``dup_of`` is the kept anchor (always a smaller vec_id in the same
+    cell) and ``cosine`` its similarity, NULL for kept rows."""
+    import numpy as np
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        xn = x / np.linalg.norm(x, axis=1)[:, None]
+        kept_idx: list[int] = []
+        out = {
+            "vec_id": ids,
+            "cell": np.full(len(ids), cell, dtype="int64"),
+            "kept": np.ones(len(ids), dtype=bool),
+            "dup_of": np.full(len(ids), -1, dtype="int64"),
+            "cosine": np.full(len(ids), np.nan),
+        }
+        for i in range(len(ids)):
+            if kept_idx:
+                sims = xn[kept_idx] @ xn[i]
+                j = int(np.argmax(sims))
+                if sims[j] > threshold:
+                    out["kept"][i] = False
+                    out["dup_of"][i] = ids[kept_idx[j]]
+                    out["cosine"][i] = round(float(sims[j]), 4)
+                    continue
+            kept_idx.append(i)
+        df = pd.DataFrame(out)
+        df.loc[df["kept"], "dup_of"] = None
+        df.loc[df["kept"], "cosine"] = None
+        return df
+
+    return assigned.select("vec_id", "embedding", "cell").groupBy(
+        "cell"
+    ).applyInPandas(
+        prune, "vec_id long, cell long, kept boolean, dup_of long, cosine double"
+    )
+
+
+@REG.add("q_semdedup")  # rows-only: k-means centroids are iterative /
+# summation-order dependent, so cluster membership (and therefore the
+# greedy kept set) has no SQL mirror; pytest verifies the greedy-prune
+# semantics against a sequential reference on fixed clusters.
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means cells from the shared
+    IVF index build (`train_ivf` — one training pass serves ANN, PQ and
+    this key), greedy min-id-anchor prune within each cell at cosine >
+    {SEMDEDUP_THRESHOLD}. See ``semdedup`` for semantics and scale."""
+    index = train_ivf(spark, sf_dir)
+    return semdedup(index.assigned, SEMDEDUP_THRESHOLD)

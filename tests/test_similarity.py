@@ -329,3 +329,63 @@ def test_knn_graph_recall_and_exactness_on_clustered_vectors(spark):
             assert abs(r["cosine"] - round(expect, 4)) < 2e-4
         ranks = [r["rank"] for r in by_vec.get(vid, [])]
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_semdedup_greedy_prune_matches_sequential_reference(spark):
+    """semdedup's within-cell greedy prune (scan by vec_id, drop when
+    cosine to any kept vector exceeds the threshold, anchor = the kept
+    argmax) equals a sequential reference; anchors are always kept,
+    same-cell, smaller-id."""
+    from reactor_window_like_flink_spark.llm.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vecs = {}
+    # two cells; each with a base vector, two near-copies, one far vector
+    for cell in (0, 1):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        far = rng.standard_normal(16)
+        far -= (far @ base) * base  # orthogonal to base
+        far /= np.linalg.norm(far)
+        members = [
+            base,
+            base + 0.05 * rng.standard_normal(16),  # near-dup of base
+            far,
+            base + 0.05 * rng.standard_normal(16),  # another near-dup
+        ]
+        for i, v in enumerate(members):
+            vid = cell * 10 + i
+            vecs[vid] = (cell, np.array([float(np.float32(x)) for x in v]))
+            rows.append((vid, [float(np.float32(x)) for x in v], cell))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cell long"
+    )
+    tau = 0.9
+    out = {r["vec_id"]: r for r in semdedup(df, tau).collect()}
+
+    # sequential reference
+    want = {}
+    by_cell: dict = {}
+    for vid in sorted(vecs):
+        cell, v = vecs[vid]
+        vn = v / np.linalg.norm(v)
+        kept = by_cell.setdefault(cell, [])
+        sims = [(float(kn @ vn), kid) for kid, kn in kept]
+        best = max(sims, default=None)
+        if best and best[0] > tau:
+            want[vid] = (False, best[1], round(best[0], 4))
+        else:
+            kept.append((vid, vn))
+            want[vid] = (True, None, None)
+
+    assert set(out) == set(want)
+    for vid, (kept_w, dup_w, cos_w) in want.items():
+        r = out[vid]
+        assert r["kept"] == kept_w, vid
+        assert r["dup_of"] == dup_w, vid
+        if cos_w is not None:
+            assert abs(r["cosine"] - cos_w) < 1e-9
+            assert out[r["dup_of"]]["kept"] and r["dup_of"] < vid
+    # the structure planted: each cell keeps base + far, drops 2 copies
+    assert sum(1 for r in out.values() if r["kept"]) == 4
