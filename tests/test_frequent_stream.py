@@ -174,3 +174,76 @@ def test_streaming_frequent_items_null_items_never_merge_with_literal(
         assert {r["item"] for r in all_rows} == {"null", "x"}
     finally:
         query.stop()
+
+
+def test_streaming_quantiles_match_batch_histogram_inversion(
+    spark, tmp_path
+):
+    """Continuous quantiles: after both batches, each key's latest
+    emission equals the fixed-bin histogram inversion computed over ALL
+    its values (state accumulates across batches), and out-of-range
+    values clamp into the edge bins with n_clamped reporting them."""
+    import numpy as np
+
+    from reactor_window_like_flink_spark.streaming.quantiles import (
+        continuous_quantiles,
+    )
+
+    lo, hi, n_bins = 0.0, 100.0, 64
+    vals_a = [float(v) for v in (5, 12, 37, 41, 58, 63, 77, 90)]
+    vals_b = [float(v) for v in (2, 33, 45, 66, 88, 99, 150.0)]  # 150 clamps
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = continuous_quantiles(
+        src.stream(), "event_type", "value", lo, hi, n_bins=n_bins
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_quant")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def rows_of(vs, start):
+        t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        return [(start + i, t0, 1, "lat", v) for i, v in enumerate(vs)]
+
+    try:
+        src.publish(rows_of(vals_a, 0))
+        _poll(lambda: spark.sql("SELECT * FROM t_quant").collect() or None)
+        src.publish(rows_of(vals_b, 100))
+        n_total = len(vals_a) + len(vals_b)
+        rows = _poll(
+            lambda: (
+                r
+                if (
+                    r := spark.sql(
+                        f"SELECT * FROM t_quant WHERE n_seen = {n_total}"
+                    ).collect()
+                )
+                and len(r) >= 3
+                else None
+            )
+        )
+        assert rows, "second batch must accumulate onto state"
+        got = {r["q"]: r for r in rows}
+
+        # reference: same inversion over the full value set
+        width = (hi - lo) / n_bins
+        idx = np.clip(
+            np.floor((np.array(vals_a + vals_b) - lo) / width).astype(int),
+            0,
+            n_bins - 1,
+        )
+        bins = np.bincount(idx, minlength=n_bins)
+        cum = np.cumsum(bins)
+        for q in (0.5, 0.95, 0.99):
+            target = q * n_total
+            b = int(np.searchsorted(cum, target, side="left"))
+            before = int(cum[b - 1]) if b else 0
+            want = round(lo + width * (b + (target - before) / bins[b]), 4)
+            assert got[q]["est"] == want, (q, got[q]["est"], want)
+            assert got[q]["n_clamped"] == 1
+    finally:
+        query.stop()
