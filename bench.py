@@ -98,6 +98,7 @@ HEADLINE = [
     "q_bigram_logprob",
     "q_quantile_rollup",
     "q_semdedup",
+    "q_sample_cluster_balanced",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -404,3 +404,61 @@ def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tok"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+CLUSTER_BAL_K = 100  # q_sample_cluster_balanced: top-k kept
+
+
+@REG.add(
+    "q_sample_cluster_balanced",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+    ),
+    sz AS (SELECT h, count(*) AS gsz FROM g GROUP BY h),
+    keyed AS (
+      SELECT doc_id, source, gsz,
+             gsz * ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) + 1)
+                      / 4294967296.0) AS es_key
+      FROM g JOIN sz USING (h)
+    )
+    SELECT doc_id, source, CAST(gsz AS BIGINT) AS group_size
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT {CLUSTER_BAL_K}
+    """,
+)
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sample: Efraimidis-Spirakis weighted draw (the
+    ``q_sample_weighted`` machinery) with weight 1 / |exact-dup cluster|
+    — each duplicate CLUSTER contributes ~1 expected document to the
+    sample regardless of how many copies the crawl picked up, so a
+    boilerplate page mirrored 10,000 times no longer owns 10,000 slots.
+    This is the sampling-side complement of dedup: when the pipeline
+    keeps duplicates (provenance, weighting experiments), the sampler
+    still sees the de-biased corpus.
+
+    ES key in log space: ln(u)/w = gsz * ln(u) for w = 1/gsz (ln u < 0,
+    so LARGER clusters push the key more negative). Scale shape: one
+    md5-hash groupBy for cluster sizes (16-byte shuffle key, text never
+    moves), one size join back keyed on the same hash, a pure per-row
+    key expression, and a ``TakeOrderedAndProject`` top-k — no RNG
+    state, identical subset on every run at any cluster size."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    sz = g.groupBy("h").agg(F.count("*").alias("gsz"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    es_key = F.col("gsz").cast("double") * F.log(u)
+    return (
+        g.join(sz, "h")
+        .select("doc_id", "source", "gsz", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(CLUSTER_BAL_K)
+        .select(
+            "doc_id", "source", F.col("gsz").cast("long").alias("group_size")
+        )
+    )

@@ -155,3 +155,49 @@ def test_weighted_sample_matches_reference_and_tilts_heavy(spark, sf_dir):
     corpus_mean = sum(w for _, w in rows) / len(rows)
     sample_mean = sum(r["n_chars"] for r in got_rows) / len(got_rows)
     assert sample_mean > corpus_mean
+
+
+def test_cluster_balanced_sample_debiases_duplicate_clusters(spark):
+    """With one 50-copy duplicate cluster among 50 unique docs, the
+    1/|cluster| weighting keeps the heavy cluster to ~1 expected slot:
+    far fewer of its copies survive than its 50% share of the corpus,
+    and the result matches the sequential ES reference exactly."""
+    import hashlib
+    import math
+
+    import reactor_window_like_flink_spark.llm.sampling as smp
+
+    rows = [(i, "same boilerplate page", "dup", 21) for i in range(50)]
+    rows += [(100 + i, f"unique doc {i}", "uniq", 12) for i in range(50)]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, n) for d, t, s, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = smp.load
+    smp.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_sample_cluster_balanced"](
+            spark, "unused"
+        ).collect()
+    finally:
+        smp.load = orig
+
+    # sequential reference: same md5-derived u, same key, top-100 is the
+    # whole corpus, so check the ORDERING-based dedup property on a
+    # smaller k by recomputing keys
+    def es_key(doc_id, gsz):
+        hx = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        u = (int(hx, 16) + 1) / 4294967296.0
+        return gsz * math.log(u)
+
+    want = sorted(
+        [(d, s, 50 if s == "dup" else 1) for d, _, s, _ in rows],
+        key=lambda r: (-es_key(r[0], r[2]), r[0]),
+    )[: smp.CLUSTER_BAL_K]
+    got = [(r["doc_id"], r["source"], r["group_size"]) for r in out]
+    assert got == want
+
+    # the de-bias property: among the TOP 20 ranks, the 50%-of-corpus
+    # duplicate cluster holds only a sliver of slots
+    top20_dup = sum(1 for r in got[:20] if r[1] == "dup")
+    assert top20_dup <= 4, top20_dup
