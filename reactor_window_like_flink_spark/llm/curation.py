@@ -132,6 +132,108 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "q_decontaminate_spans",
+    f"""
+    WITH b AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks,
+             {_duck_bucket("doc_id")} AS bkt
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) < 3
+        THEN [array_to_string(toks, ' ')]
+        ELSE list_transform(generate_series(1, len(toks) - 2),
+          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        END)) AS s
+      FROM b WHERE bkt >= {EVAL_BUCKET_MIN}
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST((start_tok - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             list_slice(toks, start_tok,
+                        start_tok + {CHUNK_TOKENS} - 1) AS ctoks
+      FROM b, unnest(generate_series(1, greatest(len(toks), 1),
+                                     {CHUNK_STRIDE})) AS u(start_tok)
+      WHERE bkt < {EVAL_BUCKET_MIN}
+    ),
+    cs AS (
+      SELECT doc_id, chunk_idx, start_tok,
+             unnest(list_distinct(CASE WHEN len(ctoks) < 3
+               THEN [array_to_string(ctoks, ' ')]
+               ELSE list_transform(generate_series(1, len(ctoks) - 2),
+                 i -> ctoks[i] || ' ' || ctoks[i + 1] || ' '
+                      || ctoks[i + 2]) END)) AS s
+      FROM ch
+    )
+    SELECT doc_id, chunk_idx, start_tok, CAST(count(*) AS BIGINT) AS n_hits
+    FROM cs JOIN ev USING (s)
+    GROUP BY doc_id, chunk_idx, start_tok
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: WHERE inside each training document
+    the benchmark overlap sits — one row per contaminated
+    {CHUNK_TOKENS}-token chunk ({CHUNK_STRIDE}-token stride, the
+    ``q_chunk_tokens`` windows) with its distinct matched-trigram count.
+    The doc-level key (``q_decontaminate``) answers *drop or keep*; this
+    one enables the production middle path — excise the contaminated
+    window from a long document instead of discarding millions of clean
+    tokens around a single quoted benchmark item.
+
+    Scale shape: eval trigram set exactly as in ``q_decontaminate``
+    (distinct-shingle aggregate, AQE-broadcast); the training side is
+    the zero-shuffle chunk explode (JVM ``sequence``/``slice``) -> chunk
+    trigram explode -> one shingle-keyed join; the per-chunk count
+    re-aggregates on (doc_id, chunk_idx) — shuffle rows are (short
+    shingle, ids), never text. Overlapping strides mean a hit near a
+    window boundary flags BOTH touching chunks: exactly what an excision
+    pass wants (remove the union of flagged spans)."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ").alias("toks"),
+        _hash_bucket(F.col("doc_id")).alias("bkt"),
+    )
+    ev = (
+        b.filter(F.col("bkt") >= EVAL_BUCKET_MIN)
+        .select(F.explode(_shingles_from_toks(DECON_NGRAM)).alias("s"))
+        .distinct()
+    )
+    ch = (
+        b.filter(F.col("bkt") < EVAL_BUCKET_MIN)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(size(toks), 1), {CHUNK_STRIDE})"
+                )
+            ).alias("start_tok"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start_tok") - 1) / CHUNK_STRIDE)
+            .cast("long")
+            .alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.expr(f"slice(toks, start_tok, {CHUNK_TOKENS})").alias("toks"),
+        )
+    )
+    cs = ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.explode(_shingles_from_toks(DECON_NGRAM)).alias("s"),
+    )
+    return (
+        cs.join(ev, "s")
+        .groupBy("doc_id", "chunk_idx", "start_tok")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 def repetition_stats(toks_df: DataFrame) -> DataFrame:
     """Per-doc trigram repetition statistics from (doc_id, toks).
 

@@ -254,3 +254,60 @@ def test_corpus_ingest_sink_compaction_bounds_files(spark, tmp_path):
         assert got2 == got
     finally:
         spark.conf.set(coalesce_key, old_coalesce)
+
+
+def test_decontaminate_spans_localizes_contamination(spark):
+    """A long training doc quoting an eval trigram deep inside: only the
+    chunk windows covering the quote are flagged; the rest of the doc
+    stays clean — the excision contract."""
+    import __spark_entry__ as entry_mod
+    import reactor_window_like_flink_spark.llm.curation as cur
+    from reactor_window_like_flink_spark.llm.curation import EVAL_BUCKET_MIN
+    from reactor_window_like_flink_spark.llm.sampling import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        _hash_bucket,
+    )
+
+    # find doc_ids landing in eval vs train buckets deterministically
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    ).select("doc_id", _hash_bucket(F.col("doc_id")).alias("b")).collect()
+    eval_id = next(r["doc_id"] for r in probe if r["b"] >= EVAL_BUCKET_MIN)
+    train_id = next(r["doc_id"] for r in probe if r["b"] < EVAL_BUCKET_MIN)
+
+    quote = "benchmark answer string"
+    # place the quote so it sits inside chunk_idx 3 only (tokens
+    # 3*48+10 .. +12 of the train doc)
+    pos = 3 * CHUNK_STRIDE + 10
+    train_toks = [f"w{i}" for i in range(pos)] + quote.split() + [
+        f"w{i}" for i in range(pos + 3, 6 * CHUNK_STRIDE)
+    ]
+    rows = [
+        (eval_id, "context " + quote + " more context", "en", "ev", 10),
+        (train_id, " ".join(train_toks), "en", "tr", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = cur.load
+    cur.load = lambda s, d, t: df
+    try:
+        out = entry_mod.queries()["q_decontaminate_spans"](
+            spark, "unused"
+        ).collect()
+    finally:
+        cur.load = orig
+    assert out, "the planted quote must be found"
+    assert {r["doc_id"] for r in out} == {train_id}
+    flagged = sorted(r["chunk_idx"] for r in out)
+    # the quote at tokens [pos, pos+2] falls inside windows whose
+    # [start, start+CHUNK_TOKENS) covers it: chunk 3 certainly; chunk 2
+    # also when pos+2 < 2*stride+CHUNK_TOKENS (overlapping strides)
+    want = sorted(
+        c
+        for c in range(6)
+        if c * CHUNK_STRIDE <= pos and pos + 2 < c * CHUNK_STRIDE + CHUNK_TOKENS
+    )
+    assert flagged == want, (flagged, want)
+    assert all(r["n_hits"] == 1 for r in out)
