@@ -99,6 +99,7 @@ HEADLINE = [
     "q_quantile_rollup",
     "q_semdedup",
     "q_sample_cluster_balanced",
+    "q_decontaminate_spans",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose
