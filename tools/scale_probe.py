@@ -249,10 +249,13 @@ def main() -> int:
         "q_dedup_near",
         "q_dedup_simhash",
         "q_dedup_ngram_jaccard",
+        "q_dedup_containment",
         "q_dedup_embedding",
         "q_dedup_embedding_fast",
         "q_dedup_chunks",
         "q_knn_graph",
+        "q_semdedup",
+        "q_decontaminate_spans",
     ):
         t1 = time.perf_counter()
         df = qs[key](spark, out_sf)
