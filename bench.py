@@ -35,7 +35,6 @@ HEADLINE = [
     "q_dedup_near",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
     "q_dedup_embedding_fast",
     "q_similarity_cosine",
     "q_similarity_ann",
@@ -111,6 +110,10 @@ HEADLINE = [
 GUARD = {
     # guard key -> production twin whose median it is compared against
     "q_dedup_ngram_jaccard_arrow": "q_dedup_ngram_jaccard",
+    # the oracle-exact HOF embedding form: bit-identical DuckDB mirror,
+    # 6x+ the per-bucket matmul production kernel by construction
+    # (per-pair interpreted confirm over the quadratic candidate volume)
+    "q_dedup_embedding": "q_dedup_embedding_fast",
 }
 
 
