@@ -99,6 +99,9 @@ HEADLINE = [
     "q_semdedup",
     "q_sample_cluster_balanced",
     "q_decontaminate_spans",
+    "q_sample_temperature",
+    "q_filter_funnel",
+    "q_perplexity_filter",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

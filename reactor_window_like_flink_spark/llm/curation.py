@@ -947,3 +947,106 @@ def corpus_ingest_sink(
             _fold_window(batch_id - compact_every, batch_id)
 
     return admit
+
+
+# q_filter_funnel rule thresholds (token count bounds, min distinct-token
+# ratio). Ordered: a doc is attributed to the FIRST rule it fails, the
+# convention that makes per-rule drop counts sum to total drops.
+FUNNEL_MIN_TOK = 20
+FUNNEL_MAX_TOK = 88
+FUNNEL_MIN_DIV = 0.35
+_FUNNEL_STAGES = [
+    (0, "too_short"),
+    (1, "too_long"),
+    (2, "low_diversity"),
+    (3, "kept"),
+]
+
+
+@REG.add(
+    "q_filter_funnel",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(text, ' ')) AS dv
+      FROM documents
+    ),
+    f AS (
+      SELECT CASE WHEN n_tok < {FUNNEL_MIN_TOK} THEN 0
+                  WHEN n_tok > {FUNNEL_MAX_TOK} THEN 1
+                  WHEN dv < {FUNNEL_MIN_DIV} THEN 2
+                  ELSE 3 END AS stage_idx
+      FROM d
+    ),
+    c AS (SELECT stage_idx, count(*) AS n FROM f GROUP BY 1),
+    s(stage_idx, stage) AS (VALUES
+      (0, 'too_short'), (1, 'too_long'), (2, 'low_diversity'),
+      (3, 'kept')),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM d),
+    j AS (SELECT s.stage_idx, s.stage, COALESCE(c.n, 0) AS n
+          FROM s LEFT JOIN c USING (stage_idx))
+    SELECT stage_idx, stage, CAST(n AS BIGINT) AS n_docs,
+           CAST(t.tot - COALESCE(SUM(n) OVER (ORDER BY stage_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_in,
+           ROUND(n / t.tot, 4) AS pct_of_total
+    FROM j, t
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel with first-fail attribution: every document
+    is charged to the FIRST rule (too_short -> too_long ->
+    low_diversity) it violates, and the output is one row per stage —
+    docs dropped there, docs that entered it, share of the corpus. The
+    observability pass a production curation pipeline runs before
+    committing thresholds: it answers "which rule is doing the work,
+    and what does each stage see" without materializing any filtered
+    corpus.
+
+    Scale shape: ONE narrow scan computes the per-doc stage in a single
+    codegen'd CASE (no text leaves the scan); the groupBy shuffles
+    O(#rules) = 4 distinct keys with map-side combine; the cumulative
+    n_in window runs over the 4-row stage frame (O(#rules), not
+    O(docs)); the stage catalog joins as a broadcast literal frame so
+    zero-drop rules still report a row."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    dv = (
+        F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+        .cast("double")
+        / n_tok
+    )
+    stage_idx = (
+        F.when(n_tok < FUNNEL_MIN_TOK, 0)
+        .when(n_tok > FUNNEL_MAX_TOK, 1)
+        .when(dv < FUNNEL_MIN_DIV, 2)
+        .otherwise(3)
+    )
+    c = docs.select(stage_idx.alias("stage_idx")).groupBy("stage_idx").agg(
+        F.count("*").alias("n")
+    )
+    stages = spark.createDataFrame(_FUNNEL_STAGES, "stage_idx int, stage string")
+    tot = docs.agg(F.count("*").cast("double").alias("tot"))
+    j = F.broadcast(stages).join(c, "stage_idx", "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    # O(#rules)=4-row frame: the unpartitioned window is over the stage
+    # catalog, never the corpus
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "stage_idx",
+            "stage",
+            F.col("n").cast("long").alias("n_docs"),
+            (
+                F.col("tot")
+                - F.coalesce(F.sum("n").over(w), F.lit(0.0))
+            ).cast("long").alias("n_in"),
+            F.round(F.col("n") / F.col("tot"), 4).alias("pct_of_total"),
+        )
+    )

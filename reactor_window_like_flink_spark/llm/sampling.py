@@ -462,3 +462,71 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.col("gsz").cast("long").alias("group_size")
         )
     )
+
+
+# Temperature exponent for q_sample_temperature: q_i ∝ p_i^alpha. 0.3 is
+# the XLM-R setting (Conneau et al., ACL'20) — strong enough to visibly
+# lift low-resource sources without flattening the mix entirely.
+TEMP_ALPHA = 0.3
+
+
+@REG.add(
+    "q_sample_temperature",
+    f"""
+    WITH m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM m),
+    s AS (SELECT sum(pow(n_tokens / t.tot, {TEMP_ALPHA})) AS z FROM m, t)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / t.tot, 4) AS p,
+           ROUND(pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z, 4) AS q,
+           ROUND(pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z
+                 / (n_tokens / t.tot), 4) AS repeat_factor
+    FROM m, t, s
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: renormalize the natural token
+    share p_i of each source to q_i = p_i^alpha / sum_j p_j^alpha
+    (alpha=TEMP_ALPHA=0.3) and report the per-source repeat factor q/p —
+    the up/down-sampling multiplier a training loader applies so
+    low-resource sources are seen more often than their raw token mass
+    (the multilingual-LM mixing rule of Conneau et al.).
+
+    Mass is TOKENS, not documents — the unit the training budget is
+    actually spent in. Scale shape: one narrow scan computing
+    size(split) per row -> groupBy(source) partial-combined aggregate
+    (shuffle rows are (source, counts), never text) -> two broadcast
+    1-row re-aggregates (total mass, partition function Z) joined back
+    onto the O(sources) frame. No window, no driver collect; the
+    result is O(sources) rows regardless of corpus size.
+
+    Reference parity note: no sampling surface in the reference engine
+    (WindowPublisher.java); north-star scope per BASELINE.json."""
+    docs = load(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = m.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    with_p = m.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.col("n_tokens") / F.col("tot")
+    )
+    z = with_p.agg(
+        F.sum(F.pow("_p", F.lit(TEMP_ALPHA))).alias("z")
+    )
+    q = F.pow("_p", F.lit(TEMP_ALPHA)) / F.col("z")
+    return (
+        with_p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("_p", 4).alias("p"),
+            F.round(q, 4).alias("q"),
+            F.round(q / F.col("_p"), 4).alias("repeat_factor"),
+        )
+    )

@@ -604,3 +604,98 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "n_bigrams", F.round("s", 4).alias("avg_logprob_bi")
     )
+
+
+# q_perplexity_filter: drop docs whose unigram-LM avg logprob sits more
+# than PPL_ZCUT sample-stddevs below their language's mean — the CCNet
+# perplexity-bucket filter reduced to a z-cut so the threshold is a pure
+# per-language AGGREGATE (mean/std), never a per-language sort.
+PPL_ZCUT = 1.5
+
+
+@REG.add(
+    "q_perplexity_filter",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+    d AS (
+      SELECT tf.doc_id,
+             sum(tf.tf * ln(CAST(c.c AS DOUBLE))) / sum(tf.tf) AS m
+      FROM tf JOIN c USING (term)
+      GROUP BY tf.doc_id
+    ),
+    lp AS (
+      SELECT d.doc_id, docs.lang, d.m - ln(n.n) AS lp
+      FROM d JOIN documents docs USING (doc_id), n
+    ),
+    st AS (
+      SELECT lang, avg(lp) AS mu, stddev(lp) AS sd
+      FROM lp GROUP BY lang
+    )
+    SELECT lp.doc_id, lp.lang, ROUND(lp.lp, 4) AS avg_logprob,
+           ROUND((lp.lp - st.mu) / NULLIF(st.sd, 0), 4) AS z,
+           COALESCE((lp.lp - st.mu) / NULLIF(st.sd, 0) < -{PPL_ZCUT},
+                    FALSE) AS dropped
+    FROM lp JOIN st USING (lang)
+    """,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter, per language: score every doc
+    with its mean token log-probability under the corpus unigram LM
+    (the ``q_unigram_logprob`` pipeline), then drop docs more than
+    PPL_ZCUT sample-stddevs below their language's mean. Per-language
+    normalization is the load-bearing part — absolute logprob is not
+    comparable across languages (token inventories differ), which is
+    why CCNet buckets per language before cutting.
+
+    Scale shape: the LM scoring reuses the tf-aggregate pipeline (one
+    explode, shuffles keyed on term/doc_id, text never shuffled); the
+    threshold is a per-language mean/std AGGREGATE — O(langs) rows,
+    constant state per group, broadcast-joined back. No per-language
+    window or sort anywhere: the per-lang rank formulation would put an
+    entire language in one task at corpus scale (the ``skew_metrics``
+    lesson), the z-cut keeps every stage partition-parallel.
+
+    Reference parity note: no text surface in the reference engine
+    (WindowPublisher.java); north-star scope per BASELINE.json."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()  # shared by c and the scoring join (see tfidf)
+    )
+    c = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n = c.agg(F.sum("c").cast("double").alias("n"))
+    d = (
+        tf.join(c, "term")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("tf") * F.log(F.col("c").cast("double")))
+                / F.sum("tf")
+            ).alias("m"),
+        )
+    )
+    lp = (
+        d.join(docs.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "lang", (F.col("m") - F.log("n")).alias("lp"))
+    )
+    st = lp.groupBy("lang").agg(
+        F.avg("lp").alias("mu"), F.stddev("lp").alias("sd")
+    )
+    z = (F.col("lp") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))
+    return lp.join(F.broadcast(st), "lang").select(
+        "doc_id",
+        "lang",
+        F.round("lp", 4).alias("avg_logprob"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(z < -PPL_ZCUT, F.lit(False)).alias("dropped"),
+    )

@@ -311,3 +311,25 @@ def test_decontaminate_spans_localizes_contamination(spark):
     )
     assert flagged == want, (flagged, want)
     assert all(r["n_hits"] == 1 for r in out)
+
+
+def test_filter_funnel_conserves_documents(spark):
+    """Funnel invariants: stage drops sum to the corpus, n_in telescopes
+    (each stage sees the previous stage's survivors), and first-fail
+    attribution means a doc failing two rules is only charged once."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        entry_mod.queries()["q_filter_funnel"](spark, sf).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert [r["stage"] for r in rows] == [
+        "too_short", "too_long", "low_diversity", "kept",
+    ]
+    assert sum(r["n_docs"] for r in rows) == total  # single attribution
+    assert rows[0]["n_in"] == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_in"] - prev["n_docs"]
+    assert rows[-1]["n_docs"] == rows[-1]["n_in"]  # kept = survivors

@@ -201,3 +201,22 @@ def test_cluster_balanced_sample_debiases_duplicate_clusters(spark):
     # duplicate cluster holds only a sliver of slots
     top20_dup = sum(1 for r in got[:20] if r[1] == "dup")
     assert top20_dup <= 4, top20_dup
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """q = p^alpha renormalized: sums to 1, preserves order, and every
+    below-average source is lifted (repeat_factor > 1) while every
+    above-average source is damped — the defining property of
+    temperature mixing."""
+    rows = entry_mod.queries()["q_sample_temperature"](spark, sf_dir).collect()
+    assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r["q"] for r in rows) - 1.0) < 1e-2
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if abs(r["p"] - mean_p) < 1e-4:
+            continue  # at the fixed point repeat ~ 1 either way
+        assert (r["repeat_factor"] > 1.0) == (r["p"] < mean_p), r
+    # order-preserving: bigger p still means bigger (or equal) q
+    by_p = sorted(rows, key=lambda r: r["p"])
+    qs = [r["q"] for r in by_p]
+    assert qs == sorted(qs)

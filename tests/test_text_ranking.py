@@ -98,3 +98,44 @@ def test_bigram_logprob_penalizes_scrambled_text(spark):
     assert out[100]["avg_logprob_bi"] < out[0]["avg_logprob_bi"]
     # natural copies score identically (same positions, same model)
     assert out[0]["avg_logprob_bi"] == out[5]["avg_logprob_bi"]
+
+
+def test_perplexity_filter_drops_garbage_per_lang(spark):
+    """The z-cut must catch the one garbage doc in EACH language while
+    keeping every natural doc — and normalization must be per-language
+    (a clean doc in a low-logprob language is not punished for its
+    language's absolute level)."""
+    import reactor_window_like_flink_spark.llm.text as txt
+
+    rows = []
+    for li, lang in enumerate(("en", "fr")):
+        base = 100 * li
+        for i in range(10):
+            rows.append((base + i, "the cat sat on the mat", lang, "s0", 22))
+        # all-singleton tokens: minimal unigram probability everywhere
+        rows.append((base + 99, f"zq{li} xv{li} qj{li} kk{li} vv{li}",
+                     lang, "s0", 17))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = txt.load
+    txt.load = lambda s, d, t: df
+    try:
+        import __spark_entry__ as entry_mod
+
+        out = {
+            r["doc_id"]: r
+            for r in entry_mod.queries()["q_perplexity_filter"](
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        txt.load = orig
+    assert len(out) == 22
+    for base in (0, 100):
+        assert out[base + 99]["dropped"] is True
+        assert all(out[base + i]["dropped"] is False for i in range(10))
+        # natural copies of the same text score identically within a lang
+        assert out[base]["z"] == out[base + 5]["z"]
+        # garbage doc sits far below its own language's mean
+        assert out[base + 99]["z"] < -1.5 < out[base]["z"]
