@@ -687,6 +687,12 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(docs.select("doc_id", "lang"), "doc_id")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "lang", (F.col("m") - F.log("n")).alias("lp"))
+        # narrow O(docs) frame consumed by BOTH the per-lang stats
+        # aggregate and the final join; without this the whole scoring
+        # pipeline (c, d, the doc join) executes once per branch
+        # (measured executed plan: 2 scans / 7 hash exchanges without,
+        # scoring runs once at checkpoint with)
+        .localCheckpoint()
     )
     st = lp.groupBy("lang").agg(
         F.avg("lp").alias("mu"), F.stddev("lp").alias("sd")
