@@ -984,15 +984,14 @@ _FUNNEL_STAGES = [
     s(stage_idx, stage) AS (VALUES
       (0, 'too_short'), (1, 'too_long'), (2, 'low_diversity'),
       (3, 'kept')),
-    t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM d),
     j AS (SELECT s.stage_idx, s.stage, COALESCE(c.n, 0) AS n
           FROM s LEFT JOIN c USING (stage_idx))
     SELECT stage_idx, stage, CAST(n AS BIGINT) AS n_docs,
-           CAST(t.tot - COALESCE(SUM(n) OVER (ORDER BY stage_idx
+           CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (ORDER BY stage_idx
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 AS BIGINT) AS n_in,
-           ROUND(n / t.tot, 4) AS pct_of_total
-    FROM j, t
+           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4) AS pct_of_total
+    FROM j
     """,
 )
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,25 +1027,26 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n")
     )
     stages = spark.createDataFrame(_FUNNEL_STAGES, "stage_idx int, stage string")
-    tot = docs.agg(F.count("*").cast("double").alias("tot"))
     j = F.broadcast(stages).join(c, "stage_idx", "left").withColumn(
         "n", F.coalesce("n", F.lit(0))
     )
-    # O(#rules)=4-row frame: the unpartitioned window is over the stage
-    # catalog, never the corpus
-    w = Window.orderBy("stage_idx").rowsBetween(
+    # O(#rules)=4-row frame: the unpartitioned windows run over the stage
+    # catalog, never the corpus. The corpus total is the SUM of the stage
+    # counts (every doc is charged to exactly one stage), so no second
+    # count(*) pass over the table exists.
+    w_prev = Window.orderBy("stage_idx").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    return (
-        j.crossJoin(F.broadcast(tot))
-        .select(
-            "stage_idx",
-            "stage",
-            F.col("n").cast("long").alias("n_docs"),
-            (
-                F.col("tot")
-                - F.coalesce(F.sum("n").over(w), F.lit(0.0))
-            ).cast("long").alias("n_in"),
-            F.round(F.col("n") / F.col("tot"), 4).alias("pct_of_total"),
-        )
+    w_all = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n").over(w_all).cast("double")
+    return j.select(
+        "stage_idx",
+        "stage",
+        F.col("n").cast("long").alias("n_docs"),
+        (tot - F.coalesce(F.sum("n").over(w_prev), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_in"),
+        F.round(F.col("n") / tot, 4).alias("pct_of_total"),
     )

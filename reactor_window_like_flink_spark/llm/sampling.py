@@ -507,9 +507,16 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity note: no sampling surface in the reference engine
     (WindowPublisher.java); north-star scope per BASELINE.json."""
     docs = load(spark, sf_dir, "documents")
-    m = docs.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    m = (
+        docs.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        )
+        # O(sources) frame feeding THREE divergent branches (total mass,
+        # partition function Z, final projection) — without this the
+        # corpus tokenize+aggregate executes once per branch (measured
+        # executed plan: 4 parquet scans -> 1)
+        .localCheckpoint()
     )
     tot = m.agg(F.sum("n_tokens").cast("double").alias("tot"))
     with_p = m.crossJoin(F.broadcast(tot)).withColumn(
