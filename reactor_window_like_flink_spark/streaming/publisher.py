@@ -212,13 +212,24 @@ def progress_stats(query: StreamingQuery) -> dict[str, Any] | None:
     exposes as ``getQueueSize``/``getQueueCapacity``
     (``WindowPublisher.java:116-125``), widened to what a micro-batch
     engine can actually report: batch id, rows admitted this batch, input
-    and processing rates, and trigger latency. ``None`` until the first
-    batch completes. Pair with ``FileStreamInput.queue_size()`` for the
-    backlog depth itself."""
+    and processing rates, trigger latency, and — for stateful/watermarked
+    plans — the current watermark, total state rows, and rows dropped as
+    too late (summed over state operators; the lateness-audit counter a
+    Flink user reads off the watermark metric group). ``None`` until the
+    first batch completes. Pair with ``FileStreamInput.queue_size()`` for
+    the backlog depth itself."""
     p = query.lastProgress
     if p is None:
         return None
     durations = _progress_field(p, "durationMs")
+    event_time = _progress_field(p, "eventTime") or {}
+    state_ops = _progress_field(p, "stateOperators") or []
+
+    def _state_sum(field: str) -> int | None:
+        vals = [_progress_field(s, field) for s in state_ops]
+        vals = [v for v in vals if v is not None]
+        return sum(int(v) for v in vals) if vals else None
+
     return {
         "batch_id": _progress_field(p, "batchId"),
         "num_input_rows": _progress_field(p, "numInputRows"),
@@ -229,6 +240,13 @@ def progress_stats(query: StreamingQuery) -> dict[str, Any] | None:
             if isinstance(durations, dict)
             else None
         ),
+        "watermark": (
+            event_time.get("watermark")
+            if isinstance(event_time, dict)
+            else None
+        ),
+        "state_rows": _state_sum("numRowsTotal"),
+        "late_rows_dropped": _state_sum("numRowsDroppedByWatermark"),
     }
 
 

@@ -608,3 +608,39 @@ def test_idempotent_sink_absorbs_batch_replay(spark, tmp_path):
     # batch layout, no duplicates
     assert read_ids() == ids_before
     assert sorted(os.listdir(out_dir)) == batch_dirs
+
+
+def test_progress_stats_reports_watermark_and_late_drops(spark, tmp_path):
+    """The A9 introspection surface, widened: on a watermarked stateful
+    plan, progress_stats must report the current watermark, state rows,
+    and the count of rows dropped as too late — the lateness audit a
+    Flink user reads from the watermark metric group. A first batch
+    advances the watermark past minute 60; a second batch then publishes
+    one row at minute 0, which the state operator must drop."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    src.publish(_rows(60, start_minute=120))  # watermark -> ~119:59-10min
+    out = stream_tumbling(src.stream(), watermark="10 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_late_audit")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # one row far behind the watermark: dropped by the state operator
+        src.publish(_rows(1, start_minute=0))
+        query.processAllAvailable()
+        # and one more batch so lastProgress reflects the drop batch
+        stats = progress_stats(query)
+        if stats["late_rows_dropped"] in (None, 0):
+            src.publish(_rows(1, start_minute=130))
+            query.processAllAvailable()
+            stats = progress_stats(query)
+    finally:
+        query.stop()
+    assert stats is not None
+    assert stats["watermark"] is not None  # event-time plan exposes it
+    assert stats["state_rows"] is not None and stats["state_rows"] > 0
+    assert stats["late_rows_dropped"] is not None
+    assert stats["late_rows_dropped"] >= 1  # the minute-0 straggler
