@@ -585,6 +585,10 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(_tokens()).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
+        # O(vocab) frame consumed by BOTH the 1-row N aggregate and the
+        # scoring join — without this the token explode + count runs
+        # twice (measured executed plan: 2 parquet scans -> 1)
+        .localCheckpoint()
     )
     n = uni.agg(F.sum("c").cast("double").alias("n"))
     p = F.lit(LM_LAMBDA) * (

@@ -1197,11 +1197,17 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the daily pre-aggregate is one map-side-combined
     (day, event_type, bin) count; the merge re-aggregates O(keys x
     {QROLLUP_BINS}) rows; the cumulative inversion windows over at most
-    {QROLLUP_BINS} rows per key. Raw rows are touched once."""
+    {QROLLUP_BINS} rows per key. Raw rows are touched exactly twice —
+    one value-column pass for the range, one binning pass — the floor
+    for equi-width binning."""
     events = load(spark, sf_dir, "events")
+    # 1-row range frame consumed by TWO branches (the binning crossJoin
+    # and the final estimate) — materialize so the min/max pass over the
+    # value column runs once (measured executed plan: 3 scans -> 2, the
+    # floor, since binning can't start before the range is known)
     s = events.agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
-    )
+    ).localCheckpoint()
     w = (F.col("mx") - F.col("mn")) / F.lit(float(QROLLUP_BINS))
     bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.least(
