@@ -245,8 +245,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     value) are dropped — no deviation is measurable there and the division
     stays ANSI-safe."""
     events = load(spark, sf_dir, "events")
-    med = events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med = (
+        events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        # O(groups) frame broadcast into TWO fact passes (the MAD
+        # aggregate and the final filter) — materialize so the median
+        # pass runs once (measured executed plan: 4 fact scans -> 3,
+        # the floor: median, deviations, filter)
+        .localCheckpoint()
     )
     with_med = events.join(F.broadcast(med), "event_type")
     mad = (

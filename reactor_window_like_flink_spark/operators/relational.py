@@ -798,16 +798,23 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (above-average orders). Catalyst
     evaluates the subquery once and broadcasts the scalar — one extra tiny
-    job, not a per-row re-evaluation."""
+    job, not a per-row re-evaluation. The subquery expression is written
+    ONCE (projected, then filtered on); the executed plan shows one
+    subquery id shared by the projection, the filter, AND the pushed-down
+    parquet filter (GreaterThan(o_totalprice, ScalarSubquery)) — the
+    scalar computes once and prunes row groups at the scan."""
     orders = load(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("sq_orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice,
-               ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM sq_orders), 4)
-                 AS vs_avg
-        FROM sq_orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM sq_orders)
+               ROUND(o_totalprice - avg_price, 4) AS vs_avg
+        FROM (
+          SELECT o_orderkey, o_totalprice,
+                 (SELECT AVG(o_totalprice) FROM sq_orders) AS avg_price
+          FROM sq_orders
+        )
+        WHERE o_totalprice > avg_price
         """
     )
 
@@ -1342,7 +1349,12 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     join drops from ~40M candidate rows to ~600, 46 s -> ~1 s. Variant
     generation is a JVM higher-order function; no Python, no BNLJ."""
     part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
-    names = part.select("p_name").distinct()
+    # the distinct-names AGGREGATE feeds both sides of the variant
+    # self-join (and through them the confirm) — materialize so the
+    # distinct shuffle runs once, not once per side (the raw part
+    # re-scans for the key expansion below stay: narrow re-scans of a
+    # 2-column projection are cheaper than copying the table)
+    names = part.select("p_name").distinct().localCheckpoint()
     variants = names.select(
         F.col("p_name").alias("name"),
         F.explode(
