@@ -118,8 +118,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes all 32 permutation minimums as partial aggregates (map-side
     combine — the shuffle carries 32 longs per doc, never the shingle
     sets). Candidates come from a self-join on (band_id, band_hash) —
-    bucket-sized partitions, never |docs|², and the two join sides share
-    one physical computation (ReuseExchange dedups the identical shuffle).
+    bucket-sized partitions, never |docs|². The band frame and the
+    hashed-shingle sets are each materialized ONCE (localCheckpoint):
+    measured, ReuseExchange does NOT dedup the self-join sides here
+    (AQE re-plans each side independently), so without the checkpoint
+    the signature aggregate and the tokenize+hash pass each ran twice.
     The exact-Jaccard confirm joins the tiny candidate list against the
     per-doc shingle sets; AQE converts those joins to broadcasts at
     runtime (an explicit ``F.broadcast`` hint on a *computed* subplan
@@ -146,7 +149,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" b -> hash(slice(sig, b * {MINHASH_ROWS} + 1, {MINHASH_ROWS})))"
             )
         ).alias("band_id", "band_hash"),
-    )
+    ).localCheckpoint()  # both self-join sides: signature agg runs once
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -168,7 +171,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = toks.select(
         "doc_id",
         F.transform(_shingles_from_toks(3), lambda x: F.xxhash64(x)).alias("sh"),
-    )
+    ).localCheckpoint()  # read by both confirm sides: hash pass runs once
     with_a = sets.join(candidates, sets.doc_id == candidates.doc_a).select(
         "doc_a", "doc_b", F.col("sh").alias("sh_a")
     )
