@@ -102,6 +102,8 @@ HEADLINE = [
     "q_sample_temperature",
     "q_filter_funnel",
     "q_perplexity_filter",
+    "q_join_bloom",
+    "q_tpch_q18_shape",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

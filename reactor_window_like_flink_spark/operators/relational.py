@@ -1608,3 +1608,186 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ------------------------------------------------- bloom-filtered join
+
+# Bloom sizing for the fixture dim (~100-10k keys): m = 2^20 bits is a
+# 128 KiB broadcast with FPR << 1e-6 at that load. The m that matters is
+# the PRODUCTION one: m ~ 1.44 * n * log2(1/fpr) bits, so 100M dim keys
+# at 1% FPR is 2^30 bits = 128 MiB — broadcastable where the exact
+# distinct-key set (8 GiB of longs plus hash-relation overhead) is not.
+BLOOM_M_BITS = 1 << 20
+BLOOM_SEEDS = (101, 202, 303)
+
+
+def build_bloom_bitmap(keys: DataFrame, col: str) -> list[int]:
+    """Distributed Bloom-filter build: k=len(BLOOM_SEEDS) positions per
+    key via ``xxhash64(col, seed)`` (seeding by hashing the seed literal
+    alongside the key — the same device the MinHash family uses), OR-ed
+    into 64-bit words by a partial-aggregating ``bit_or`` groupBy. The
+    shuffle carries at most m/64 words per map partition (bit_or
+    combines map-side); the driver collect is O(m/64) — a CONSTANT
+    bounded by filter sizing, never O(keys). Returns the dense word
+    array (missing words zero-filled)."""
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(col, F.lit(s)), F.lit(BLOOM_M_BITS))
+                    for s in BLOOM_SEEDS
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.groupBy(F.shiftright("p", 6).alias("wi"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+            ).alias("w")
+        )
+        .collect()
+    )
+    dense = [0] * (BLOOM_M_BITS >> 6)
+    for r in words:
+        dense[r["wi"]] = r["w"]
+    return dense
+
+
+def _bloom_probe_sql(key: str, seed: int) -> str:
+    """One seed's membership test as a codegen-able SQL predicate against
+    the broadcast ``bloom`` word array (element_at is 1-indexed)."""
+    p = f"pmod(xxhash64({key}, {seed}), {BLOOM_M_BITS})"
+    return (
+        f"(element_at(bloom, CAST(shiftright({p}, 6) AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
+    )
+
+
+@REG.add(
+    "q_join_bloom",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-04-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered selective join: revenue by return flag for line
+    items of urgent Q1-1995 orders. The dim side (filtered orders) is
+    distilled into a bit-packed Bloom bitmap (``build_bloom_bitmap``);
+    the fact scan probes it through pure JVM bit expressions on a
+    128 KiB broadcast 1-row frame BEFORE the join, so the join shuffle
+    carries only probable matches (true matches + FPR) instead of the
+    whole fact table. False positives are eliminated by the real join
+    that follows — the result is bit-identical to the plain join, which
+    is exactly what the oracle checks (same safety contract as
+    q_join_salted: the physical trick must be semantics-free).
+
+    This is the manual, portable form of Catalyst's runtime row-level
+    bloom filtering (spark.sql.optimizer.runtime.bloomFilter.*), which
+    only injects above multi-GiB scan thresholds; hand-building it keeps
+    the technique testable at fixture scale and usable where the
+    optimizer declines. At 100 TB: probe-side shuffle drops by the
+    non-matching fraction (~99% here); the bitmap broadcast is O(m/8)
+    bytes regardless of key count — the lever over an exact semi-join
+    is that m is chosen, not dictated by |dim keys|."""
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey")
+    )
+    dense = build_bloom_bitmap(dim, "o_orderkey")
+    bloom_df = spark.createDataFrame([(dense,)], "bloom array<bigint>")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pred = " AND ".join(_bloom_probe_sql("l_orderkey", s) for s in BLOOM_SEEDS)
+    probed = (
+        li.crossJoin(F.broadcast(bloom_df)).filter(F.expr(pred)).drop("bloom")
+    )
+    return (
+        probed.join(
+            F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# ------------------------------------------- aggregate-as-join-filter
+
+Q18_QTY_THRESHOLD = 250
+
+
+@REG.add(
+    "q_tpch_q18_shape",
+    f"""
+    WITH qual AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           o.o_totalprice, q.sum_qty
+    FROM qual q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds {Q18_QTY_THRESHOLD}, with customer attribution. The
+    classic aggregate-as-join-filter pattern: the full-fact groupBy
+    (map-side partial combine over l_orderkey) is HAVING-filtered down
+    to pathological orders FIRST, and that tiny keyed aggregate then
+    drives broadcast joins — the textbook Q18 rewrite that also REUSES
+    the aggregate as the output measure instead of re-aggregating
+    lineitem after the join (one lineitem pass total, vs two in the
+    naive IN-subquery plan). At 100 TB the HAVING output is bounded by
+    the data pathology (orders with >threshold items), not table size,
+    so the broadcast holds; customer joins on the orders side by
+    hash-shuffle if it outgrows broadcast — AQE decides per stats.
+    Quantities are integral doubles, so the threshold compare and the
+    rounded sum are order-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey", F.round("_sq", 2).alias("sum_qty"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(
+            F.broadcast(qual), orders.o_orderkey == qual.l_orderkey
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )

@@ -157,5 +157,10 @@ def test_round5_keys_survive_empty_tables(spark, empty_dir):
 
 def test_round7_keys_survive_empty_tables(spark, empty_dir):
     qs = entry_mod.queries()
-    for key in ("q_dedup_containment", "q_bigram_logprob"):
+    for key in (
+        "q_dedup_containment",
+        "q_bigram_logprob",
+        "q_join_bloom",
+        "q_tpch_q18_shape",
+    ):
         assert qs[key](spark, empty_dir).collect() == [], key

@@ -327,3 +327,22 @@ def test_bm25_topk_uses_window_group_limit(q):
     """The per-doc rank filter must compile to WindowGroupLimit so each
     partition keeps k rows instead of ranking everything first."""
     assert has_node(q("q_bm25_topterms"), "WindowGroupLimit")
+
+
+def test_explicit_bloom_probe_is_jvm_side(q):
+    """q_join_bloom's probe must be codegen bit expressions against the
+    broadcast 1-row bitmap (BroadcastNestedLoopJoin attach), never a
+    Python eval, and the FP-eliminating join must broadcast the dim."""
+    df = q("q_join_bloom")
+    plan = formatted_plan(df)
+    assert "element_at" in plan and "shiftright" in plan
+    assert not has_node(df, "BatchEvalPython")
+    assert not has_node(df, "ArrowEvalPython")
+    assert has_node(df, "BroadcastNestedLoopJoin")
+    assert has_node(df, "BroadcastHashJoin")
+
+
+def test_q18_broadcasts_qualifying_aggregate(q):
+    """The HAVING-filtered aggregate must drive a broadcast join (its
+    cardinality is data-pathology-bounded, not table-bounded)."""
+    assert has_node(q("q_tpch_q18_shape"), "BroadcastHashJoin")
