@@ -407,57 +407,49 @@ def skew_metrics(df: DataFrame, key: str, label: str) -> DataFrame:
     the measurement that decides whether a join/agg on ``key`` needs
     salting (q_agg_salted) or AQE skew handling before it runs at scale.
 
-    Shape: one count-per-key aggregate (map-side combined), a DISTRIBUTED
-    global rank over the O(keys) counts, and a 1-row reduction. Nothing
-    touches raw rows twice. The rank is the q_shuffle_rank pattern
-    (llm/sampling.py): a bare ``row_number() OVER (ORDER BY c, k)`` would
-    funnel every distinct key through one WindowExec task — at the
-    billion-key cardinality this diagnostic targets, that single task is
-    exactly the OOM it exists to predict. Instead we range-partition by
-    the sort key (Spark's distributed ORDER BY machinery), rank within
-    partitions, and add per-partition offsets from an O(partitions)
-    count aggregate; ``localCheckpoint`` pins placement so the count job
-    and the rank job see identical partitioning. Ties on equal counts
-    don't affect the Gini sum — equal c makes rank order irrelevant."""
-    spark = df.sparkSession
+    Shape: one count-per-key aggregate (map-side combined), then a
+    SECOND aggregate collapsing the O(keys) counts to the group-size
+    VALUE distribution (v = size, m = how many keys have it) — and every
+    output statistic is closed-form over that tiny frame. Keys with size
+    v occupy ranks S_v+1 .. S_v+m_v in the df-sorted order (S_v = keys
+    with smaller sizes), so the Gini's Σ i·c_i telescopes to
+    Σ v·(m_v·S_v + m_v(m_v+1)/2); percentiles use ``percentile(v, p,
+    m)`` frequency weighting; max share is max(v)/Σ v·m. No per-key
+    rank, no join, nothing touches raw rows twice. The cumulative-S
+    window IS single-task, but its input is bounded by O(distinct size
+    values) ≤ O(√Σc) — at 10¹² rows that is ≤ ~10⁶ tiny rows, constant
+    for a scheduler, versus the billions of per-key rank rows the
+    previous range-partition + offset form (and before it, a global
+    row_number) had to move. Ties on equal sizes don't affect the Gini
+    sum — equal c makes rank order irrelevant."""
     c = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
-    parts = (
-        c.repartitionByRange(
-            spark.sparkContext.defaultParallelism, "c", "k"
-        )
-        .sortWithinPartitions("c", "k")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+    vdist = c.groupBy(F.col("c").alias("v")).agg(
+        F.count("*").cast("long").alias("m")
     )
-    pc = sorted(
-        (r["pid"], r["cnt"])
-        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    s = vdist.withColumn(
+        "S", F.coalesce(F.sum("m").over(w), F.lit(0).cast("long"))
     )
-    offsets, acc = [], 0
-    for pid, cnt in pc:
-        offsets.append((pid, acc))
-        acc += cnt
-    off_df = spark.createDataFrame(offsets, "pid int, off long")
-    w = Window.partitionBy("pid").orderBy(F.asc("c"), F.asc("k"))
-    ranked = parts.join(F.broadcast(off_df), "pid").withColumn(
-        "i", F.row_number().over(w) + F.col("off")
+    # Σ i·c over df-sorted keys, telescoped per size value — integer-exact
+    # until the one division below.
+    sum_ic = F.sum(
+        F.col("v")
+        * (F.col("m") * F.col("S") + F.expr("(m * (m + 1)) div 2"))
     )
-    # Gini over sorted group sizes, sum((2i - n - 1) c_i) / (n sum(c)),
-    # folded to pure aggregates via sum((2i-n-1)c) = 2 sum(i*c) - (n+1) sum(c)
-    # with n = max(i) (ranks are dense) — integer-exact until one division.
-    gini_num = (
-        2 * F.sum(F.col("i") * F.col("c"))
-        - (F.max("i") + 1) * F.sum("c")
-    )
-    return ranked.agg(
-        F.count("*").cast("long").alias("n_keys"),
-        F.sum("c").cast("long").alias("n_rows"),
-        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("max_share"),
+    n_keys = F.sum("m")
+    n_rows = F.sum(F.col("v") * F.col("m"))
+    gini_num = 2 * sum_ic - (n_keys + 1) * n_rows
+    return s.agg(
+        n_keys.cast("long").alias("n_keys"),
+        n_rows.cast("long").alias("n_rows"),
+        F.round(F.max("v").cast("double") / n_rows, 4).alias("max_share"),
         F.round(
-            F.expr("percentile(c, 0.99)") / F.expr("percentile(c, 0.5)"), 4
+            F.expr("percentile(v, 0.99, m)")
+            / F.expr("percentile(v, 0.5, m)"),
+            4,
         ).alias("p99_over_p50"),
         F.round(
-            gini_num.cast("double") / (F.max("i") * F.sum("c")), 4
+            gini_num.cast("double") / (n_keys * n_rows), 4
         ).alias("gini"),
     ).filter(
         # an ungrouped agg emits one row even over an empty relation;

@@ -264,27 +264,23 @@ def test_resample_ffill_joins_keyed_no_cartesian(q):
     assert any("user_id" in side for side in keys)
 
 
-def test_skew_profile_distributed_rank(q):
-    """Skew metrics are count-aggregate -> DISTRIBUTED rank -> 1-row fold
-    per key column. The rank must be the range-partition + offset shape:
-    no Exchange SinglePartition feeding a Window (the old global
-    row_number() funneled every distinct key through one task — an OOM at
-    exactly the key cardinality this diagnostic predicts), and the only
-    join allowed is the O(partitions) offset broadcast."""
+def test_skew_profile_windows_only_size_distribution(q):
+    """Skew metrics are count-per-key -> group-size-VALUE-distribution
+    aggregate -> closed-form fold. Per key column the only Window is the
+    cumulative sum over the O(distinct sizes) <= O(sqrt(n_rows))
+    distribution frame — its function must be sum(m), never a per-key
+    row_number (the original global rank funneled every distinct key
+    through one task; the interim range-partition + offset rank moved
+    O(keys) rows through a join) — and there is no join at all."""
     plan = formatted_plan(q("q_skew_profile"))
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
-    # Window Arguments format: [functions], [partitionSpec], [orderSpec];
-    # an empty partitionSpec ("], [], [") is the single-task global rank.
+    assert "Join" not in plan
+    assert "row_number" not in plan
     win_blocks = re.findall(
         r"\(\d+\) Window\n(?:.+\n)*?Arguments: (.+)", plan
     )
-    assert win_blocks, "expected a Window node for the rank"
+    assert win_blocks, "expected the cumulative-m Window"
     for args in win_blocks:
-        assert "], [], [" not in args, "unpartitioned WindowExec in skew rank"
-    # the final 1-row folds may gather, but never O(keys) rows: every
-    # SinglePartition exchange must sit above the partial aggregate
-    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+        assert "sum(m" in args, args
 
 
 def test_pattern_absence_one_shuffle_range_frame(q):
