@@ -74,4 +74,9 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:  # `| head` closed the pipe; not an error
+        import os
+
+        os._exit(0)
