@@ -104,6 +104,7 @@ HEADLINE = [
     "q_perplexity_filter",
     "q_join_bloom",
     "q_tpch_q18_shape",
+    "q_similarity_join_fast",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose
@@ -119,6 +120,8 @@ GUARD = {
     # 6x+ the per-bucket matmul production kernel by construction
     # (per-pair interpreted confirm over the quadratic candidate volume)
     "q_dedup_embedding": "q_dedup_embedding_fast",
+    # oracle-exact HOF banding for the cross-corpus join (same rule)
+    "q_similarity_join": "q_similarity_join_fast",
 }
 
 

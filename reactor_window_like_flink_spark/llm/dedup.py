@@ -554,32 +554,40 @@ def _emb_hyperplanes(
     return np.round(rng.standard_normal((n_planes, EMB_DIM)), 6).tolist()
 
 
-def _emb_lsh_oracle() -> str:
-    """DuckDB mirror of the sign-LSH bucket + exact-cosine confirm. The
-    hyperplane literals and left-fold dot products are identical to the
-    Spark expressions, so bucket bits and the >= threshold row set match
-    bit-for-bit."""
+def _emb_dot_sql(h: list[float]) -> str:
+    """DuckDB left-fold dot product against a hyperplane literal —
+    textually mirrors the Spark zip_with/aggregate fold."""
+    lit = "CAST([" + ", ".join(repr(v) for v in h) + "] AS DOUBLE[])"
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {EMB_DIM}),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), (x, y) -> x + y)"
+    )
+
+
+def _emb_buckets_sql() -> str:
+    """DuckDB mirror of the sign-LSH band/bucket assignment (the default
+    bands/bits/seed the oracle literals depend on)."""
     planes = _emb_hyperplanes()
-
-    def dot_sql(h: list[float]) -> str:
-        lit = "CAST([" + ", ".join(repr(v) for v in h) + "] AS DOUBLE[])"
-        return (
-            f"list_reduce(list_prepend(0.0, list_transform("
-            f"generate_series(1, {EMB_DIM}),"
-            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), (x, y) -> x + y)"
-        )
-
     band_selects = []
     for j in range(EMB_LSH_BANDS):
         bits = " + ".join(
-            f"(CASE WHEN {dot_sql(planes[j * EMB_LSH_BITS + lane])} > 0"
+            f"(CASE WHEN {_emb_dot_sql(planes[j * EMB_LSH_BITS + lane])} > 0"
             f" THEN {1 << lane} ELSE 0 END)"
             for lane in range(EMB_LSH_BITS)
         )
         band_selects.append(
             f"SELECT vec_id, {j} AS band, {bits} AS bucket FROM embeddings"
         )
-    buckets = "\n      UNION ALL ".join(band_selects)
+    return "\n      UNION ALL ".join(band_selects)
+
+
+def _emb_lsh_oracle() -> str:
+    """DuckDB mirror of the sign-LSH bucket + exact-cosine confirm. The
+    hyperplane literals and left-fold dot products are identical to the
+    Spark expressions, so bucket bits and the >= threshold row set match
+    bit-for-bit."""
+    buckets = _emb_buckets_sql()
     return f"""
     WITH e AS (
       SELECT vec_id, embedding,

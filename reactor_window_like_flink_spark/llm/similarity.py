@@ -718,3 +718,139 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SEMDEDUP_THRESHOLD}. See ``semdedup`` for semantics and scale."""
     index = train_ivf(spark, sf_dir)
     return semdedup(index.assigned, SEMDEDUP_THRESHOLD)
+
+
+# ------------------------------------------- cross-corpus similarity join
+
+# Deterministic eval/corpus split for the fixture: every 10th vec_id is a
+# "query" (eval-set) vector. The SPLIT is fixture plumbing; the OPERATOR
+# is the R-S similarity join itself.
+SIMJOIN_QUERY_MOD = 10
+
+
+def _emb_cross_oracle() -> str:
+    """DuckDB mirror of the cross-table sign-LSH join: same hyperplane
+    literals and left-fold dots as q_dedup_embedding's oracle, with the
+    self-join replaced by the query-side x corpus-side join."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        EMB_COSINE_THRESHOLD,
+        EMB_DIM,
+        _emb_buckets_sql,
+    )
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ), buckets AS (
+      {_emb_buckets_sql()}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM buckets q JOIN buckets c
+        ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id % {SIMJOIN_QUERY_MOD} = 0
+        AND c.vec_id % {SIMJOIN_QUERY_MOD} <> 0
+    ), scored AS (
+      SELECT cd.query_id, cd.corpus_id,
+             list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, {EMB_DIM}),
+               i -> CAST(eq.embedding[i] AS DOUBLE)
+                    * CAST(ec.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) / (eq.nrm * ec.nrm) AS cosine
+      FROM cand cd
+      JOIN e eq ON eq.vec_id = cd.query_id
+      JOIN e ec ON ec.vec_id = cd.corpus_id
+    )
+    SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine
+    FROM scored WHERE cosine >= {EMB_COSINE_THRESHOLD}
+    """
+
+
+def similarity_join(
+    spark: SparkSession, sf_dir: str, fast_banding: bool = False
+) -> DataFrame:
+    """Cross-corpus (R-S) similarity join — the semantic-decontamination
+    shape: every (eval-set vector, corpus vector) pair with cosine >=
+    the shared near-dup threshold. The operator family's one non-SELF
+    join: q_dedup_embedding / q_semdedup find duplicates WITHIN a
+    corpus; this finds eval-set leakage INTO a corpus (the embedding
+    analog of q_decontaminate's n-gram shingle match).
+
+    The asymmetry is the plan: the query side (eval sets are thousands
+    of rows, not billions) is banded with the SAME sign-LSH literals as
+    the self-join family and then BROADCAST — the corpus side's bucket
+    stream joins it with zero corpus shuffle, and both confirm joins
+    broadcast the (small) candidate frame back against the narrow
+    embedding scans. At 100 TB the corpus is read once and never
+    exchanged; compare the self-join, which must shuffle both sides by
+    bucket. Only the candidate dedup shuffles, and that is O(collisions
+    with the eval set), not O(corpus).
+
+    ``fast_banding`` switches the bucket assignment to the numpy-matmul
+    kernel (the measured fixed-width-numeric rule, BASELINE.md); the
+    cosine CONFIRM stays the JVM fold either way — the candidate frame
+    is small, so the fast path's win is the corpus-side banding pass.
+    The exact form's buckets (and therefore its full row set) hash-check
+    against DuckDB via the shared hyperplane literals, same contract as
+    q_dedup_embedding; the fast twin can diverge only when a plane dot
+    sits within float-summation error of zero (pair-set equality on the
+    fixtures is pytest-asserted)."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        EMB_COSINE_THRESHOLD,
+        emb_band_buckets,
+        emb_band_buckets_fast,
+    )
+
+    bander = emb_band_buckets_fast if fast_banding else emb_band_buckets
+    emb = load(spark, sf_dir, "embeddings")
+    is_query = F.col("vec_id") % SIMJOIN_QUERY_MOD == 0
+    queries = emb.filter(is_query)
+    corpus = emb.filter(~is_query)
+    qb = bander(queries).withColumnRenamed("vec_id", "query_id")
+    cb = bander(corpus)
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .select("query_id", F.col("vec_id").alias("corpus_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    q_emb = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_q"),
+        _norm("embedding").alias("nrm_q"),
+    )
+    c_emb = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("emb_c"),
+        _norm("embedding").alias("nrm_c"),
+    )
+    paired = c_emb.join(
+        F.broadcast(cand.join(F.broadcast(q_emb), "query_id")), "corpus_id"
+    )
+    cos = _dot("emb_q", "emb_c") / (F.col("nrm_q") * F.col("nrm_c"))
+    return (
+        paired.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= EMB_COSINE_THRESHOLD)
+        .select(
+            "query_id", "corpus_id", F.round("_cos", 4).alias("cosine")
+        )
+    )
+
+
+@REG.add("q_similarity_join", _emb_cross_oracle())
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact cross-corpus similarity join (HOF banding — the
+    DuckDB bit-identical mirror); see ``similarity_join``."""
+    return similarity_join(spark, sf_dir, fast_banding=False)
+
+
+@REG.add("q_similarity_join_fast")  # rows-only: numpy banding's SIMD
+# summation is not bit-identical to the oracle's left fold at plane-sign
+# boundaries; pair-set equality with the oracle-checked exact form is
+# asserted in tests/test_similarity.py.
+def q_similarity_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-kernel cross-corpus similarity join (numpy-matmul
+    banding, JVM confirm); see ``similarity_join``."""
+    return similarity_join(spark, sf_dir, fast_banding=True)

@@ -162,5 +162,7 @@ def test_round7_keys_survive_empty_tables(spark, empty_dir):
         "q_bigram_logprob",
         "q_join_bloom",
         "q_tpch_q18_shape",
+        "q_similarity_join",
+        "q_similarity_join_fast",
     ):
         assert qs[key](spark, empty_dir).collect() == [], key

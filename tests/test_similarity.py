@@ -389,3 +389,28 @@ def test_semdedup_greedy_prune_matches_sequential_reference(spark):
             assert out[r["dup_of"]]["kept"] and r["dup_of"] < vid
     # the structure planted: each cell keeps base + far, drops 2 copies
     assert sum(1 for r in out.values() if r["kept"]) == 4
+
+
+def test_similarity_join_fast_equals_exact_and_stays_broadcast(spark, sf_dir):
+    """Cross-corpus similarity join: the numpy-banded production twin
+    must emit the identical (query, corpus) pair set as the
+    oracle-checked HOF form, and the plan must keep the corpus side
+    unshuffled — broadcast joins only, with the single hash exchange
+    being the candidate dedup (O(eval-set collisions), not corpus)."""
+    from reactor_window_like_flink_spark.plans import formatted_plan
+
+    qs = entry_mod.queries()
+    exact = qs["q_similarity_join"](spark, sf_dir)
+    fast = qs["q_similarity_join_fast"](spark, sf_dir)
+    e_rows = {(r["query_id"], r["corpus_id"]): r["cosine"]
+              for r in exact.collect()}
+    f_rows = {(r["query_id"], r["corpus_id"]): r["cosine"]
+              for r in fast.collect()}
+    assert e_rows.keys() == f_rows.keys() and len(e_rows) > 0
+    # the confirm kernel is shared JVM code: cosines are bit-equal
+    assert all(e_rows[k] == f_rows[k] for k in e_rows)
+    for df in (exact, fast):
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
