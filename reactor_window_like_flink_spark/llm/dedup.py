@@ -24,6 +24,8 @@ Scale design (the whole point of these operators at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -615,6 +617,29 @@ def _emb_lsh_oracle() -> str:
     SELECT vec_a, vec_b, ROUND(cosine, 4) AS cosine
     FROM scored WHERE cosine >= {EMB_COSINE_THRESHOLD}
     """
+
+
+def auto_lsh_bits(
+    n_vectors: int, target_bucket_size: int = 10, max_bits: int = 24
+) -> int:
+    """Corpus-scaled sign-LSH bucket width — the sf1 probe's measured
+    rule (BASELINE.md): candidate volume under banded sign-LSH is
+    Θ(n²/2^bits), so ``bits`` must grow with the corpus or the banded
+    join degenerates toward all-pairs (the probe measured 8×4-bit
+    fixture defaults putting 20k vectors at ~half of all-pairs).
+    ``bits = ceil(log2(n / target_bucket_size))`` holds expected bucket
+    occupancy at ``target_bucket_size`` vectors, i.e. candidate work at
+    ~n·bands·target/2 pairs — linear in n for fixed target. Clamped to
+    [1, max_bits]; callers re-derive per corpus (a cheap ``count()``)
+    and pass the result to ``emb_band_buckets[_fast]``. The fixture
+    keys keep the 8×4 literals — the sf0.01 oracle depends on them —
+    so this helper is the production sizing path, not a registry
+    change."""
+    if n_vectors <= 0:
+        return 1
+    return max(1, min(max_bits, math.ceil(
+        math.log2(max(2.0, n_vectors / max(1, target_bucket_size)))
+    )))
 
 
 def emb_band_buckets_fast(

@@ -332,3 +332,21 @@ def test_containment_detects_inclusion_jaccard_misses(spark):
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["cont_a"] == 1.0  # every bigram of the small doc is in big
     assert r["cont_b"] < 0.05  # and Jaccard-style symmetry would miss it
+
+
+def test_auto_lsh_bits_scales_with_corpus():
+    """The sf1 probe's sizing rule as code: expected bucket occupancy
+    stays at target_bucket_size, so banded candidate work is linear in
+    n instead of Theta(n^2 / 2^bits) with fixture-constant bits."""
+    from reactor_window_like_flink_spark.llm.dedup import auto_lsh_bits
+
+    assert auto_lsh_bits(0) == 1
+    assert auto_lsh_bits(100, 10) == 4
+    # the probe corpus: 20k vectors at ~10/bucket -> the documented ~11
+    assert auto_lsh_bits(20_000, 10) == 11
+    assert auto_lsh_bits(10**9, 10) == 24  # clamped
+    vals = [auto_lsh_bits(n) for n in (10, 100, 10**4, 10**6, 10**8)]
+    assert vals == sorted(vals)
+    for n in (10**3, 10**5, 10**7):
+        b = auto_lsh_bits(n, 10)
+        assert n / (1 << b) <= 10
