@@ -770,7 +770,11 @@ def _emb_cross_oracle() -> str:
 
 
 def similarity_join(
-    spark: SparkSession, sf_dir: str, fast_banding: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    fast_banding: bool = False,
+    bands: int | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Cross-corpus (R-S) similarity join — the semantic-decontamination
     shape: every (eval-set vector, corpus vector) pair with cosine >=
@@ -797,20 +801,38 @@ def similarity_join(
     against DuckDB via the shared hyperplane literals, same contract as
     q_dedup_embedding; the fast twin can diverge only when a plane dot
     sits within float-summation error of zero (pair-set equality on the
-    fixtures is pytest-asserted)."""
+    fixtures is pytest-asserted).
+
+    ``bands``/``bits`` default to the fixture literals the oracle
+    depends on; the PRODUCTION call sizes ``bits`` with
+    ``auto_lsh_bits(corpus_count)`` so candidate volume stays
+    ~n·bands·target/2 (measured at the sf1 probe, 2k×18k eval/corpus:
+    4-bit fixture buckets → ~18M candidates and a driver-maxResultSize
+    failure; 11 auto bits → 186,490 candidates, 10.6 s single-run
+    end-to-end — with the usual LSH trade that recall at MODERATE
+    cosine shrinks with bits; near-dup thresholds keep theirs). Two
+    broadcast frames, each with its own bound: the candidate ID pairs
+    (never joined to embeddings before broadcast — that product is
+    what blew up) and the eval-set embeddings."""
     from reactor_window_like_flink_spark.llm.dedup import (
         EMB_COSINE_THRESHOLD,
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS,
         emb_band_buckets,
         emb_band_buckets_fast,
     )
 
+    bands = EMB_LSH_BANDS if bands is None else bands
+    bits = EMB_LSH_BITS if bits is None else bits
     bander = emb_band_buckets_fast if fast_banding else emb_band_buckets
     emb = load(spark, sf_dir, "embeddings")
     is_query = F.col("vec_id") % SIMJOIN_QUERY_MOD == 0
     queries = emb.filter(is_query)
     corpus = emb.filter(~is_query)
-    qb = bander(queries).withColumnRenamed("vec_id", "query_id")
-    cb = bander(corpus)
+    qb = bander(queries, bands=bands, bits=bits).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cb = bander(corpus, bands=bands, bits=bits)
     cand = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .select("query_id", F.col("vec_id").alias("corpus_id"))
@@ -826,8 +848,8 @@ def similarity_join(
         F.col("embedding").alias("emb_c"),
         _norm("embedding").alias("nrm_c"),
     )
-    paired = c_emb.join(
-        F.broadcast(cand.join(F.broadcast(q_emb), "query_id")), "corpus_id"
+    paired = c_emb.join(F.broadcast(cand), "corpus_id").join(
+        F.broadcast(q_emb), "query_id"
     )
     cos = _dot("emb_q", "emb_c") / (F.col("nrm_q") * F.col("nrm_c"))
     return (
