@@ -105,6 +105,7 @@ HEADLINE = [
     "q_join_bloom",
     "q_tpch_q18_shape",
     "q_similarity_join_fast",
+    "q_token_budget",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -20,7 +20,7 @@ sampling surface; north-star scope from BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
@@ -536,4 +536,75 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(q, 4).alias("q"),
             F.round(q / F.col("_p"), 4).alias("repeat_factor"),
         )
+    )
+
+
+# ------------------------------------------------ token-budget allocation
+
+TOKEN_BUDGET_PER_DOMAIN = 2000  # whitespace tokens per lang (fixture scale)
+
+
+@REG.add(
+    "q_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS pri
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_DOMAIN}
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget allocation — the data-mixing primitive
+    that turns mixture RATIOS (q_domain_mix / q_sample_temperature
+    decide them) into an actual document set: within each ``lang``
+    domain, documents are admitted in deterministic hash-priority order
+    (md5 of doc_id — a uniform, RNG-free shuffle, same device as
+    q_sample_hash) until the domain's whitespace-token budget of
+    {TOKEN_BUDGET_PER_DOMAIN} is exhausted; the admitted set is the
+    maximal priority-prefix whose running total fits (take-while on the
+    cumulative sum).
+
+    Plan: one narrow scan computing (tokens, priority) per row, ONE
+    per-domain sort-shuffle for the partitioned running-sum window, a
+    rides-the-window filter. No join, no collect, re-runs are
+    bit-identical. At 100 TB the per-domain sort is the cost; when a
+    mega-domain makes it hurt, locate the budget-crossing priority
+    first (fixed-width histogram over the 32-bit priority space —
+    the q_length_deciles edge pattern — or percentile_approx over
+    cumulative mass), then sort ONLY rows below that threshold:
+    identical output, sort input shrunk to the admitted prefix. The
+    registered form keeps the canonical single-window plan."""
+    docs = load(spark, sf_dir, "documents")
+    pri = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+        pri.alias("pri"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_DOMAIN)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )

@@ -164,5 +164,6 @@ def test_round7_keys_survive_empty_tables(spark, empty_dir):
         "q_tpch_q18_shape",
         "q_similarity_join",
         "q_similarity_join_fast",
+        "q_token_budget",
     ):
         assert qs[key](spark, empty_dir).collect() == [], key

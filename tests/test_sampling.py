@@ -220,3 +220,42 @@ def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
     by_p = sorted(rows, key=lambda r: r["p"])
     qs = [r["q"] for r in by_p]
     assert qs == sorted(qs)
+
+
+def test_token_budget_is_maximal_priority_prefix(spark, sf_dir):
+    """Per domain: every admitted doc fits the running budget, the set
+    is a PREFIX of the hash-priority order (no skips), and it is
+    maximal (the next doc in priority order would burst the budget)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from reactor_window_like_flink_spark.llm.sampling import (
+        TOKEN_BUDGET_PER_DOMAIN,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    out = entry_mod.queries()["q_token_budget"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long").alias("pri"),
+    ).collect()
+    by_lang: dict = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r)
+    admitted = {}
+    for r in out:
+        admitted.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert r["cum_tokens"] <= TOKEN_BUDGET_PER_DOMAIN
+    assert admitted, "budget should admit documents at fixture scale"
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r["pri"], r["doc_id"]))
+        cum, expect = 0, set()
+        for r in rows:
+            cum += r["n_tokens"]
+            if cum > TOKEN_BUDGET_PER_DOMAIN:
+                break  # take-while: first burst ends the prefix
+            expect.add(r["doc_id"])
+        assert admitted.get(lang, set()) == expect, lang
