@@ -196,8 +196,14 @@ _MERGE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, int]]] = {}
 
 
 def merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     if key not in _MERGE_CACHE:
+        # evict dead sessions' tables on insert: a long-lived process
+        # cycling SparkSessions must not accumulate one full merge list
+        # per stopped application
+        for stale in [k for k in _MERGE_CACHE if k[0] != app]:
+            del _MERGE_CACHE[stale]
         _MERGE_CACHE[key] = learn_bpe_merges(
             spark, load(spark, sf_dir, "documents"), BPE_MERGES
         )

@@ -857,6 +857,76 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fold_ledger_window(
+    spark: SparkSession,
+    ledger_dir: str,
+    lo: int,
+    hi: int,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Compact ledger partitions batch_id in [lo, hi) in place, with a
+    crash-recoverable three-step swap.
+
+    Invariant: the partition's rows live under exactly one of
+    ``batch_id={k}`` (src), ``.compact-tmp-{k}`` (tmp, complete only
+    after ``compact`` returns), or ``.compact-old-{k}`` (old). The swap
+    is rename(src→old) → rename(tmp→src) → delete(old); a crash between
+    any two steps leaves a state the top of this loop repairs:
+
+    - src missing + tmp present  → crashed between the two renames:
+      finish with rename(tmp→src), drop old.
+    - src present + old present  → crashed before delete(old): drop old
+      (src is already the compacted copy).
+    - tmp present + src present  → crashed mid-``compact`` (tmp may be
+      partial): tmp is deleted and rebuilt, src untouched.
+
+    Every fs.rename/fs.delete boolean is checked — a False return (e.g.
+    a permissions regression) raises instead of silently dropping the
+    window, and a failed tmp→src rename rolls old back to src so the
+    ledger is never left without the partition."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    jpath_cls = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    fs = jpath_cls(ledger_dir).getFileSystem(hconf)
+    for k in range(lo, hi):
+        src = f"{ledger_dir}/batch_id={k}"
+        tmp = f"{ledger_dir}/.compact-tmp-{k}"
+        old = f"{ledger_dir}/.compact-old-{k}"
+        jsrc, jtmp, jold = jpath_cls(src), jpath_cls(tmp), jpath_cls(old)
+        if not fs.exists(jsrc):
+            if fs.exists(jtmp):
+                # interrupted between rename(src->old) and rename(tmp->src):
+                # tmp is the COMPLETE compacted copy — finish the swap.
+                if not fs.rename(jtmp, jsrc):
+                    raise IOError(f"compaction recovery rename failed: {tmp}")
+                fs.delete(jold, True)
+            elif fs.exists(jold):
+                # interrupted right after rename(src->old) with no tmp
+                # left (tmp was cleaned): old IS the data — restore it.
+                if not fs.rename(jold, jsrc):
+                    raise IOError(f"compaction recovery rename failed: {old}")
+            else:
+                continue  # partition genuinely absent
+        elif fs.exists(jold):
+            # interrupted before delete(old): src is the compacted copy.
+            fs.delete(jold, True)
+        n_files = sum(
+            1
+            for s in fs.listStatus(jsrc)
+            if s.getPath().getName().startswith("part-")
+        )
+        if n_files <= 1:
+            continue  # already compact (or replay after a fold)
+        fs.delete(jtmp, True)
+        layout_compact(spark, src, tmp, target_file_bytes)
+        if not fs.rename(jsrc, jold):
+            raise IOError(f"compaction swap rename failed: {src} -> {old}")
+        if not fs.rename(jtmp, jsrc):
+            # roll back so the ledger never loses the partition
+            fs.rename(jold, jsrc)
+            raise IOError(f"compaction swap rename failed: {tmp} -> {src}")
+        fs.delete(jold, True)
+
+
 def corpus_ingest_sink(
     spark: SparkSession,
     ledger_dir: str,
@@ -895,34 +965,22 @@ def corpus_ingest_sink(
     partitions (batch_id < current) are touched, so compaction never
     races the current batch's overwrite; crash-replay of the triggering
     batch re-runs the same fold over identical content (idempotent —
-    ``compact`` derives its file count from source bytes). The swap is
-    delete-then-rename, fine on HDFS/local; an object-store deployment
+    ``compact`` derives its file count from source bytes).
+
+    The swap is crash-recoverable rename-rename-delete, never
+    delete-then-rename: src → .compact-old-{k}, tmp → src, delete old.
+    At every intermediate point the window's data exists under exactly
+    one of (src, tmp, old), and the top of the fold loop repairs any
+    interrupted swap before re-folding — so a crash at ANY boundary
+    loses nothing and replay converges (asserted by the interrupted-swap
+    tests in ``tests/test_curation.py``). An object-store deployment
     swaps a catalog pointer instead, per the ``compact`` docstring."""
     from pyspark.errors import AnalysisException
 
     def _fold_window(lo: int, hi: int) -> None:
-        """Compact ledger partitions batch_id in [lo, hi) in place."""
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
-        jpath_cls = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-        fs = jpath_cls(ledger_dir).getFileSystem(hconf)
-        for k in range(lo, hi):
-            src = f"{ledger_dir}/batch_id={k}"
-            jsrc = jpath_cls(src)
-            if not fs.exists(jsrc):
-                continue
-            n_files = sum(
-                1
-                for s in fs.listStatus(jsrc)
-                if s.getPath().getName().startswith("part-")
-            )
-            if n_files <= 1:
-                continue  # already compact (or replay after a fold)
-            tmp = f"{ledger_dir}/.compact-tmp-{k}"
-            jtmp = jpath_cls(tmp)
-            fs.delete(jtmp, True)
-            layout_compact(spark, src, tmp, target_file_bytes)
-            fs.delete(jsrc, True)
-            fs.rename(jtmp, jsrc)
+        return fold_ledger_window(
+            spark, ledger_dir, lo, hi, target_file_bytes
+        )
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select("doc_id", "text", "lang", "source").withColumn(

@@ -874,7 +874,14 @@ def lsh_cosine_pairs_fast(
     return (
         grouped.groupBy("band", "bucket")
         .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cosine double")
-        .dropDuplicates(["vec_a", "vec_b"])
+        # A pair surfaces once per shared (band,bucket); BLAS gemm can
+        # differ at ULP level across bucket shapes/block offsets, so the
+        # copies may not be bit-identical. max() canonicalizes — the
+        # surviving cosine is deterministic for a fixed bucket
+        # assignment, unlike dropDuplicates' arbitrary pick (same
+        # shuffle: one hash aggregate on the pair key).
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
     )
 

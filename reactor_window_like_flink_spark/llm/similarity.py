@@ -586,44 +586,61 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": [], "neighbor_id": [], "_cos": []}
             ).astype({"vec_id": "int64", "neighbor_id": "int64",
                       "_cos": "float64"})
-        # id-ascending row order + STABLE argsort on -cos per row gives
-        # exactly the (cos desc, id asc) global tie-break locally — ties
-        # keep the ids the final window would keep, so no candidate the
-        # global top-k needs is ever dropped here.
+        # id-ascending row order makes column index order = id order, so
+        # the (cos desc, id asc) global tie-break is reproducible locally
+        # — ties keep the ids the final window would keep, and no
+        # candidate the global top-k needs is ever dropped here.
         pdf = pdf.sort_values("vec_id", kind="mergesort")
         ids = pdf["vec_id"].to_numpy()
         x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         xn = x / np.linalg.norm(x, axis=1)[:, None]
-        k = KNN_K
+        kk = min(KNN_K, m - 1)  # uniform per bucket: same m for all rows
         out_v: list = []
         out_u: list = []
         out_c: list = []
         block = 512  # bound the (block x m) gram slab, not the bucket
         for s in range(0, m, block):
             g = xn[s : s + block] @ xn.T
-            for i in range(g.shape[0]):
+            rows = g.shape[0]
+            # self never a neighbor: mask the diagonal slice once
+            g[np.arange(rows), s + np.arange(rows)] = -np.inf
+            sel = np.empty((rows, kk), dtype=np.int64)
+            for i in range(rows):
                 gi = g[i]
-                order = np.argsort(-gi, kind="stable")
-                taken = 0
-                for j in order:
-                    if j == s + i:
-                        continue
-                    out_v.append(ids[s + i])
-                    out_u.append(ids[j])
-                    out_c.append(gi[j])
-                    taken += 1
-                    if taken == k:
-                        break
+                # O(m) argpartition for the value top-kk, then repair
+                # boundary ties: argpartition picks an ARBITRARY subset
+                # of entries tied at the cutoff, but the tie-break wants
+                # the smallest ids — widen to all boundary-tied indices
+                # and lexsort (cos desc, id asc) only that small set.
+                part = np.argpartition(-gi, kk - 1)[:kk]
+                vmin = gi[part].min()
+                ties = np.nonzero(gi == vmin)[0]
+                if len(ties) > int((gi[part] == vmin).sum()):
+                    cand = np.concatenate([part[gi[part] > vmin], ties])
+                else:
+                    cand = part
+                sel[i] = cand[np.lexsort((cand, -gi[cand]))][:kk]
+            flat = sel.ravel()
+            out_v.append(np.repeat(ids[s : s + rows], kk))
+            out_u.append(ids[flat])
+            out_c.append(g[np.repeat(np.arange(rows), kk), flat])
         return pd.DataFrame(
-            {"vec_id": out_v, "neighbor_id": out_u, "_cos": out_c}
+            {
+                "vec_id": np.concatenate(out_v),
+                "neighbor_id": np.concatenate(out_u),
+                "_cos": np.concatenate(out_c),
+            }
         )
 
     scored = (
         grouped.groupBy("band", "bucket")
         .applyInPandas(bucket_topk, "vec_id long, neighbor_id long, _cos double")
-        # the same neighbor surfaces from every shared bucket with an
-        # identical cosine — one copy feeds the global top-k
-        .dropDuplicates(["vec_id", "neighbor_id"])
+        # the same neighbor surfaces from every shared bucket; gemm can
+        # differ at ULP level across bucket shapes, so canonicalize with
+        # max() (deterministic for a fixed bucket assignment) instead of
+        # dropDuplicates' arbitrary surviving copy
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("_cos").alias("_cos"))
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")

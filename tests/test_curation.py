@@ -256,6 +256,76 @@ def test_corpus_ingest_sink_compaction_bounds_files(spark, tmp_path):
         spark.conf.set(coalesce_key, old_coalesce)
 
 
+def test_fold_ledger_window_recovers_interrupted_swaps(spark, tmp_path):
+    """Crash-recovery contract of the compaction swap: for every
+    intermediate state an interrupted rename-rename-delete swap can
+    leave behind, a re-run of ``fold_ledger_window`` restores the
+    partition, folds it to one file, and leaves no side directories —
+    the ledger never loses a window."""
+    import os
+    import shutil
+
+    from reactor_window_like_flink_spark.llm.curation import (
+        fold_ledger_window,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    schema = "doc_id long, text string, lang string, source string"
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        for k in range(4):
+            rows = [(k * 10 + i, f"text {k}-{i}", "en", "s0") for i in range(4)]
+            spark.createDataFrame(rows, schema).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(f"{ledger}/batch_id={k}")
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+    expect = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(ledger).collect()
+    )
+
+    def part_files(k):
+        d = f"{ledger}/batch_id={k}"
+        return [
+            f for f in os.listdir(d)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+
+    # state A (k=0): crashed mid-compact — partial garbage tmp, src intact
+    os.makedirs(f"{ledger}/.compact-tmp-0")
+    with open(f"{ledger}/.compact-tmp-0/part-partial.parquet", "w") as fh:
+        fh.write("garbage half-written file")
+    # state B (k=1): crashed between rename(src->old) and rename(tmp->src)
+    shutil.copytree(f"{ledger}/batch_id=1", f"{ledger}/.compact-tmp-1")
+    os.rename(f"{ledger}/batch_id=1", f"{ledger}/.compact-old-1")
+    # state C (k=2): crashed before delete(old) — src present, old present
+    shutil.copytree(f"{ledger}/batch_id=2", f"{ledger}/.compact-old-2")
+    # state D (k=3): old present, src and tmp missing
+    os.rename(f"{ledger}/batch_id=3", f"{ledger}/.compact-old-3")
+
+    fold_ledger_window(spark, ledger, 0, 4)
+
+    got = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert got == expect  # nothing lost, nothing duplicated
+    for k in range(4):
+        assert len(part_files(k)) == 1, f"batch {k} not folded"
+    leftovers = [f for f in os.listdir(ledger) if f.startswith(".compact")]
+    assert leftovers == []
+    # replay of the same fold is a no-op (idempotent)
+    fold_ledger_window(spark, ledger, 0, 4)
+    got2 = sorted(
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(ledger).collect()
+    )
+    assert got2 == expect
+
+
 def test_decontaminate_spans_localizes_contamination(spark):
     """A long training doc quoting an eval trigram deep inside: only the
     chunk windows covering the quote are flagged; the rest of the doc
