@@ -191,23 +191,27 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fit_ivf/fit_pq in llm/similarity.py) — training runs once, encode
 # queries reuse the artifact. Keyed by applicationId, not id(spark):
 # CPython reuses object ids after GC, so an id-keyed memo could hand a
-# NEW session a stale merge table trained under a dead one.
+# NEW session a stale merge table trained under a dead one. Bounded
+# LRU (insertion-ordered dict, re-insert on hit) rather than
+# evict-everything-not-this-app: two concurrently live SparkSessions
+# alternating merges_for calls must not thrash each other's entry by
+# retraining on every call.
 _MERGE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, int]]] = {}
+_MERGE_CACHE_MAX = 4  # e.g. two live sessions x two corpora
 
 
 def merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
     app = spark.sparkContext.applicationId
     key = (app, sf_dir)
-    if key not in _MERGE_CACHE:
-        # evict dead sessions' tables on insert: a long-lived process
-        # cycling SparkSessions must not accumulate one full merge list
-        # per stopped application
-        for stale in [k for k in _MERGE_CACHE if k[0] != app]:
-            del _MERGE_CACHE[stale]
-        _MERGE_CACHE[key] = learn_bpe_merges(
+    hit = _MERGE_CACHE.pop(key, None)
+    if hit is None:
+        hit = learn_bpe_merges(
             spark, load(spark, sf_dir, "documents"), BPE_MERGES
         )
-    return _MERGE_CACHE[key]
+        while len(_MERGE_CACHE) >= _MERGE_CACHE_MAX:  # evict the LRU
+            del _MERGE_CACHE[next(iter(_MERGE_CACHE))]
+    _MERGE_CACHE[key] = hit  # (re-)insert = most recently used
+    return hit
 
 
 def encode_word(sym: list[str], ranked: dict[tuple[str, str], int]) -> list[str]:

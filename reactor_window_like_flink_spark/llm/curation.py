@@ -883,10 +883,18 @@ def fold_ledger_window(
     Every fs.rename/fs.delete boolean is checked — a False return (e.g.
     a permissions regression) raises instead of silently dropping the
     window, and a failed tmp→src rename rolls old back to src so the
-    ledger is never left without the partition."""
+    ledger is never left without the partition. Deletes tolerate
+    already-absent paths (HDFS ``delete`` returns False for those) but
+    raise when the path SURVIVES a False return — a silently failing
+    delete would otherwise leave .compact-old/-tmp dirs behind
+    (repairable on the next run, but worth failing loudly for)."""
     hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
     jpath_cls = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
     fs = jpath_cls(ledger_dir).getFileSystem(hconf)
+
+    def _delete_checked(jpath, label: str) -> None:
+        if not fs.delete(jpath, True) and fs.exists(jpath):
+            raise IOError(f"compaction delete failed: {label}")
     for k in range(lo, hi):
         src = f"{ledger_dir}/batch_id={k}"
         tmp = f"{ledger_dir}/.compact-tmp-{k}"
@@ -898,7 +906,7 @@ def fold_ledger_window(
                 # tmp is the COMPLETE compacted copy — finish the swap.
                 if not fs.rename(jtmp, jsrc):
                     raise IOError(f"compaction recovery rename failed: {tmp}")
-                fs.delete(jold, True)
+                _delete_checked(jold, old)
             elif fs.exists(jold):
                 # interrupted right after rename(src->old) with no tmp
                 # left (tmp was cleaned): old IS the data — restore it.
@@ -908,7 +916,7 @@ def fold_ledger_window(
                 continue  # partition genuinely absent
         elif fs.exists(jold):
             # interrupted before delete(old): src is the compacted copy.
-            fs.delete(jold, True)
+            _delete_checked(jold, old)
         n_files = sum(
             1
             for s in fs.listStatus(jsrc)
@@ -916,15 +924,20 @@ def fold_ledger_window(
         )
         if n_files <= 1:
             continue  # already compact (or replay after a fold)
-        fs.delete(jtmp, True)
+        _delete_checked(jtmp, tmp)
         layout_compact(spark, src, tmp, target_file_bytes)
         if not fs.rename(jsrc, jold):
             raise IOError(f"compaction swap rename failed: {src} -> {old}")
         if not fs.rename(jtmp, jsrc):
             # roll back so the ledger never loses the partition
-            fs.rename(jold, jsrc)
+            if not fs.rename(jold, jsrc):
+                raise IOError(
+                    f"compaction swap rename failed: {tmp} -> {src}; "
+                    f"ROLLBACK {old} -> {src} ALSO FAILED — partition "
+                    f"{k} is parked at {old} (next run repairs it)"
+                )
             raise IOError(f"compaction swap rename failed: {tmp} -> {src}")
-        fs.delete(jold, True)
+        _delete_checked(jold, old)
 
 
 def corpus_ingest_sink(

@@ -630,11 +630,13 @@ def auto_lsh_bits(
     ``bits = ceil(log2(n / target_bucket_size))`` holds expected bucket
     occupancy at ``target_bucket_size`` vectors, i.e. candidate work at
     ~n·bands·target/2 pairs — linear in n for fixed target. Clamped to
-    [1, max_bits]; callers re-derive per corpus (a cheap ``count()``)
-    and pass the result to ``emb_band_buckets[_fast]``. The fixture
-    keys keep the 8×4 literals — the sf0.01 oracle depends on them —
-    so this helper is the production sizing path, not a registry
-    change."""
+    [1, max_bits]. Since round 9 this IS the default sizing:
+    ``emb_band_buckets[_fast]``, ``lsh_cosine_pairs_fast`` and
+    ``similarity_join`` derive bits from a corpus ``count()`` when the
+    caller passes ``bits=None`` (their default). Only the
+    fixture-pinned oracle/equality keys (``q_dedup_embedding[_fast]``,
+    ``q_similarity_join[_fast]``, ``q_knn_graph``) still pass the 8×4
+    literals explicitly — the sf0.01 oracle hashes depend on them."""
     if n_vectors <= 0:
         return 1
     return max(1, min(max_bits, math.ceil(
@@ -644,8 +646,8 @@ def auto_lsh_bits(
 
 def emb_band_buckets_fast(
     emb: DataFrame,
-    bands: int = EMB_LSH_BANDS,
-    bits: int = EMB_LSH_BITS,
+    bands: int | None = None,
+    bits: int | None = None,
     seed: int = EMB_LSH_SEED,
     materialize: bool = False,
 ) -> DataFrame:
@@ -656,10 +658,22 @@ def emb_band_buckets_fast(
     ``materialize=True`` from call sites that consume the buckets more
     than once (the self-joining dedup/kNN builders do — ReusedExchange
     can't fire across a Python mapInPandas); single-consumption callers
-    keep the default and skip the eager localCheckpoint copy."""
+    keep the default and skip the eager localCheckpoint copy.
+
+    ``bits=None`` (the default) sizes the bucket width from the corpus
+    count via ``auto_lsh_bits`` — one cheap ``count()`` job — because
+    banded candidate volume is Θ(n²/2^bits): fixed-width buckets
+    degenerate toward all-pairs as the corpus grows (the sf1 probe
+    measured the old 8×4 literals putting 20k vectors at ~half of
+    all-pairs, BASELINE.md). Fixture-pinned oracle/equality keys pass
+    the ``EMB_LSH_BANDS``/``EMB_LSH_BITS`` literals explicitly."""
     import numpy as np
     import pandas as pd
 
+    if bands is None:
+        bands = EMB_LSH_BANDS
+    if bits is None:
+        bits = auto_lsh_bits(emb.count())
     planes_t = _emb_hyperplanes(bands * bits, seed)
 
     def sig_batches(batches):
@@ -691,18 +705,23 @@ def emb_band_buckets_fast(
 
 def emb_band_buckets(
     emb: DataFrame,
-    bands: int = EMB_LSH_BANDS,
-    bits: int = EMB_LSH_BITS,
+    bands: int | None = None,
+    bits: int | None = None,
     seed: int = EMB_LSH_SEED,
 ) -> DataFrame:
     """Sign-LSH band/bucket assignment: (vec_id, band, bucket), one row
-    per band. Shared by the embedding near-dup join (defaults — the
-    oracle literals depend on them) and the kNN-graph builder
+    per band. Shared by the embedding near-dup join (which pins the
+    oracle literals explicitly) and the kNN-graph builder
     (llm/similarity.py — more bands at its own seed, since kNN needs
     recall at moderate cosine where near-dup only needs it near 1.0).
     The interpreted HOF dot products are the oracle-exact form; the fast
     twin (`lsh_cosine_pairs_fast`) does the same banding as one numpy
-    matmul."""
+    matmul. ``bits=None`` derives from the corpus count via
+    ``auto_lsh_bits`` (same sizing contract as the fast twin)."""
+    if bands is None:
+        bands = EMB_LSH_BANDS
+    if bits is None:
+        bits = auto_lsh_bits(emb.count())
     planes = _emb_hyperplanes(bands * bits, seed)
 
     def plane_dot(h: list[float]) -> F.Column:
@@ -759,7 +778,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     e = emb.select("vec_id", "embedding", F.sqrt(sq_sum).alias("nrm"))
-    buckets = emb_band_buckets(emb)
+    # oracle-pinned literals: the DuckDB mirror bakes these widths into
+    # its bucket SQL; production sizing is the bits=None auto default.
+    buckets = emb_band_buckets(emb, bands=EMB_LSH_BANDS, bits=EMB_LSH_BITS)
     # hint("merge"): sort-merge makes both self-join sides identical
     # shuffle children, so ReuseExchange evaluates the 32-dot signature
     # pass once; a broadcast build would recompute it for the build side.
@@ -802,11 +823,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add("q_dedup_embedding_fast")  # rows-only: numpy SIMD summation is
-# not bit-identical to the oracle's left fold; pair-set equality with the
-# oracle-checked HOF form is asserted in tests/test_dedup.py instead.
 def lsh_cosine_pairs_fast(
-    spark: SparkSession, sf_dir: str, threshold: float = EMB_COSINE_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = EMB_COSINE_THRESHOLD,
+    bands: int | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """Production-kernel variant of ``q_dedup_embedding``: identical
     sign-LSH banding and exact-cosine confirm, but the signature pass and
@@ -837,7 +859,9 @@ def lsh_cosine_pairs_fast(
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    grouped = emb_band_buckets_fast(emb).join(emb, "vec_id")
+    grouped = emb_band_buckets_fast(emb, bands=bands, bits=bits).join(
+        emb, "vec_id"
+    )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -883,6 +907,20 @@ def lsh_cosine_pairs_fast(
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cosine").alias("cosine"))
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+@REG.add("q_dedup_embedding_fast")  # rows-only: numpy SIMD summation is
+# not bit-identical to the oracle's left fold; pair-set equality with the
+# oracle-checked HOF form is asserted in tests/test_dedup.py instead.
+def q_dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-pinned registration of ``lsh_cosine_pairs_fast``: widths
+    pinned to the oracle literals so the pair-set-equality contract with
+    ``q_dedup_embedding`` stays exact on the sweep fixtures. Production
+    callers use ``lsh_cosine_pairs_fast`` directly and get the
+    ``auto_lsh_bits`` corpus-sized default (``bits=None``)."""
+    return lsh_cosine_pairs_fast(
+        spark, sf_dir, bands=EMB_LSH_BANDS, bits=EMB_LSH_BITS
     )
 
 

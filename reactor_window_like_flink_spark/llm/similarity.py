@@ -820,9 +820,9 @@ def similarity_join(
     sits within float-summation error of zero (pair-set equality on the
     fixtures is pytest-asserted).
 
-    ``bands``/``bits`` default to the fixture literals the oracle
-    depends on; the PRODUCTION call sizes ``bits`` with
-    ``auto_lsh_bits(corpus_count)`` so candidate volume stays
+    ``bands``/``bits`` default to ``None`` = the production sizing:
+    ``bits = auto_lsh_bits(corpus_count)`` (one cheap ``count()`` of
+    the corpus side) so candidate volume stays
     ~n·bands·target/2 (measured at the sf1 probe, 2k×18k eval/corpus:
     4-bit fixture buckets → ~18M candidates and a driver-maxResultSize
     failure; 11 auto bits → 186,490 candidates, 10.6 s single-run
@@ -830,22 +830,27 @@ def similarity_join(
     cosine shrinks with bits; near-dup thresholds keep theirs). Two
     broadcast frames, each with its own bound: the candidate ID pairs
     (never joined to embeddings before broadcast — that product is
-    what blew up) and the eval-set embeddings."""
+    what blew up) and the eval-set embeddings. The fixture-pinned
+    registered keys (``q_similarity_join[_fast]``) pass the oracle
+    literals explicitly."""
     from reactor_window_like_flink_spark.llm.dedup import (
         EMB_COSINE_THRESHOLD,
         EMB_LSH_BANDS,
-        EMB_LSH_BITS,
+        auto_lsh_bits,
         emb_band_buckets,
         emb_band_buckets_fast,
     )
 
-    bands = EMB_LSH_BANDS if bands is None else bands
-    bits = EMB_LSH_BITS if bits is None else bits
     bander = emb_band_buckets_fast if fast_banding else emb_band_buckets
     emb = load(spark, sf_dir, "embeddings")
     is_query = F.col("vec_id") % SIMJOIN_QUERY_MOD == 0
     queries = emb.filter(is_query)
     corpus = emb.filter(~is_query)
+    if bands is None:
+        bands = EMB_LSH_BANDS
+    if bits is None:
+        # size by the big (corpus) side — it dominates candidate volume
+        bits = auto_lsh_bits(corpus.count())
     qb = bander(queries, bands=bands, bits=bits).withColumnRenamed(
         "vec_id", "query_id"
     )
@@ -881,8 +886,17 @@ def similarity_join(
 @REG.add("q_similarity_join", _emb_cross_oracle())
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-exact cross-corpus similarity join (HOF banding — the
-    DuckDB bit-identical mirror); see ``similarity_join``."""
-    return similarity_join(spark, sf_dir, fast_banding=False)
+    DuckDB bit-identical mirror, widths pinned to the oracle literals);
+    see ``similarity_join``."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS,
+    )
+
+    return similarity_join(
+        spark, sf_dir, fast_banding=False,
+        bands=EMB_LSH_BANDS, bits=EMB_LSH_BITS,
+    )
 
 
 @REG.add("q_similarity_join_fast")  # rows-only: numpy banding's SIMD
@@ -891,5 +905,16 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserted in tests/test_similarity.py.
 def q_similarity_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-kernel cross-corpus similarity join (numpy-matmul
-    banding, JVM confirm); see ``similarity_join``."""
-    return similarity_join(spark, sf_dir, fast_banding=True)
+    banding, JVM confirm), widths pinned to the oracle literals so the
+    pair-set-equality contract with ``q_similarity_join`` stays exact;
+    see ``similarity_join`` (whose ``bits=None`` default is the
+    ``auto_lsh_bits`` production sizing)."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS,
+    )
+
+    return similarity_join(
+        spark, sf_dir, fast_banding=True,
+        bands=EMB_LSH_BANDS, bits=EMB_LSH_BITS,
+    )

@@ -169,16 +169,19 @@ def test_embedding_pairs_vs_brute_force(spark, sf_dir):
 def test_embedding_fast_kernel_matches_exact_form(spark, sf_dir):
     """The Arrow/numpy production kernel and the oracle-exact HOF form
     make identical keep/drop decisions on the fixture (margins far exceed
-    float-summation error), with cosines equal to ~1e-9."""
-    from reactor_window_like_flink_spark.llm.dedup import lsh_cosine_pairs_fast
-
+    float-summation error), with cosines equal to ~1e-9. Uses the
+    fixture-pinned registered key — the bare function's bits=None
+    default is the auto_lsh_bits production sizing, a different
+    candidate universe."""
     exact = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
         for r in entry_mod.queries()["q_dedup_embedding"](spark, sf_dir).collect()
     }
     fast = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
-        for r in lsh_cosine_pairs_fast(spark, sf_dir).collect()
+        for r in entry_mod.queries()["q_dedup_embedding_fast"](
+            spark, sf_dir
+        ).collect()
     }
     assert fast.keys() == exact.keys()
     assert all(abs(fast[k] - exact[k]) <= 1e-4 for k in exact)
@@ -350,3 +353,41 @@ def test_auto_lsh_bits_scales_with_corpus():
     for n in (10**3, 10**5, 10**7):
         b = auto_lsh_bits(n, 10)
         assert n / (1 << b) <= 10
+
+
+def test_lsh_default_is_auto_sized_and_bounds_candidate_volume(spark):
+    """bits=None (the production default since round 9) derives the
+    bucket width from the corpus count, and the resulting banded
+    candidate volume stays within the occupancy bound
+    ~n*bands*target_bucket_size — linear in n, not Theta(n^2/2^bits)
+    like the old fixture-literal default (BASELINE.md sf1 probe:
+    8x4 literals put 20k vectors at ~half of all-pairs)."""
+    import numpy as np
+
+    from reactor_window_like_flink_spark.llm import dedup as dd
+
+    n = 4096
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(v) for v in rng.standard_normal(dd.EMB_DIM)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expected_bits = dd.auto_lsh_bits(n)  # ceil(log2(4096/10)) = 9
+    assert expected_bits == 9
+    buckets = dd.emb_band_buckets_fast(df)  # bits=None -> auto
+    occ = buckets.groupBy("band", "bucket").count().collect()
+    # every bucket id fits the derived width (proves auto sizing ran)
+    assert all(0 <= r["band"] < dd.EMB_LSH_BANDS for r in occ)
+    assert all(0 <= r["bucket"] < (1 << expected_bits) for r in occ)
+    pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in occ)
+    # occupancy bound: ~n*bands*target/2 expected; 2x slack for skew
+    assert 0 < pairs <= n * dd.EMB_LSH_BANDS * 10
+    # the fixture literals on the same corpus are catastrophically
+    # coarser -- the hazard the auto default removes
+    fix = dd.emb_band_buckets_fast(
+        df, bands=dd.EMB_LSH_BANDS, bits=dd.EMB_LSH_BITS
+    )
+    occ_fix = fix.groupBy("band", "bucket").count().collect()
+    pairs_fix = sum(r["count"] * (r["count"] - 1) // 2 for r in occ_fix)
+    assert pairs_fix > 10 * pairs

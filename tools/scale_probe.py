@@ -203,9 +203,18 @@ def main() -> int:
     emb = spark.read.parquet(f"{out_sf}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    buckets = dd.emb_band_buckets_fast(emb)
-    result["candidates"]["emb_band_pairs"] = cooccupancy(
-        buckets, "band", "bucket"
+    # fixture literals (the old default — the measured Θ(n²/2^bits)
+    # hazard) vs the auto_lsh_bits corpus-sized default (bits=None)
+    buckets_fixture = dd.emb_band_buckets_fast(
+        emb, bands=dd.EMB_LSH_BANDS, bits=dd.EMB_LSH_BITS
+    )
+    result["candidates"]["emb_band_pairs_fixture"] = cooccupancy(
+        buckets_fixture, "band", "bucket"
+    )
+    n_vec = emb.count()
+    result["candidates"]["emb_auto_bits"] = dd.auto_lsh_bits(n_vec)
+    result["candidates"]["emb_band_pairs_auto"] = cooccupancy(
+        dd.emb_band_buckets_fast(emb), "band", "bucket"
     )
 
     # jaccard prefix-filter candidates: reconstruct the prefix frame the
