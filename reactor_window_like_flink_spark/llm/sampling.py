@@ -576,21 +576,56 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal priority-prefix whose running total fits (take-while on the
     cumulative sum).
 
-    Plan: one narrow scan computing (tokens, priority) per row, ONE
-    per-domain sort-shuffle for the partitioned running-sum window, a
-    rides-the-window filter. No join, no collect, re-runs are
-    bit-identical. At 100 TB the per-domain sort is the cost; when a
-    mega-domain makes it hurt, locate the budget-crossing priority
-    first (fixed-width histogram over the 32-bit priority space —
-    the q_length_deciles edge pattern — or percentile_approx over
-    cumulative mass), then sort ONLY rows below that threshold:
-    identical output, sort input shrunk to the admitted prefix. The
-    registered form keeps the canonical single-window plan."""
+    Plan (the mega-domain two-phase form, registered since round 9 —
+    the previous single-window plan sorted EVERY row of every domain,
+    so a 90%-one-domain corpus single-tasked its largest ``lang``):
+
+    1. Histogram phase: bucket the 32-bit priority space into
+       {TOKEN_BUDGET_HIST_BUCKETS} fixed-width ranges and aggregate
+       token mass per (lang, bucket) — a map-side-combined groupBy
+       whose output is O(domains × buckets) rows, never corpus-sized.
+       A running sum over that tiny frame locates each domain's
+       budget-CROSSING bucket (NULL when the whole domain fits).
+    2. Prefix phase: broadcast the per-domain crossing bucket back,
+       keep only rows at-or-below it — every row strictly below is
+       provably admitted (its cumsum ≤ the pre-crossing mass ≤ budget)
+       and every row strictly above is provably rejected (its cumsum ≥
+       the through-crossing mass > budget) — and run the exact
+       running-sum window on that admitted-prefix-plus-one-bucket
+       remainder only. Identical output to the single-window plan
+       (the final ``cum_tokens <= budget`` filter settles the crossing
+       bucket's rows), but the per-domain sort input shrinks from the
+       whole domain to ~budget worth of rows + one bucket's width.
+
+    The fact table is scanned twice (histogram + prefix) — two narrow
+    scans beat one corpus-wide sort; the histogram shuffle is map-side
+    combined to O(domains × buckets)."""
+    t = token_budget_scored(spark, sf_dir)
+    prefix = token_budget_prefix(t, TOKEN_BUDGET_PER_DOMAIN)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        prefix.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_DOMAIN)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_HIST_BUCKETS = 1024  # 2^10 fixed-width pri ranges
+_TOKEN_BUDGET_HIST_SHIFT = 22  # 32-bit pri >> 22 -> bucket in [0, 1024)
+
+
+def token_budget_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, pri): the narrow scoring scan shared by
+    both phases of the token-budget plan."""
     docs = load(spark, sf_dir, "documents")
     pri = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    t = docs.select(
+    return docs.select(
         "doc_id",
         "lang",
         F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias(
@@ -598,13 +633,39 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pri.alias("pri"),
     )
-    w = (
+
+
+def token_budget_prefix(t: DataFrame, budget: int) -> DataFrame:
+    """Phase-1+2 of the mega-domain token-budget plan: locate each
+    domain's budget-crossing priority bucket from a fixed-width
+    histogram and return only the rows at-or-below it (columns of ``t``
+    unchanged). The caller's exact running-sum window then sorts this
+    admitted prefix instead of the whole domain — the output-identity
+    argument lives on ``q_token_budget``."""
+    bucketed = t.withColumn(
+        "_bkt", F.shiftright("pri", _TOKEN_BUDGET_HIST_SHIFT)
+    )
+    wb = (
         Window.partitionBy("lang")
-        .orderBy("pri", "doc_id")
+        .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    crossing = (
+        bucketed.groupBy("lang", "_bkt")
+        .agg(F.sum("n_tokens").alias("_bucket_tokens"))
+        .withColumn("_cum", F.sum("_bucket_tokens").over(wb))
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("_cum") > budget, F.col("_bkt"))
+            ).alias("_crossing_bkt")
+        )
+    )
     return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_DOMAIN)
-        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        bucketed.join(F.broadcast(crossing), "lang")
+        .filter(
+            F.col("_crossing_bkt").isNull()
+            | (F.col("_bkt") <= F.col("_crossing_bkt"))
+        )
+        .drop("_bkt", "_crossing_bkt")
     )
