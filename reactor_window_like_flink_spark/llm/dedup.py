@@ -634,14 +634,88 @@ def auto_lsh_bits(
     ``emb_band_buckets[_fast]``, ``lsh_cosine_pairs_fast`` and
     ``similarity_join`` derive bits from a corpus ``count()`` when the
     caller passes ``bits=None`` (their default). Only the
-    fixture-pinned oracle/equality keys (``q_dedup_embedding[_fast]``,
-    ``q_similarity_join[_fast]``, ``q_knn_graph``) still pass the 8×4
-    literals explicitly — the sf0.01 oracle hashes depend on them."""
+    fixture-pinned oracle/equality keys still pass literals explicitly:
+    ``q_dedup_embedding[_fast]`` and ``q_similarity_join[_fast]`` the
+    8×4 ``EMB_LSH_*`` pair (the sf0.01 oracle hashes depend on them),
+    ``q_knn_graph`` its own 16×4 ``KNN_LSH_*`` pair at its own seed.
+    Occupancy-sized bits hold candidate VOLUME, not recall — see
+    ``auto_lsh_plan`` for the joint (bands, bits) sizing that holds
+    both."""
     if n_vectors <= 0:
         return 1
     return max(1, min(max_bits, math.ceil(
         math.log2(max(2.0, n_vectors / max(1, target_bucket_size)))
     )))
+
+
+def lsh_recall(threshold: float, bands: int, bits: int) -> float:
+    """Exact banded sign-LSH recall at cosine == ``threshold``: with
+    per-bit agreement p = 1 - arccos(cos)/π (Goemans–Williamson), a pair
+    collides in some band with probability 1 - (1 - p^bits)^bands.
+    Recall RISES above the threshold (the S-curve), so this is the
+    worst case over the pairs the join is supposed to find."""
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p_band = p**bits
+    return 1.0 - (1.0 - p_band) ** bands
+
+
+def auto_lsh_plan(
+    n_vectors: int,
+    threshold: float = EMB_COSINE_THRESHOLD,
+    recall_target: float = 0.9,
+    target_bucket_size: int = 10,
+    max_bits: int = 24,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Jointly size (bands, bits) so candidate volume stays ~linear in
+    the corpus AND recall at ``threshold`` holds — the round-9 rule
+    (``auto_lsh_bits``) grew bits with the corpus while bands stayed at
+    the 8-band fixture literal, so recall silently decayed with scale
+    (at the 24-bit clamp a cosine-0.95 pair collides in some band only
+    ~48% of the time under 8 bands).
+
+    Sizing: bits stay occupancy-bound (``auto_lsh_bits(n)``) — the
+    volume bound is inviolable; widening buckets to buy recall is the
+    Θ(n²) regime this family exists to avoid — and bands solve the
+    S-curve for ``recall_target`` at ``threshold``:
+    ``bands = ceil(ln(1-recall) / ln(1-p^bits))``, clamped to
+    ``max_bands``. Candidate volume is ~n·bands·target_bucket_size/2 —
+    still linear in n, at most ``max_bands/8``× the old fixed-8-band
+    cost. When even ``max_bands`` can't reach the target — the
+    genuinely-low-threshold regime (e.g. the 0.3 fixture demo value),
+    where holding high recall requires candidate work approaching
+    all-pairs and NO LSH parameter choice escapes that math — the plan
+    clamps and emits a ``UserWarning`` with the achieved worst-case
+    recall; callers wanting exhaustive low-threshold joins should use
+    the exact kernels. Audit any plan with
+    ``lsh_recall(threshold, *plan)``.
+
+    True near-dup thresholds are well-behaved: at cosine 0.95 this
+    yields (7 bands, 11 bits) at 20k vectors, (19, 20) at 10M, (29, 24)
+    at 10⁹ — recall ≥ 0.9 with ~10-vector buckets throughout."""
+    bits = auto_lsh_bits(n_vectors, target_bucket_size, max_bits)
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p_band = p**bits
+    if p_band >= 1.0:
+        return 1, bits
+    need = math.ceil(
+        math.log(max(1e-12, 1.0 - recall_target)) / math.log(1.0 - p_band)
+    )
+    bands = max(1, min(max_bands, need))
+    if need > max_bands:
+        import warnings
+
+        warnings.warn(
+            f"auto_lsh_plan: recall target {recall_target} at cosine "
+            f"threshold {threshold} needs {need} bands but max_bands="
+            f"{max_bands}; clamped plan ({bands} bands x {bits} bits) "
+            f"achieves worst-case recall "
+            f"{lsh_recall(threshold, bands, bits):.3f}. Low thresholds "
+            "are outside banded LSH's economic regime — use the exact "
+            "kernels for exhaustive low-threshold joins.",
+            stacklevel=2,
+        )
+    return bands, bits
 
 
 def emb_band_buckets_fast(
@@ -650,6 +724,7 @@ def emb_band_buckets_fast(
     bits: int | None = None,
     seed: int = EMB_LSH_SEED,
     materialize: bool = False,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Production-kernel twin of ``emb_band_buckets``: the same sign-LSH
     assignment as ONE numpy matmul per Arrow batch instead of
@@ -661,19 +736,29 @@ def emb_band_buckets_fast(
     keep the default and skip the eager localCheckpoint copy.
 
     ``bits=None`` (the default) sizes the bucket width from the corpus
-    count via ``auto_lsh_bits`` — one cheap ``count()`` job — because
-    banded candidate volume is Θ(n²/2^bits): fixed-width buckets
-    degenerate toward all-pairs as the corpus grows (the sf1 probe
-    measured the old 8×4 literals putting 20k vectors at ~half of
-    all-pairs, BASELINE.md). Fixture-pinned oracle/equality keys pass
-    the ``EMB_LSH_BANDS``/``EMB_LSH_BITS`` literals explicitly."""
+    count via ``auto_lsh_bits`` because banded candidate volume is
+    Θ(n²/2^bits): fixed-width buckets degenerate toward all-pairs as
+    the corpus grows (the sf1 probe measured the old 8×4 literals
+    putting 20k vectors at ~half of all-pairs, BASELINE.md). That
+    count is one extra job — and it re-executes ``emb``'s FULL lineage,
+    so callers with expensive upstream plans should either cache
+    ``emb`` first or pass ``n_vectors`` (a known/precomputed count)
+    to skip the job entirely. NOTE the bands side of the trade:
+    occupancy-sized bits hold candidate volume, not recall — recall at
+    a FIXED threshold decays as bits grow with the corpus unless bands
+    grow too. Threshold-aware callers (``lsh_cosine_pairs_fast``,
+    ``similarity_join``) size both jointly via ``auto_lsh_plan``;
+    fixture-pinned oracle/equality keys pass the
+    ``EMB_LSH_BANDS``/``EMB_LSH_BITS`` literals explicitly."""
     import numpy as np
     import pandas as pd
 
     if bands is None:
         bands = EMB_LSH_BANDS
     if bits is None:
-        bits = auto_lsh_bits(emb.count())
+        bits = auto_lsh_bits(
+            emb.count() if n_vectors is None else n_vectors
+        )
     planes_t = _emb_hyperplanes(bands * bits, seed)
 
     def sig_batches(batches):
@@ -708,20 +793,26 @@ def emb_band_buckets(
     bands: int | None = None,
     bits: int | None = None,
     seed: int = EMB_LSH_SEED,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Sign-LSH band/bucket assignment: (vec_id, band, bucket), one row
     per band. Shared by the embedding near-dup join (which pins the
     oracle literals explicitly) and the kNN-graph builder
-    (llm/similarity.py — more bands at its own seed, since kNN needs
-    recall at moderate cosine where near-dup only needs it near 1.0).
+    (llm/similarity.py — which pins its own KNN_LSH_BANDS=16 ×
+    KNN_LSH_BITS=4 literals at its own seed, since kNN needs recall at
+    moderate cosine where near-dup only needs it near 1.0).
     The interpreted HOF dot products are the oracle-exact form; the fast
     twin (`lsh_cosine_pairs_fast`) does the same banding as one numpy
     matmul. ``bits=None`` derives from the corpus count via
-    ``auto_lsh_bits`` (same sizing contract as the fast twin)."""
+    ``auto_lsh_bits`` (same sizing contract — and same lineage-recount
+    and recall caveats — as the fast twin; pass ``n_vectors`` to skip
+    the count job)."""
     if bands is None:
         bands = EMB_LSH_BANDS
     if bits is None:
-        bits = auto_lsh_bits(emb.count())
+        bits = auto_lsh_bits(
+            emb.count() if n_vectors is None else n_vectors
+        )
     planes = _emb_hyperplanes(bands * bits, seed)
 
     def plane_dot(h: list[float]) -> F.Column:
@@ -854,11 +945,19 @@ def lsh_cosine_pairs_fast(
     carries qualifying pairs (x shared-bucket multiplicity, deduped
     once), not the quadratic candidate volume. Identical pair set: the
     candidate universe (>= 1 shared bucket) and the exact-cosine
-    confirm are unchanged, only where the dot products run moved."""
+    confirm are unchanged, only where the dot products run moved.
+
+    ``bands=None, bits=None`` (the defaults) size BOTH jointly via
+    ``auto_lsh_plan(count, threshold)`` — bits bound candidate volume,
+    bands hold recall ≥ 0.9 at ``threshold`` (the round-10 fix for the
+    bands-fixed-while-bits-grow recall decay). Passing only one pins
+    that one and derives the other."""
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if bands is None and bits is None:
+        bands, bits = auto_lsh_plan(emb.count(), threshold)
     grouped = emb_band_buckets_fast(emb, bands=bands, bits=bits).join(
         emb, "vec_id"
     )

@@ -615,7 +615,19 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOKEN_BUDGET_HIST_BUCKETS = 1024  # 2^10 fixed-width pri ranges
-_TOKEN_BUDGET_HIST_SHIFT = 22  # 32-bit pri >> 22 -> bucket in [0, 1024)
+# pri is the first 8 md5 hex chars (token_budget_scored), i.e. 32 bits;
+# the shift is DERIVED so editing the bucket count (or the pri width)
+# can't silently break the bucket range.
+_TOKEN_BUDGET_PRI_BITS = 32
+_TOKEN_BUDGET_HIST_SHIFT = (
+    _TOKEN_BUDGET_PRI_BITS - TOKEN_BUDGET_HIST_BUCKETS.bit_length() + 1
+)
+assert TOKEN_BUDGET_HIST_BUCKETS == 1 << (
+    TOKEN_BUDGET_HIST_BUCKETS.bit_length() - 1
+), "TOKEN_BUDGET_HIST_BUCKETS must be a power of two"
+assert (
+    1 << (_TOKEN_BUDGET_PRI_BITS - _TOKEN_BUDGET_HIST_SHIFT)
+) == TOKEN_BUDGET_HIST_BUCKETS
 
 
 def token_budget_scored(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -535,18 +535,33 @@ KNN_LSH_BITS = 4
 KNN_LSH_SEED = 20260814
 
 
-@REG.add("q_knn_graph")  # rows-only: LSH candidate generation is
-# probabilistic (no DuckDB xxhash mirror needed — the hyperplanes ARE
-# shared literals, but the candidate-set-restricted top-k has no clean
-# SQL mirror); pytest asserts recall vs brute force on clustered data
-# and exactness of every emitted cosine.
-def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN graph: top-{KNN_K} cosine neighbors per vector
-    among sign-LSH candidates (same banding family as the embedding
-    near-dup join — `llm/dedup.py:emb_band_buckets_fast`, numpy-matmul
-    signature pass). This is the all-vectors neighbor JOIN (kNN-graph
-    construction for clustering/diversity passes), not the single-query
-    top-k of q_similarity_cosine.
+def knn_graph(
+    emb: DataFrame,
+    k: int = KNN_K,
+    bands: int | None = None,
+    bits: int | None = None,
+    seed: int = KNN_LSH_SEED,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Approximate kNN graph over an (vec_id, embedding) frame: top-``k``
+    cosine neighbors per vector among sign-LSH candidates (same banding
+    family as the embedding near-dup join —
+    `llm/dedup.py:emb_band_buckets_fast`, numpy-matmul signature pass).
+    This is the all-vectors neighbor JOIN (kNN-graph construction for
+    clustering/diversity passes), not the single-query top-k of
+    q_similarity_cosine.
+
+    ``bits=None`` (the default) derives the bucket width from the
+    corpus count via ``auto_lsh_bits`` — the same corpus-sized
+    production default as the other three LSH paths
+    (``emb_band_buckets[_fast]``, ``lsh_cosine_pairs_fast``,
+    ``similarity_join``); pass ``n_vectors`` to skip the count job when
+    the size is already known, and cache ``emb`` first if its lineage
+    is expensive (the count re-executes it). ``bands`` defaults to the
+    kNN family's {KNN_LSH_BANDS}-band literal — kNN needs recall at
+    MODERATE cosine, which more/narrower bands buy at bounded candidate
+    volume. The fixture key ``q_knn_graph`` pins both literals (its
+    recall/exactness pytests depend on them).
 
     Scale shape (round-7 rework — the sf1 probe measured the previous
     pair-join form at 309 s / ~10⁸ candidate rows at 20k vectors,
@@ -570,13 +585,17 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from reactor_window_like_flink_spark.llm.dedup import (
+        auto_lsh_bits,
         emb_band_buckets_fast,
     )
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = emb_band_buckets_fast(
-        emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED
-    )
+    if bands is None:
+        bands = KNN_LSH_BANDS
+    if bits is None:
+        bits = auto_lsh_bits(
+            emb.count() if n_vectors is None else n_vectors
+        )
+    buckets = emb_band_buckets_fast(emb, bands=bands, bits=bits, seed=seed)
     grouped = buckets.join(emb, "vec_id")
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -594,7 +613,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         xn = x / np.linalg.norm(x, axis=1)[:, None]
-        kk = min(KNN_K, m - 1)  # uniform per bucket: same m for all rows
+        kk = min(k, m - 1)  # uniform per bucket: same m for all rows
         out_v: list = []
         out_u: list = []
         out_c: list = []
@@ -647,13 +666,31 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
+        .filter(F.col("rank") <= k)
         .select(
             "vec_id",
             "neighbor_id",
             F.round("_cos", 4).alias("cosine"),
             "rank",
         )
+    )
+
+
+@REG.add("q_knn_graph")  # rows-only: LSH candidate generation is
+# probabilistic (no DuckDB xxhash mirror needed — the hyperplanes ARE
+# shared literals, but the candidate-set-restricted top-k has no clean
+# SQL mirror); pytest asserts recall vs brute force on clustered data
+# and exactness of every emitted cosine.
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-pinned registration of ``knn_graph``: the
+    {KNN_LSH_BANDS}×{KNN_LSH_BITS} kNN-family literals at the kNN seed,
+    which the recall/exactness pytests (and the rows-only driver
+    record) depend on. Library callers use ``knn_graph`` directly and
+    get the ``auto_lsh_bits`` corpus-sized default (``bits=None``).
+    Semantics and the 100 TB scale argument live on ``knn_graph``."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_graph(
+        emb, bands=KNN_LSH_BANDS, bits=KNN_LSH_BITS, seed=KNN_LSH_SEED
     )
 
 
@@ -821,13 +858,14 @@ def similarity_join(
     fixtures is pytest-asserted).
 
     ``bands``/``bits`` default to ``None`` = the production sizing:
-    ``bits = auto_lsh_bits(corpus_count)`` (one cheap ``count()`` of
-    the corpus side) so candidate volume stays
-    ~n·bands·target/2 (measured at the sf1 probe, 2k×18k eval/corpus:
-    4-bit fixture buckets → ~18M candidates and a driver-maxResultSize
-    failure; 11 auto bits → 186,490 candidates, 10.6 s single-run
-    end-to-end — with the usual LSH trade that recall at MODERATE
-    cosine shrinks with bits; near-dup thresholds keep theirs). Two
+    ``(bands, bits) = auto_lsh_plan(corpus_count, threshold)`` — one
+    cheap ``count()`` of the corpus side; bits bound candidate volume
+    at ~n·bands·target/2 (measured at the sf1 probe, 2k×18k
+    eval/corpus: 4-bit fixture buckets → ~18M candidates and a
+    driver-maxResultSize failure; 11 auto bits → 186,490 candidates,
+    10.6 s single-run end-to-end) and bands scale with bits to hold
+    recall ≥ 0.9 at the configured threshold (occupancy-only sizing
+    let recall decay as bits grew — the round-10 ADVICE fix). Two
     broadcast frames, each with its own bound: the candidate ID pairs
     (never joined to embeddings before broadcast — that product is
     what blew up) and the eval-set embeddings. The fixture-pinned
@@ -835,8 +873,8 @@ def similarity_join(
     literals explicitly."""
     from reactor_window_like_flink_spark.llm.dedup import (
         EMB_COSINE_THRESHOLD,
-        EMB_LSH_BANDS,
         auto_lsh_bits,
+        auto_lsh_plan,
         emb_band_buckets,
         emb_band_buckets_fast,
     )
@@ -846,10 +884,10 @@ def similarity_join(
     is_query = F.col("vec_id") % SIMJOIN_QUERY_MOD == 0
     queries = emb.filter(is_query)
     corpus = emb.filter(~is_query)
-    if bands is None:
-        bands = EMB_LSH_BANDS
-    if bits is None:
+    if bands is None and bits is None:
         # size by the big (corpus) side — it dominates candidate volume
+        bands, bits = auto_lsh_plan(corpus.count(), EMB_COSINE_THRESHOLD)
+    elif bits is None:
         bits = auto_lsh_bits(corpus.count())
     qb = bander(queries, bands=bands, bits=bits).withColumnRenamed(
         "vec_id", "query_id"

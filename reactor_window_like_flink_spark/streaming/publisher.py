@@ -267,13 +267,22 @@ class WindowedPublisher:
         self,
         window_max_batch_size: int = 16,
         window_duration_seconds: float = 1.0,
+        consumer_max_rows: int = 100_000,
     ) -> None:
         if window_max_batch_size <= 0:
             raise ValueError("window_max_batch_size must be positive")
         if window_duration_seconds <= 0:
             raise ValueError("window_duration_seconds must be positive")
+        if consumer_max_rows <= 0:
+            raise ValueError("consumer_max_rows must be positive")
         self.max_batch_size = window_max_batch_size
         self.window_duration_seconds = window_duration_seconds
+        # Driver-memory guard for the `consumer` (collect-to-driver) path:
+        # one micro-batch larger than this errors instead of OOMing the
+        # driver. The reference's List<T> consumer has no such bound
+        # because its queue_capacity bounds admission; here admission is
+        # a directory, so the delivery side must enforce the bound.
+        self.consumer_max_rows = consumer_max_rows
 
     def subscribe(
         self,
@@ -286,7 +295,9 @@ class WindowedPublisher:
         drain: bool = False,
     ) -> StreamingQuery:
         """Start delivery. Exactly one of ``consumer`` (driver-side row
-        chunks of <= max_batch_size, the reference shape) or
+        chunks of <= max_batch_size, the reference shape — bounded by
+        ``consumer_max_rows`` per micro-batch; an oversized batch raises
+        through the error channel instead of OOMing the driver) or
         ``consumer_df`` (distributed micro-batch DataFrame, the scale
         shape) must be given. Errors route to ``on_error`` if provided,
         mirroring ``subscribe(consumer, errorConsumer)``
@@ -310,13 +321,25 @@ class WindowedPublisher:
         if (consumer is None) == (consumer_df is None):
             raise ValueError("pass exactly one of consumer / consumer_df")
         max_n = self.max_batch_size
+        cap = self.consumer_max_rows
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             try:
                 if consumer_df is not None:
                     consumer_df(batch_df, batch_id)
                     return
-                rows = batch_df.collect()
+                # limit(cap+1) bounds what ever reaches the driver (the
+                # overflow probe costs one extra row, not a count() job);
+                # a full cap+1 result means the batch exceeds the bound.
+                rows = batch_df.limit(cap + 1).collect()
+                if len(rows) > cap:
+                    raise ValueError(
+                        f"micro-batch {batch_id} exceeds consumer_max_rows="
+                        f"{cap} on the driver-collect `consumer` path; use "
+                        "`consumer_df` (distributed micro-batch DataFrame) "
+                        "for batches this large, or raise consumer_max_rows "
+                        "if the driver can hold them"
+                    )
                 for i in range(0, len(rows), max_n):
                     chunk = rows[i : i + max_n]
                     if chunk:  # never deliver empty windows (ref :72)

@@ -391,3 +391,26 @@ def test_lsh_default_is_auto_sized_and_bounds_candidate_volume(spark):
     occ_fix = fix.groupBy("band", "bucket").count().collect()
     pairs_fix = sum(r["count"] * (r["count"] - 1) // 2 for r in occ_fix)
     assert pairs_fix > 10 * pairs
+
+
+def test_auto_lsh_plan_holds_recall_without_widening_buckets():
+    """Round-10 ADVICE fix: bands scale with bits so recall at the
+    configured threshold holds as the corpus grows, while bits stay
+    occupancy-bound (volume never degenerates toward all-pairs). At the
+    low fixture threshold the plan clamps bands and WARNS with the
+    achieved recall instead of silently shipping recall ~0.003."""
+    import pytest
+
+    from reactor_window_like_flink_spark.llm import dedup as dd
+
+    for n in (20_000, 10**7, 10**9):
+        bands, bits = dd.auto_lsh_plan(n, threshold=0.95)
+        assert bits == dd.auto_lsh_bits(n)  # volume bound inviolate
+        assert bands <= 64
+        assert dd.lsh_recall(0.95, bands, bits) >= 0.9
+    # recall S-curve: above-threshold pairs collide at least as often
+    assert dd.lsh_recall(0.99, 7, 11) > dd.lsh_recall(0.95, 7, 11)
+    with pytest.warns(UserWarning, match="recall"):
+        bands, bits = dd.auto_lsh_plan(20_000, threshold=0.3)
+    assert bits == dd.auto_lsh_bits(20_000)
+    assert bands == 64  # clamped at the band budget, buckets untouched

@@ -259,3 +259,71 @@ def test_token_budget_is_maximal_priority_prefix(spark, sf_dir):
                 break  # take-while: first burst ends the prefix
             expect.add(r["doc_id"])
         assert admitted.get(lang, set()) == expect, lang
+
+
+def test_token_budget_window_input_is_admitted_prefix(spark):
+    """The plan test promised with the round-9 two-phase rewrite: the
+    exact running-sum window must consume the histogram-located admitted
+    prefix, not the whole domain — on a synthetic mega-domain corpus the
+    prefix is a small fraction of the domain, the output over the prefix
+    is IDENTICAL to the output over the full frame, and the registered
+    key's optimized plan shows the Window fed by the crossing-bucket
+    join (the old single-window plan had no join at all)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.llm.sampling import (
+        _TOKEN_BUDGET_HIST_SHIFT,
+        TOKEN_BUDGET_HIST_BUCKETS,
+        token_budget_prefix,
+    )
+
+    # 32-bit pri space, 'mega' domain 50x over budget, 'tiny' fits whole.
+    budget = 1000
+    rows = [
+        ("mega-%05d" % i, "mega", 10, (i * 2654435761) % (1 << 32))
+        for i in range(5000)
+    ] + [("tiny-%03d" % i, "tiny", 10, i * 1000) for i in range(50)]
+    t = spark.createDataFrame(
+        rows, "doc_id string, lang string, n_tokens long, pri long"
+    )
+    prefix = token_budget_prefix(t, budget)
+    got = prefix.collect()
+    n_mega = sum(1 for r in got if r["lang"] == "mega")
+    n_tiny = sum(1 for r in got if r["lang"] == "tiny")
+    assert n_tiny == 50  # whole-domain-fits => crossing NULL => passthrough
+    # budget admits ~100 docs of 10 tokens; one extra histogram bucket of
+    # width n/1024 ~ 5 rows rides along. Far below the 5000-row domain.
+    assert n_mega <= 100 + 5000 // TOKEN_BUDGET_HIST_BUCKETS * 4 + 64
+    assert n_mega >= 100  # the true prefix is provably inside
+
+    def exact(frame):
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("pri", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return sorted(
+            (r["doc_id"], r["cum_tokens"])
+            for r in frame.withColumn(
+                "cum_tokens", F.sum("n_tokens").over(w)
+            )
+            .filter(F.col("cum_tokens") <= budget)
+            .collect()
+        )
+
+    assert exact(prefix) == exact(t)  # output identity: prefix suffices
+
+    # Registered plan: the Window sits above the broadcast crossing join.
+    q = __import__("__spark_entry__").queries()["q_token_budget"]
+    plan = (
+        q(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    join = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert win < join, "running-sum Window must consume the prefix join"
+    assert int(_TOKEN_BUDGET_HIST_SHIFT) == 32 - 10  # derived, not drifted

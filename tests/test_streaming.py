@@ -644,3 +644,51 @@ def test_progress_stats_reports_watermark_and_late_drops(spark, tmp_path):
     assert stats["state_rows"] is not None and stats["state_rows"] > 0
     assert stats["late_rows_dropped"] is not None
     assert stats["late_rows_dropped"] >= 1  # the minute-0 straggler
+
+
+def test_consumer_path_bounded_by_consumer_max_rows(spark, tmp_path):
+    """The driver-collect `consumer` path must never pull an unbounded
+    micro-batch onto the driver: a batch over ``consumer_max_rows``
+    raises through the error channel (naming ``consumer_df`` as the
+    scale path) and delivers nothing; a batch under the cap flows."""
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    delivered: list[list] = []
+    errors: list[Exception] = []
+    pub = WindowedPublisher(
+        window_max_batch_size=10,
+        window_duration_seconds=0.5,
+        consumer_max_rows=20,
+    )
+    query = pub.subscribe(
+        src.stream(), consumer=delivered.append, on_error=errors.append
+    )
+    try:
+        src.publish(_rows(25))  # one micro-batch, over the cap
+        deadline = time.time() + 30
+        while time.time() < deadline and not errors:
+            query.processAllAvailable()
+            time.sleep(0.2)
+    finally:
+        query.stop()
+    assert errors and "consumer_max_rows" in str(errors[0])
+    assert "consumer_df" in str(errors[0])
+    assert not delivered  # the oversized batch was refused, not truncated
+
+    # under the cap: normal chunked delivery
+    src2 = FileStreamInput(spark, SCHEMA, str(tmp_path / "in2"))
+    query2 = pub.subscribe(src2.stream(), consumer=delivered.append)
+    try:
+        src2.publish(_rows(15))
+        deadline = time.time() + 30
+        while time.time() < deadline and sum(map(len, delivered)) < 15:
+            query2.processAllAvailable()
+            time.sleep(0.2)
+    finally:
+        query2.stop()
+    assert sum(len(c) for c in delivered) == 15
+    assert all(len(c) <= 10 for c in delivered)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        WindowedPublisher(consumer_max_rows=0)
