@@ -53,6 +53,7 @@ HEADLINE = [
     "q_histogram",
     "q_length_deciles",
     "q_upsert_latest",
+    "q_upsert_cdc",
     "q_embed_quantize",
     "q_join_fuzzy",
     "q_outliers",

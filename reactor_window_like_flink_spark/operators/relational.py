@@ -14,6 +14,8 @@ Scale notes (100 TB posture) are inline per operator.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1313,6 +1315,157 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.eid").alias("last_event_id"),
         F.col("m.et").alias("last_event_type"),
         F.col("m.v").alias("last_value"),
+    )
+
+
+def cdc_snapshot(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """Changelog → snapshot with DELETE tombstones: the MERGE/CDC
+    compaction a lakehouse sink runs (Delta MERGE / Flink upsert-kafka
+    / Debezium materialization). Each row is an op on a key — ``I``
+    and ``U`` both set the row's payload (Debezium upsert semantics),
+    ``D`` retracts the key. The snapshot is each key's HIGHEST-sequence
+    row; a key whose winner is a delete is absent (or, with
+    ``keep_tombstones=True``, retained as a tombstone row — the STATE
+    form an incremental pipeline must carry, see ``cdc_merge``).
+
+    Out-of-order changelogs are the normal case (CDC streams interleave
+    by commit time per partition, not per key): correctness comes from
+    the aggregate being order-free — ``max(struct(seq_cols…, row))``
+    picks the same winner under any input order. ``seq_cols`` must be a
+    per-key total order (include a unique id as the last element;
+    equal-sequence rows would otherwise tie-break on payload bytes).
+
+    Scale shape — the reason this is an aggregate and not the oracle's
+    ROW_NUMBER window: one map-side-combined hash aggregate whose
+    shuffle carries ONE candidate row per key per map partition, so a
+    100 TB changelog over a bounded key space exchanges ~keys×tasks
+    rows; the window form would sort-shuffle every event. Same plan
+    family as ``q_upsert_latest``, plus the tombstone filter.
+    """
+    keys = list(key_cols)
+    payload = [c for c in changelog.columns if c not in set(keys)]
+    win = changelog.groupBy(*keys).agg(
+        F.max(
+            F.struct(
+                *[F.col(c).alias(f"_s{i}") for i, c in enumerate(seq_cols)],
+                F.struct(*payload).alias("_row"),
+            )
+        ).alias("_w")
+    )
+    out = win.select(*keys, F.col("_w._row").alias("_row")).select(
+        *keys, "_row.*"
+    )
+    if not keep_tombstones:
+        out = out.filter(F.col(op_col) != F.lit("D"))
+    return out
+
+
+def cdc_merge(
+    state: DataFrame,
+    chunk: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Incrementally MERGE a changelog chunk into a tombstone-retaining
+    snapshot state (both sides share the changelog schema; state rows
+    carry their winning seq + op). Returns the new state.
+
+    The state keeps tombstones ON PURPOSE: a late row with an OLDER
+    sequence than a key's tombstone must lose, so the delete has to
+    stay visible to the merge — dropping tombstones from the state is
+    the classic resurrection bug (late update re-inserts a deleted
+    key). Chunk-by-chunk merging through this function is provably
+    order-insensitive WITHIN the late-arrival horizon: merge is
+    associative/commutative/idempotent (each is an order-free max per
+    key), so any chunking — including a replayed chunk, the
+    at-least-once ``foreachBatch`` case — yields the same state as one
+    ``cdc_snapshot`` over the concatenated changelog
+    (``tests/test_relational_cdc.py`` asserts all three properties).
+    Production builds expire tombstones past the horizon with an
+    ordinary seq filter (retention, not correctness).
+
+    Readers consume ``cdc_view(state)``."""
+    return cdc_snapshot(
+        state.unionByName(chunk),
+        key_cols,
+        seq_cols,
+        op_col,
+        keep_tombstones=True,
+    )
+
+
+def cdc_view(state: DataFrame, op_col: str = "op") -> DataFrame:
+    """The public read view of a ``cdc_merge`` state: tombstones out."""
+    return state.filter(F.col(op_col) != F.lit("D"))
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape the events table as a CDC changelog on key=user_id:
+    ``signup``→I, ``error``→D (the tombstone), other types→U; sequence
+    is (ts microseconds, event_id) — unique, so out-of-order input has
+    a deterministic winner."""
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("seq_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+
+
+@REG.add(
+    "q_upsert_cdc",
+    """
+    SELECT user_id,
+           CAST(seq_us // 1000000 AS BIGINT) AS last_ts,
+           event_id AS last_event_id,
+           op AS last_op,
+           value AS last_value
+    FROM (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS seq_us,
+             event_id,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/CDC snapshot with delete tombstones over the events table
+    shaped as a changelog (``_events_changelog``): latest op per
+    user_id wins under the (ts, event_id) sequence; keys whose latest
+    op is a delete are ABSENT — the retraction ``q_upsert_latest``
+    cannot express. Semantics, out-of-order handling and the
+    single-aggregate scale argument live on ``cdc_snapshot``; the
+    incremental/replay form is ``cdc_merge`` (pytest-verified equal to
+    this one-shot form under chunking, late rows, and batch replay)."""
+    snap = cdc_snapshot(
+        _events_changelog(spark, sf_dir),
+        key_cols=["user_id"],
+        seq_cols=["seq_us", "event_id"],
+    )
+    return snap.select(
+        "user_id",
+        F.expr("seq_us div 1000000").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("op").alias("last_op"),
+        F.col("value").alias("last_value"),
     )
 
 

@@ -1,0 +1,157 @@
+"""CDC/MERGE-with-tombstones semantics (``operators/relational.py:
+cdc_snapshot / cdc_merge / cdc_view``): out-of-order changelogs, delete
+retraction, the resurrection guard, merge algebra (chunking/replay
+insensitivity), and the exactly-once composition with
+``sources.sinks.idempotent_batch_sink``."""
+
+from __future__ import annotations
+
+import random
+
+from reactor_window_like_flink_spark.operators.relational import (
+    cdc_merge,
+    cdc_snapshot,
+    cdc_view,
+)
+
+SCHEMA = "k long, seq long, rid long, op string, v double"
+
+
+def _reference_snapshot(rows):
+    """Sequential dict replay in (seq, rid) order — the semantics spec."""
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[2])):
+        if r[3] == "D":
+            state[r[0]] = None
+        else:
+            state[r[0]] = r
+    return {k: v for k, v in state.items() if v is not None}
+
+
+def _changelog(n_keys=40, n_rows=400, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for rid in range(n_rows):
+        k = rng.randrange(n_keys)
+        seq = rng.randrange(10_000)
+        op = rng.choice(["I", "U", "U", "U", "D"])
+        rows.append((k, seq, rid, op, float(rid)))
+    rng.shuffle(rows)  # arrival order decorrelated from sequence order
+    return rows
+
+
+def test_cdc_snapshot_matches_sequential_replay(spark):
+    rows = _changelog()
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["k"]: (r["seq"], r["rid"], r["op"], r["v"])
+        for r in cdc_snapshot(df, ["k"], ["seq", "rid"]).collect()
+    }
+    want = {
+        k: (v[1], v[2], v[3], v[4])
+        for k, v in _reference_snapshot(rows).items()
+    }
+    assert got == want
+    # deleted keys are really retracted: some key's winner must be a D
+    all_keys = {r[0] for r in rows}
+    assert set(got) < all_keys
+
+
+def test_cdc_tombstone_blocks_resurrection_and_allows_reinsert(spark):
+    base = [
+        (1, 10, 0, "I", 1.0),
+        (1, 20, 1, "D", 0.0),  # delete at seq 20
+        (2, 10, 2, "I", 2.0),
+    ]
+    late = [(1, 15, 3, "U", 9.9)]  # LATE update, older than the delete
+    reinsert = [(2, 30, 4, "D", 0.0), (2, 40, 5, "I", 7.0)]  # del then re-add
+    s0 = cdc_merge(
+        spark.createDataFrame([], SCHEMA),
+        spark.createDataFrame(base, SCHEMA),
+        ["k"],
+        ["seq", "rid"],
+    )
+    s1 = cdc_merge(s0, spark.createDataFrame(late, SCHEMA), ["k"], ["seq", "rid"])
+    view1 = {r["k"]: r["v"] for r in cdc_view(s1).collect()}
+    assert 1 not in view1, "late pre-delete update resurrected the key"
+    assert view1 == {2: 2.0}
+    # the tombstone itself is retained in STATE (that's what blocked it)
+    assert {r["k"]: r["op"] for r in s1.collect()}[1] == "D"
+    s2 = cdc_merge(
+        s1, spark.createDataFrame(reinsert, SCHEMA), ["k"], ["seq", "rid"]
+    )
+    view2 = {r["k"]: r["v"] for r in cdc_view(s2).collect()}
+    assert view2 == {2: 7.0}  # delete-then-reinsert at later seq wins
+
+
+def test_cdc_merge_is_chunking_and_replay_insensitive(spark):
+    """Merge algebra: any chunking of the changelog — including a
+    REPLAYED chunk (at-least-once foreachBatch) — produces the same
+    state as one cdc_snapshot over the concatenation."""
+    rows = _changelog(seed=23)
+    one_shot = sorted(
+        map(
+            tuple,
+            cdc_snapshot(
+                spark.createDataFrame(rows, SCHEMA),
+                ["k"],
+                ["seq", "rid"],
+                keep_tombstones=True,
+            ).collect(),
+        )
+    )
+    rng = random.Random(5)
+    state = spark.createDataFrame([], SCHEMA)
+    i = 0
+    chunks = []
+    while i < len(rows):
+        j = i + rng.randrange(1, 80)
+        chunks.append(rows[i:j])
+        i = j
+    replay_at = rng.randrange(len(chunks))
+    for idx, chunk in enumerate(chunks):
+        state = cdc_merge(
+            state, spark.createDataFrame(chunk, SCHEMA), ["k"], ["seq", "rid"]
+        )
+        if idx == replay_at:  # the crash-replay case: same chunk twice
+            state = cdc_merge(
+                state,
+                spark.createDataFrame(chunk, SCHEMA),
+                ["k"],
+                ["seq", "rid"],
+            )
+        # bound lineage growth the way a production loop would
+        state = state.localCheckpoint()
+    assert sorted(map(tuple, state.collect())) == one_shot
+
+
+def test_cdc_through_idempotent_batch_sink_replay(spark, tmp_path):
+    """Exactly-once composition: changelog chunks land via
+    ``idempotent_batch_sink`` (overwrite-by-batch_id), one batch is
+    replayed (same batch_id, same content — the at-least-once case),
+    and the snapshot over the sink directory equals the one-shot
+    snapshot: the replay is absorbed by the overwrite, and the
+    tombstones still retract."""
+    from reactor_window_like_flink_spark.sources.sinks import (
+        idempotent_batch_sink,
+    )
+
+    rows = _changelog(seed=31)
+    sink = idempotent_batch_sink(str(tmp_path / "cdc"))
+    chunks = [rows[i : i + 100] for i in range(0, len(rows), 100)]
+    for bid, chunk in enumerate(chunks):
+        sink(spark.createDataFrame(chunk, SCHEMA), bid)
+    sink(spark.createDataFrame(chunks[1], SCHEMA), 1)  # crash replay
+    landed = spark.read.parquet(str(tmp_path / "cdc")).drop("batch_id")
+    got = sorted(
+        map(tuple, cdc_snapshot(landed, ["k"], ["seq", "rid"]).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cdc_snapshot(
+                spark.createDataFrame(rows, SCHEMA), ["k"], ["seq", "rid"]
+            ).collect(),
+        )
+    )
+    assert got == want
