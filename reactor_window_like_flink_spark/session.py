@@ -35,10 +35,17 @@ def _ensure_driver_memory() -> None:
     os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
 
 
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = "reactor-window-like-flink-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -61,12 +68,29 @@ def get_spark(
         tests/test_layout.py.
     """
     cpus = _cpus()
+    # RocksDB state store: off-heap, spill-to-disk per-key state for the
+    # stateful streaming operators. The default (HDFS-backed) provider
+    # keeps every state row on the executor JVM heap — fine at fixture
+    # scale, an OOM at the 100 TB posture's key cardinalities (hundreds
+    # of millions of sessions/dedup keys); RocksDB bounds heap usage at
+    # the block-cache size and scales state to local disk. Per-QUERY
+    # runtime SQL conf, so new streaming queries pick it up on a live
+    # session too (tests/test_stateful_streaming.py smoke-runs it).
+    rocks_conf = (
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                ROCKSDB_STATE_STORE_PROVIDER
+            )
+        }
+        if rocksdb_state_store
+        else {}
+    )
     active = SparkSession.getActiveSession()
     if active is not None:
         # getOrCreate() would silently ignore every builder config here.
         # Apply what is runtime-settable and warn about the rest so a
         # caller passing per-call tuning is never no-op'd without notice.
-        runtime = dict(extra_conf or {})
+        runtime = {**rocks_conf, **(extra_conf or {})}
         if shuffle_partitions is not None:
             runtime["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
         for key, val in runtime.items():
@@ -104,6 +128,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffledHashJoinFactor", "3")
     )
-    for key, val in (extra_conf or {}).items():
+    for key, val in {**rocks_conf, **(extra_conf or {})}.items():
         builder = builder.config(key, val)
     return builder.getOrCreate()

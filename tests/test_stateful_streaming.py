@@ -222,3 +222,184 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
         assert by_window.get(first_window) == 2  # late event NOT counted
     finally:
         query.stop()
+
+
+def _state_rows(query):
+    from reactor_window_like_flink_spark.streaming.publisher import (
+        progress_stats,
+    )
+
+    stats = progress_stats(query)
+    return None if stats is None else stats["state_rows"]
+
+
+def test_state_rows_plateau_at_active_keys_under_ttl(spark, tmp_path):
+    """The 100 TB state posture, MEASURED instead of argued: 10k distinct
+    keys flow through the count-or-time operator with an idle TTL; the
+    state store grows to ~10k rows (one O(1) row per ACTIVE key), the
+    TTL evicts the idle population, and a second 10k-key wave returns
+    state to ~one-wave size — NEVER lifetime cardinality (20k). This is
+    the plateau that makes an unbounded key space (session ids) safe on
+    a long-running stream."""
+    n_keys = 10_000
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = count_or_time_stateful(
+        src.stream(),
+        max_size=1,  # every event flushes instantly -> state is idle-only
+        duration_seconds=0.5,
+        idle_state_ttl_seconds=2.0,
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_scale")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        from datetime import datetime, timezone
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        src.publish([(i, ts, i, "e", 1.0) for i in range(n_keys)])
+        # wave 1 fully flushed: one size-flush per key
+        _poll(
+            lambda: spark.sql("SELECT count(*) c FROM t_scale").collect()[0][
+                "c"
+            ]
+            >= n_keys,
+            timeout_s=180.0,
+        )
+        peak1 = _poll(
+            lambda: (s := _state_rows(query)) is not None
+            and s >= n_keys
+            and s,
+            timeout_s=60.0,
+        )
+        assert peak1 and peak1 >= n_keys  # one state row per active key
+        # TTL eviction: no-data batches keep firing timeouts; state decays
+        low = _poll(
+            lambda: (s := _state_rows(query)) is not None
+            and s < n_keys // 10
+            and (s or True),
+            timeout_s=120.0,
+        )
+        assert low, f"state never evicted below {n_keys // 10}"
+        # wave 2, all-new keys: plateau at ~wave size, not lifetime size
+        src.publish(
+            [(n_keys + i, ts, n_keys + i, "e", 1.0) for i in range(n_keys)]
+        )
+        _poll(
+            lambda: spark.sql("SELECT count(*) c FROM t_scale").collect()[0][
+                "c"
+            ]
+            >= 2 * n_keys,
+            timeout_s=180.0,
+        )
+        peak2 = _poll(
+            lambda: (s := _state_rows(query)) is not None
+            and s >= n_keys
+            and s,
+            timeout_s=60.0,
+        )
+        assert peak2 and peak2 < int(1.5 * n_keys), (
+            f"state {peak2} tracks LIFETIME keys, not active keys"
+        )
+    finally:
+        query.stop()
+
+
+def test_rocksdb_state_store_flag_smoke(spark, tmp_path):
+    """`get_spark(rocksdb_state_store=True)` switches the per-query
+    state-store provider to RocksDB (off-heap, spill-to-disk — the
+    flag the 100 TB streaming posture requires); a stateful query on a
+    live session picks it up, produces the same results, and reports
+    RocksDB-specific state metrics in its progress."""
+    from reactor_window_like_flink_spark.session import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+        get_spark,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    s = get_spark(rocksdb_state_store=True)
+    assert s is spark  # live session reused, conf applied at runtime
+    assert spark.conf.get(key) == ROCKSDB_STATE_STORE_PROVIDER
+    try:
+        src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+        out = count_or_time_stateful(
+            src.stream(), max_size=10, duration_seconds=1.0
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName("t_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            src.publish(_rows(user=7, n=10))
+            rows = _poll(
+                lambda: spark.sql(
+                    "SELECT * FROM t_rocks WHERE flush_reason = 'size'"
+                ).collect()
+            )
+            assert rows and rows[0]["n_events"] == 10
+            metrics = _poll(
+                lambda: (
+                    (p := query.lastProgress) is not None
+                    and p["stateOperators"]
+                    and p["stateOperators"][0].get("customMetrics")
+                )
+            )
+            assert any(k.startswith("rocksdb") for k in metrics), metrics
+        finally:
+            query.stop()
+    finally:
+        spark.conf.set(key, default)
+
+
+def test_watermark_purges_dedup_state_at_10k_keys(spark, tmp_path):
+    """The watermark-bounded state family, measured at 10k keys:
+    ``stream_dedup`` (dropDuplicatesWithinWatermark) holds one state row
+    per key seen within the watermark horizon; once the watermark passes
+    a wave's expiry, its 10k rows are PURGED — state tracks the horizon,
+    not stream lifetime. (Same contract bounds the windowed aggs: all
+    use withWatermark.)"""
+    from datetime import datetime, timedelta, timezone
+
+    from reactor_window_like_flink_spark.streaming.windows import (
+        stream_dedup,
+    )
+
+    n = 10_000
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = stream_dedup(src.stream(), watermark="10 minutes")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_wm_scale")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish([(i, t0, i, "e", 1.0) for i in range(n)])
+        query.processAllAvailable()
+        peak = _state_rows(query)
+        assert peak is not None and peak >= n  # one row per key in horizon
+        # wave 2 an hour later: watermark jumps past wave 1's expiry
+        t1 = t0 + timedelta(hours=1)
+        src.publish([(n + i, t1, n + i, "e", 1.0) for i in range(n)])
+        query.processAllAvailable()
+        # purge lands in the batch AFTER the watermark advances: nudge
+        t2 = t1 + timedelta(minutes=1)
+        src.publish([(2 * n + 1, t2, 2 * n + 1, "e", 1.0)])
+        query.processAllAvailable()
+        settled = _state_rows(query)
+        assert settled is not None and settled < int(1.5 * n), (
+            f"state {settled} holds expired waves; watermark purge failed"
+        )
+        emitted = spark.sql("SELECT count(*) c FROM t_wm_scale").collect()[0]["c"]
+        assert emitted == 2 * n + 1  # every distinct key emitted once
+    finally:
+        query.stop()
