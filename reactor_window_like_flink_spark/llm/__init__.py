@@ -11,6 +11,7 @@ BASELINE.json, built expression-first so the hot path stays JVM-side.
 from __future__ import annotations
 
 from reactor_window_like_flink_spark.llm.bpe import REG as BPE_REG
+from reactor_window_like_flink_spark.llm.classifier import REG as CLASSIFIER_REG
 from reactor_window_like_flink_spark.llm.clustering import REG as CLUSTERING_REG
 from reactor_window_like_flink_spark.llm.curation import REG as CURATION_REG
 from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
@@ -31,11 +32,13 @@ REGS = [
     PROFILING_REG,
     SAMPLING_REG,
     BPE_REG,
+    CLASSIFIER_REG,
     MULTIMODAL_REG,
 ]
 
 __all__ = [
     "REGS",
+    "CLASSIFIER_REG",
     "DEDUP_REG",
     "CLUSTERING_REG",
     "CURATION_REG",

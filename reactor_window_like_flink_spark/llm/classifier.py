@@ -1,0 +1,235 @@
+"""Model-based quality classification: a fastText-style linear scorer
+over hashed character trigrams (Joulin et al., EACL 2017 — bag of hashed
+n-gram features, linear layer, sigmoid), run entirely as JVM expression
+trees.
+
+This is the scoring half of the classifier-based quality filters used by
+LLM-pretraining pipelines (GPT-3/CCNet-style "does this look like the
+reference corpus" logistic scorers): training happens offline on a small
+labeled sample; SERVING — the 100 TB pass — is a pure per-row projection:
+hash each char trigram into ``CLF_BUCKETS`` buckets, fold the bucket
+weights, sigmoid. Here the trained artifact is a deterministic
+pseudo-random weight vector (a stand-in with the exact production shape:
+a small dense literal broadcast into the expression — no join, no UDF, no
+Python in the row path, whole-stage codegen, zero shuffles).
+
+The trigram hash is engine-neutral (codepoint polynomial mod buckets) and
+the weight fold is a left fold in both engines, so the DuckDB oracle
+reproduces the score bit-for-bit before rounding — the same determinism
+contract as ``q_fingerprint``'s per-char fold.
+
+Reference parity note: no text surface in the reference engine
+(WindowPublisher.java); north-star scope per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.llm.curation import (
+    FUNNEL_MAX_TOK,
+    FUNNEL_MIN_DIV,
+    FUNNEL_MIN_TOK,
+)
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+CLF_BUCKETS = 64
+CLF_BIAS = -0.05
+# Keep-threshold for the funnel integration: docs scoring below this are
+# dropped by the classifier rule. Set near the fixture-corpus median so
+# the rule demonstrably does work (the production analog: calibrate the
+# cut on a held-out sample to the target keep rate).
+CLF_KEEP_MIN = 0.48
+
+
+def _pseudo_weights(n: int = CLF_BUCKETS, seed: int = 1234567) -> list[float]:
+    """Deterministic stand-in for trained weights: a 31-bit LCG mapped to
+    [-1, 1], rounded to 4 decimals so the literal embeds exactly in both
+    engines. Swapping in real trained weights changes nothing downstream."""
+    out, x = [], seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        out.append(round((x / float(1 << 31)) * 2.0 - 1.0, 4))
+    return out
+
+
+CLF_WEIGHTS = _pseudo_weights()
+
+# Trigram bucket hash over lower(text): polynomial in the codepoints,
+# mod CLF_BUCKETS. substring/substr are both character-indexed and
+# ascii/unicode both return the codepoint, so the engines agree.
+_SPARK_HASH = (
+    "(ascii(substring(_lt, i, 1)) * 961"
+    " + ascii(substring(_lt, i + 1, 1)) * 31"
+    " + ascii(substring(_lt, i + 2, 1))) % {b}"
+)
+_DUCK_HASH = (
+    "(unicode(substr(_lt, i, 1)) * 961"
+    " + unicode(substr(_lt, i + 1, 1)) * 31"
+    " + unicode(substr(_lt, i + 2, 1))) % {b}"
+)
+
+
+def classifier_score() -> F.Column:
+    """The serving expression: sigmoid(mean bucket weight + bias) over the
+    document's char trigrams (docs with < 3 chars score sigmoid(bias)).
+    A pure narrow projection — compose it into any scan or funnel."""
+    w = ", ".join(f"{x}D" for x in CLF_WEIGHTS)
+    h = _SPARK_HASH.format(b=CLF_BUCKETS)
+    # Left fold of element_at over the hashed trigram sequence; guard the
+    # <3-char case explicitly (Spark's sequence(1, 0) DESCENDS, it is not
+    # empty like DuckDB's generate_series).
+    mean = (
+        "CASE WHEN length(_lt) >= 3 THEN"
+        f" aggregate(sequence(1, length(_lt) - 2), cast(0.0 as double),"
+        f"  (acc, i) -> acc + element_at(array({w}), ({h}) + 1))"
+        " / (length(_lt) - 2) ELSE cast(0.0 as double) END"
+    )
+    return F.expr(f"1.0 / (1.0 + exp(-({mean} + {CLF_BIAS})))")
+
+
+def _duck_score_sql() -> str:
+    """DuckDB mirror of ``classifier_score`` (same left fold order)."""
+    w = ", ".join(str(x) for x in CLF_WEIGHTS)
+    h = _DUCK_HASH.format(b=CLF_BUCKETS)
+    mean = (
+        "CASE WHEN length(_lt) >= 3 THEN"
+        " list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f"  list_transform(generate_series(1, length(_lt) - 2),"
+        f"   i -> [{w}][({h}) + 1])),"
+        "  (acc, x) -> acc + x)"
+        " / (length(_lt) - 2) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"1.0 / (1.0 + exp(-({mean} + {CLF_BIAS})))"
+
+
+@REG.add(
+    "q_quality_classifier",
+    f"""
+    WITH lt AS (SELECT doc_id, lower(text) AS _lt FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(GREATEST(length(_lt) - 2, 0) AS BIGINT) AS n_grams,
+             {_duck_score_sql()} AS score
+      FROM lt
+    )
+    SELECT doc_id, n_grams, ROUND(score, 4) AS clf_score,
+           CASE WHEN score >= {CLF_KEEP_MIN} THEN 'keep' ELSE 'drop' END
+             AS clf_label
+    FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the hashed-trigram linear classifier and
+    label it keep/drop at the calibrated threshold — the model-based
+    quality pass that follows the heuristic ``q_quality_score``.
+
+    Scale shape: one narrow scan, zero shuffles, zero Python — the weight
+    vector is a broadcast literal inside a codegen'd fold, so the pass
+    runs at scan speed on any corpus size (the per-row cost is O(chars),
+    the same as the tokenizers that follow it in the pipeline)."""
+    docs = load(spark, sf_dir, "documents")
+    score = classifier_score()
+    return docs.withColumn("_lt", F.lower("text")).select(
+        "doc_id",
+        F.greatest(F.length("_lt") - 2, F.lit(0)).cast("long").alias("n_grams"),
+        F.round(score, 4).alias("clf_score"),
+        F.when(score >= CLF_KEEP_MIN, "keep").otherwise("drop").alias("clf_label"),
+    )
+
+
+_CLF_FUNNEL_STAGES = [
+    (0, "too_short"),
+    (1, "too_long"),
+    (2, "low_diversity"),
+    (3, "classifier_drop"),
+    (4, "kept"),
+]
+
+
+@REG.add(
+    "q_classifier_funnel",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS _lt,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / len(string_split(text, ' ')) AS dv
+      FROM documents
+    ),
+    f AS (
+      SELECT CASE WHEN n_tok < {FUNNEL_MIN_TOK} THEN 0
+                  WHEN n_tok > {FUNNEL_MAX_TOK} THEN 1
+                  WHEN dv < {FUNNEL_MIN_DIV} THEN 2
+                  WHEN {_duck_score_sql()} < {CLF_KEEP_MIN} THEN 3
+                  ELSE 4 END AS stage_idx
+      FROM d
+    ),
+    c AS (SELECT stage_idx, count(*) AS n FROM f GROUP BY 1),
+    s(stage_idx, stage) AS (VALUES
+      (0, 'too_short'), (1, 'too_long'), (2, 'low_diversity'),
+      (3, 'classifier_drop'), (4, 'kept')),
+    j AS (SELECT s.stage_idx, s.stage, COALESCE(c.n, 0) AS n
+          FROM s LEFT JOIN c USING (stage_idx))
+    SELECT stage_idx, stage, CAST(n AS BIGINT) AS n_docs,
+           CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (ORDER BY stage_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_in,
+           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4) AS pct_of_total
+    FROM j
+    """,
+)
+def q_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``q_filter_funnel`` pipeline with the classifier installed as
+    the last drop rule (heuristics first — they're cheaper — then the
+    model): first-fail attribution across too_short -> too_long ->
+    low_diversity -> classifier_drop -> kept. Same scale shape as
+    ``q_filter_funnel``: the per-doc stage is ONE codegen'd CASE (the
+    classifier fold included — still zero Python, zero extra scans), the
+    groupBy shuffles O(#rules) keys, the cumulative window runs over the
+    5-row stage frame."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    dv = (
+        F.size(F.array_distinct(F.split(F.lower("text"), " "))).cast("double")
+        / n_tok
+    )
+    stage_idx = (
+        F.when(n_tok < FUNNEL_MIN_TOK, 0)
+        .when(n_tok > FUNNEL_MAX_TOK, 1)
+        .when(dv < FUNNEL_MIN_DIV, 2)
+        .when(classifier_score() < CLF_KEEP_MIN, 3)
+        .otherwise(4)
+    )
+    c = (
+        docs.withColumn("_lt", F.lower("text"))
+        .select(stage_idx.alias("stage_idx"))
+        .groupBy("stage_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    stages = spark.createDataFrame(
+        _CLF_FUNNEL_STAGES, "stage_idx int, stage string"
+    )
+    j = F.broadcast(stages).join(c, "stage_idx", "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
+    w_prev = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n").over(w_all).cast("double")
+    return j.select(
+        "stage_idx",
+        "stage",
+        F.col("n").cast("long").alias("n_docs"),
+        (tot - F.coalesce(F.sum("n").over(w_prev), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_in"),
+        F.round(F.col("n") / tot, 4).alias("pct_of_total"),
+    )
