@@ -21,6 +21,7 @@ from reactor_window_like_flink_spark.llm.retrieval import REG as RETRIEVAL_REG
 from reactor_window_like_flink_spark.llm.sampling import REG as SAMPLING_REG
 from reactor_window_like_flink_spark.llm.similarity import REG as SIMILARITY_REG
 from reactor_window_like_flink_spark.llm.text import REG as TEXT_REG
+from reactor_window_like_flink_spark.llm.unigram import REG as UNIGRAM_REG
 
 REGS = [
     DEDUP_REG,
@@ -32,6 +33,7 @@ REGS = [
     PROFILING_REG,
     SAMPLING_REG,
     BPE_REG,
+    UNIGRAM_REG,
     CLASSIFIER_REG,
     MULTIMODAL_REG,
 ]
@@ -48,5 +50,6 @@ __all__ = [
     "RETRIEVAL_REG",
     "SAMPLING_REG",
     "BPE_REG",
+    "UNIGRAM_REG",
     "MULTIMODAL_REG",
 ]
