@@ -286,3 +286,139 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dup", F.when(F.col("n_assets") >= 2, 1).otherwise(0)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup: dHash (difference hash) over decoded pixel grids.
+# Checksum dedup (q_multimodal_dedup) misses same-image-different-bytes
+# (re-encodes, metadata-stripped copies); a perceptual hash survives
+# re-encoding because it is computed from the DECODED grid, not the bytes.
+
+PHASH_GRID_ROWS = 8
+PHASH_GRID_COLS = 9  # 8x9 luminance grid -> 8x8 horizontal gradients
+PHASH_CHUNKS = 4
+PHASH_CHUNK_BITS = 16
+# Pigeonhole recall bound (same argument as SimHash's 4x16 chunks): two
+# signatures within Hamming distance 3 differ in at most 3 of the 4
+# 16-bit chunks, so at least one chunk matches exactly — the chunk-bucket
+# join has FULL recall for hamming <= PHASH_HAMMING.
+PHASH_HAMMING = 3
+
+
+def _dhash_grid(payload: bytes) -> list[int]:
+    """Stub 'decode + resize to 8x9 grayscale': sample one byte per grid
+    cell at evenly spaced payload offsets. Real pipeline: PIL decode ->
+    resize((9, 8), grayscale); the sampling stands in for the pixel grid
+    deterministically so tests can plant exact near-pairs."""
+    n = len(payload)
+    cells = PHASH_GRID_ROWS * PHASH_GRID_COLS
+    if n == 0:
+        return [0] * cells
+    return [payload[(k * n) // cells] for k in range(cells)]
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit dHash: bit (r, c) set iff grid[r][c+1] > grid[r][c] —
+    horizontal luminance gradients, the standard difference hash. Returns
+    a SIGNED 64-bit int (Spark LongType)."""
+    g = _dhash_grid(payload)
+    sig = 0
+    for r in range(PHASH_GRID_ROWS):
+        for c in range(PHASH_GRID_COLS - 1):
+            if g[r * PHASH_GRID_COLS + c + 1] > g[r * PHASH_GRID_COLS + c]:
+                sig |= 1 << (r * (PHASH_GRID_COLS - 1) + c)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+DHASH_SCHEMA = "doc_id bigint, kind string, dhash bigint"
+
+
+def dhash_media(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash stage over (doc_id, media) rows —
+    the same decode plumbing as ``decode_media``: payload bytes never
+    leave the task, only the 8-byte signature is emitted (the column a
+    production table would persist at ingest)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["media"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [m["kind"] for m in media],
+                    "dhash": [dhash64(m["payload"]) for m in media],
+                }
+            )
+
+    return media_df.mapInPandas(run, DHASH_SCHEMA)
+
+
+def phash_pairs(sigs: DataFrame) -> DataFrame:
+    """Pairs within Hamming distance ``PHASH_HAMMING`` from a
+    (doc_id, kind, dhash) signature frame, via pigeonhole chunk buckets
+    (full recall by the chunk bound) + one bit_count(XOR) confirm per
+    candidate. Content-keyed, kind-agnostic — the same bytes declared
+    "image" in one doc and "video" in another are still one asset, the
+    ``q_multimodal_dedup`` convention; both kinds are reported so the
+    caller can scope to one modality with a filter. sort-merge hint so
+    ReuseExchange computes the signature pipeline once (a broadcast
+    self-join would re-run the decode for the build side)."""
+    chunks = sigs.select(
+        "doc_id",
+        "kind",
+        "dhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_CHUNKS - 1}),"
+                f" j -> shiftright(dhash, j * {PHASH_CHUNK_BITS})"
+                f"      & {(1 << PHASH_CHUNK_BITS) - 1})"
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a, b = chunks.hint("merge").alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.kind").alias("kind_a"),
+            F.col("b.kind").alias("kind_b"),
+            F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= PHASH_HAMMING)
+    )
+
+
+@REG.add("q_multimodal_phash")  # rows-only: the dHash runs through the
+# mapInPandas decode plumbing; pytest plants exact near-pairs and checks
+# the pigeonhole recall bound against a brute-force recompute.
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs across the multimodal corpus:
+    assets whose dHash signatures are within Hamming distance
+    {PHASH_HAMMING}, found via pigeonhole chunk buckets — the
+    same-image-different-bytes dedup that checksum grouping
+    (q_multimodal_dedup) cannot see.
+
+    Scale shape (the SimHash plan over media): ONE decode pass emits
+    8-byte signatures (payloads never shuffle — the only wide stage
+    carries (doc_id, kind, 8-byte hash)); the self-join keys on
+    (chunk_id, chunk_val) — high-cardinality, spread across
+    executors, full recall for hamming <= {PHASH_HAMMING} by the
+    pigeonhole bound.
+
+    On the synthetic fixture corpus this returns 0 rows — a true
+    negative (its near-dups are word-level edits whose byte shifts
+    rescramble the sampled grid, exactly as a re-worded caption should
+    NOT perceptually match); the planted-pair pytest
+    (tests/test_multimodal.py) verifies recall equals the brute-force
+    Hamming oracle on controlled payloads."""
+    sigs = dhash_media(with_media(load(spark, sf_dir, "documents")))
+    return phash_pairs(sigs)

@@ -126,3 +126,96 @@ def test_asset_dedup_collapses_across_container_kinds(spark):
     assert dup["n_assets"] == 2 and dup["is_dup"] == 1
     assert dup["kinds"] == "audio,image"  # cross-kind collapse, CSV-encoded
     assert by_keep[5]["is_dup"] == 0 and by_keep[5]["kinds"] == "video"
+
+
+# --- perceptual near-dup (dHash) ---
+
+from reactor_window_like_flink_spark.llm.multimodal import (  # noqa: E402
+    PHASH_HAMMING,
+    dhash64,
+    dhash_media,
+    phash_pairs,
+    q_multimodal_phash,
+)
+
+
+def test_dhash_identical_and_near_payloads():
+    base = ("the quick brown fox jumps over the lazy dog " * 20).encode()
+    assert dhash64(base) == dhash64(bytes(base))
+    # one-byte substitution changes at most one sampled grid cell ->
+    # at most 2 gradient bits
+    sub = bytearray(base)
+    sub[100] = 255
+    d = bin(dhash64(base) ^ dhash64(bytes(sub))).count("1")
+    assert d <= 2
+    # unrelated content is far
+    other = bytes(range(256)) * 4
+    far = bin(dhash64(base) ^ dhash64(other)).count("1")
+    assert far > PHASH_HAMMING
+
+
+def test_phash_pairs_planted_recall_vs_bruteforce(spark):
+    # plant: 0/1 near-identical (1-byte sub), 2 unrelated, 3/4 exact dup
+    base = ("lorem ipsum dolor sit amet consectetur " * 16).encode()
+    near = bytearray(base)
+    near[50] = 0
+    rows = [
+        (0, base),
+        (1, bytes(near)),
+        (2, bytes(range(1, 250)) * 3),
+        (3, b"z" * 300 + bytes(base)),
+        (4, b"z" * 300 + bytes(base)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, p.decode("latin-1")) for i, p in rows],
+        "doc_id long, text string",
+    )
+    # bypass with_media's UTF-8 re-encode (latin-1 text round-trips) by
+    # hashing the same bytes python-side for the brute-force oracle
+    from pyspark.sql import functions as F
+
+    media = docs.select(
+        "doc_id",
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.encode("text", "ISO-8859-1").alias("payload"),
+        ).alias("media"),
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_pairs(dhash_media(media)).collect()
+    }
+    sigs = {i: dhash64(p) for i, p in rows}
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= PHASH_HAMMING
+    }
+    assert got == want           # full recall AND no extras
+    assert (0, 1) in got         # the planted near-pair is found
+    assert got[(3, 4)] == 0      # exact dup
+    assert all((2 not in pair) for pair in got)
+
+
+def test_phash_key_finds_exact_dups_with_hamming_zero(spark, sf_dir):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_multimodal_phash(spark, sf_dir).collect()
+    }
+    for (a, b), h in got.items():
+        assert a < b and h <= PHASH_HAMMING
+    # every exact-payload duplicate pair (checksum groups) must surface
+    # with hamming 0 — perceptual recall is a superset of byte identity
+    from collections import defaultdict
+
+    from reactor_window_like_flink_spark.sources.tables import load as _load
+
+    by_text = defaultdict(list)
+    for r in _load(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        by_text[r["text"]].append(r["doc_id"])
+    for ids in by_text.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert got.get((ids[i], ids[j])) == 0
