@@ -1,10 +1,18 @@
-"""sf1 scale probe for the dedup family: measured candidate-pair volumes
-and wall times at 10x the largest shipped fixture, validating the
-bucket-occupancy claims in llm/dedup.py with data instead of argument.
+"""sf1 scale probe: measured wall times, 10x scaling ratios, and (for
+the dedup family) candidate-pair volumes at 10x the largest shipped
+fixture — validating the linear-scaling claims in the operator
+docstrings with data instead of argument.
 
 Usage::
 
-    python tools/scale_probe.py [out_dir]     # default /tmp/sparkgraft_scale
+    python tools/scale_probe.py [out_dir] [family]
+    # out_dir default /tmp/sparkgraft_scale; family: dedup | general | all
+
+The ``general`` family measures each key at BOTH sf0.1 and the built sf1
+and reports the wall ratio (a shuffle-keyed linear plan lands <= ~10x,
+aggregate-output keys sublinear); ``q_token_budget`` additionally runs on
+a 90%-one-domain skew corpus to prove the two-phase histogram-prefix plan
+does not single-task a mega-domain.
 
 Builds (once) an sf1-equivalent corpus at ``out_dir/sf1`` by replicating
 the sf0.1 ``documents``/``embeddings`` tables 10x with per-replica
@@ -117,6 +125,122 @@ def build_corpus(spark, out_sf: str) -> None:
     )
 
 
+_KEY_OFF = 10_000_000
+
+
+def build_corpus_general(spark, out_sf: str) -> None:
+    """10x replicas of the TPC-H facts and the events stream, plus
+    verbatim dims: fact keys offset per replica so joins stay within
+    their replica (row counts grow 10x, join fan-out stays constant —
+    how a genuinely larger business would look), dims stay dim-sized.
+    Also builds ``<out_sf>skew/documents.parquet``: the sf1 documents
+    with 9 of 10 replicas collapsed onto one ``lang`` domain — the
+    mega-domain stress corpus for q_token_budget."""
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    if not os.path.exists(os.path.join(out_sf, "lineitem.parquet", "_SUCCESS")):
+        reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
+        off = F.col("r") * _KEY_OFF
+
+        for name in ("region", "nation", "supplier", "part"):
+            spark.read.parquet(f"{SRC_SF}/{name}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{out_sf}/{name}.parquet")
+
+        cust = spark.read.parquet(f"{SRC_SF}/customer.parquet")
+        cust.crossJoin(reps).select(
+            (F.col("c_custkey") + off).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{out_sf}/customer.parquet"
+        )
+
+        orders = spark.read.parquet(f"{SRC_SF}/orders.parquet")
+        orders.crossJoin(reps).select(
+            (F.col("o_orderkey") + off).alias("o_orderkey"),
+            (F.col("o_custkey") + off).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{out_sf}/orders.parquet"
+        )
+
+        li = spark.read.parquet(f"{SRC_SF}/lineitem.parquet")
+        li.crossJoin(reps).select(
+            (F.col("l_orderkey") + off).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{out_sf}/lineitem.parquet"
+        )
+
+        ev = load(spark, SRC_SF, "events")
+        ev.crossJoin(reps).select(
+            (F.col("event_id") + off).alias("event_id"),
+            "ts",
+            (F.col("user_id") + off).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        ).repartition(32).write.mode("overwrite").parquet(
+            f"{out_sf}/events.parquet"
+        )
+
+    skew_docs = f"{out_sf}skew/documents.parquet"
+    if not os.path.exists(os.path.join(skew_docs, "_SUCCESS")):
+        docs = spark.read.parquet(f"{out_sf}/documents.parquet")
+        docs.withColumn(
+            "lang",
+            F.when(
+                F.col("doc_id") % (10 * _KEY_OFF) < 9 * _KEY_OFF, F.lit("en")
+            ).otherwise(F.col("lang")),
+        ).write.mode("overwrite").parquet(skew_docs)
+
+
+GENERAL_KEYS = (
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_tpch_q10_shape",
+    "q_tpch_q18_shape",
+    "q_heavy_hitters",
+    "q_pack_sequences",
+    "q_shuffle_rank",
+    "q_resample_ffill",
+    "q_sessionize",
+    "q_token_budget",
+)
+
+
+def probe_general(spark, qs, out_sf: str, result: dict) -> None:
+    """Wall + rows at sf0.1 and sf1 (single run each) per key; the skew
+    corpus additionally for q_token_budget."""
+    for key in GENERAL_KEYS:
+        rec = {}
+        for label, sf in (("sf0.1", SRC_SF), ("sf1", out_sf)):
+            t1 = time.perf_counter()
+            n_out = qs[key](spark, sf).count()
+            rec[label] = {
+                "wall_s": round(time.perf_counter() - t1, 2),
+                "rows_out": n_out,
+            }
+        rec["ratio_10x"] = round(
+            rec["sf1"]["wall_s"] / max(rec["sf0.1"]["wall_s"], 1e-9), 2
+        )
+        if key == "q_token_budget":
+            t1 = time.perf_counter()
+            n_out = qs[key](spark, f"{out_sf}skew").count()
+            rec["sf1_90pct_one_domain"] = {
+                "wall_s": round(time.perf_counter() - t1, 2),
+                "rows_out": n_out,
+            }
+        result["queries"][key] = rec
+        print(f"# {key}: {rec}", file=sys.stderr)
+
+
 def cooccupancy(bucket_df, *keys) -> int:
     """sum over buckets of C(n, 2) — the candidate-pair volume a banded
     self-join generates, measured without running the join."""
@@ -131,6 +255,7 @@ def cooccupancy(bucket_df, *keys) -> int:
 
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraft_scale"
+    family = sys.argv[2] if len(sys.argv) > 2 else "all"
     out_sf = os.path.join(out_dir, "sf1")
 
     import __spark_entry__ as e
@@ -140,6 +265,8 @@ def main() -> int:
     spark = get_spark(app_name="scale_probe")
     t0 = time.perf_counter()
     build_corpus(spark, out_sf)
+    if family in ("general", "all"):
+        build_corpus_general(spark, out_sf)
     build_s = round(time.perf_counter() - t0, 1)
 
     n_docs = spark.read.parquet(f"{out_sf}/documents.parquet").count()
@@ -148,12 +275,19 @@ def main() -> int:
     qs = e.queries()
     result: dict = {
         "sf": 1.0,
+        "family": family,
         "n_docs": n_docs,
         "n_vecs": n_vecs,
         "build_s": build_s,
         "queries": {},
         "candidates": {},
     }
+
+    if family in ("general", "all"):
+        probe_general(spark, qs, out_sf, result)
+    if family not in ("dedup", "all"):
+        print(json.dumps(result))
+        return 0
 
     # --- candidate-stage volumes (bucket co-occupancy, no pair join) ---
     toks = dd._tokenized(spark, out_sf)
