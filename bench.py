@@ -107,6 +107,11 @@ HEADLINE = [
     "q_tpch_q18_shape",
     "q_similarity_join_fast",
     "q_token_budget",
+    "q_quality_classifier",
+    "q_classifier_funnel",
+    "q_unigram_tokenizer",
+    "q_unigram_encode",
+    "q_multimodal_phash",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose
