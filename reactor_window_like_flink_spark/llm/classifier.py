@@ -77,7 +77,12 @@ _DUCK_HASH = (
 def classifier_score() -> F.Column:
     """The serving expression: sigmoid(mean bucket weight + bias) over the
     document's char trigrams (docs with < 3 chars score sigmoid(bias)).
-    A pure narrow projection — compose it into any scan or funnel."""
+    A pure narrow projection — compose it into any scan or funnel.
+
+    Contract: the frame must carry a ``_lt`` string column holding the
+    lowercased text (``withColumn("_lt", F.lower("text"))``) — computed
+    once by the caller so a funnel that also tokenizes lowers the text
+    a single time."""
     w = ", ".join(f"{x}D" for x in CLF_WEIGHTS)
     h = _SPARK_HASH.format(b=CLF_BUCKETS)
     # Left fold of element_at over the hashed trigram sequence; guard the
