@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import functions as F
-
 from reactor_window_like_flink_spark.llm.classifier import (
     CLF_BIAS,
     CLF_BUCKETS,
@@ -54,9 +52,12 @@ def test_classifier_score_matches_python_recompute(spark, sf_dir):
 def test_classifier_short_text_scores_bias_only(spark, sf_dir):
     # < 3 chars -> zero trigrams -> sigmoid(bias) exactly
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
-    from reactor_window_like_flink_spark.llm.classifier import classifier_score
+    from reactor_window_like_flink_spark.llm.classifier import (
+        classifier_score,
+        with_classifier_inputs,
+    )
 
-    row = df.withColumn("_lt", F.lower("text")).select(
+    row = with_classifier_inputs(df).select(
         classifier_score().alias("s")
     ).first()
     assert abs(row["s"] - 1.0 / (1.0 + math.exp(-CLF_BIAS))) < 1e-12
