@@ -212,6 +212,12 @@ GENERAL_KEYS = (
     "q_resample_ffill",
     "q_sessionize",
     "q_token_budget",
+    "q_quality_classifier",
+    "q_classifier_funnel",
+    "q_bpe_merges",
+    "q_unigram_tokenizer",
+    "q_multimodal_phash",
+    "q_upsert_cdc",
 )
 
 
