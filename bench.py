@@ -112,6 +112,8 @@ HEADLINE = [
     "q_unigram_tokenizer",
     "q_unigram_encode",
     "q_multimodal_phash",
+    "q_bm25_query",
+    "q_sample_epochs",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -576,3 +576,138 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt").cast("double") / F.col("n"), 4).alias("share"),
         )
     )
+
+
+# ------------------------------------------------------- BM25 query scoring
+
+# The demo query for q_bm25_query — constant at plan-build time, which is
+# what makes the zero-join plan below possible.
+BM25_QUERY_TERMS = ("query", "filter", "data")
+BM25_QUERY_TOP_K = 10
+
+
+@REG.add(
+    "q_bm25_query",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(string_split(lower(text), ' '), "
+                 f"x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+                 for i, t in enumerate(BM25_QUERY_TERMS)
+             )}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS df_{i}"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             {" + ".join(
+                 f"CASE WHEN d.tf_{i} > 0 THEN 1 ELSE 0 END"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )} AS n_hits,
+             {" + ".join(
+                 f"(ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+                 f" * (d.tf_{i} * ({BM25_K1} + 1.0))"
+                 f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B}"
+                 f"      + {BM25_B} * d.dl / s.avgdl)))"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )} AS s
+      FROM per_doc d, stats s
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(s, 4) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+                AS INT) AS rank
+    FROM scored WHERE n_hits > 0
+    ORDER BY ROUND(s, 4) DESC, doc_id LIMIT {BM25_QUERY_TOP_K}
+    """,
+)
+def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_QUERY_TOP_K} documents for a fixed query under BM25 —
+    the query-time twin of ``q_bm25_topterms`` (retrieval inference:
+    dedup of eval prompts against the corpus, nearest-document lookup,
+    RAG candidate generation).
+
+    The Spark-first design point: because the query terms are constants
+    at plan-build time, scoring needs NO explode, NO (doc, term) shuffle
+    and NO join — each term's tf is a per-row ``filter(tokens, x -> x =
+    term)`` column in a single narrow scan; N, avgdl and each term's df
+    collapse into ONE broadcast 1-row aggregate; the score is a pure
+    projection summing the per-term saturation formula in FIXED term
+    order (both engines add the same doubles in the same order — no
+    summation-order hazard), and the top-k is TakeOrderedAndProject over
+    rounded (score, doc_id). Two narrow scans total (per_doc feeds the
+    stats aggregate and the scoring projection), zero hash exchanges —
+    at 100 TB this is a scan-speed pass, vs. the posting-list join a
+    pre-built ``q_inverted_index`` would serve for ad-hoc queries."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def _tf(term: str) -> F.Column:
+        # one-arg lambda REQUIRED: a two-arg lambda (e.g. via a t=t
+        # default) is treated by F.filter as the (element, index) form
+        # and the term would silently become the array index
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            _tf(t).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
+    ).localCheckpoint()  # feeds stats AND scoring (narrow O(docs) frame)
+    nterms = len(BM25_QUERY_TERMS)
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(nterms)
+        ],
+    )
+
+    def term_score(i: int) -> F.Column:
+        idf = F.log(
+            1.0
+            + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        return idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+
+    s = term_score(0)
+    for i in range(1, nterms):  # fixed fold order — engine-identical sum
+        s = s + term_score(i)
+    n_hits = sum(
+        F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in range(nterms)
+    )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, never a global sort/window over all matching docs), then
+    # the rank window runs over the K-row result only.
+    top = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            n_hits.cast("long").alias("n_hits"),
+            F.round(s, 4).alias("bm25"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_QUERY_TOP_K)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -681,3 +681,94 @@ def token_budget_prefix(t: DataFrame, budget: int) -> DataFrame:
         )
         .drop("_bkt", "_crossing_bkt")
     )
+
+
+# --------------------------------------------- epoch-aware mixture planning
+
+# Training budget as a multiple of the corpus's total token mass, and the
+# repetition ceiling: no source is repeated more than EPOCH_CAP times
+# (past ~4 epochs repeated data stops helping and starts hurting —
+# Muennighoff et al. 2023's data-constrained scaling result).
+TRAIN_BUDGET_MULT = 2.0
+EPOCH_CAP = 4.0
+
+
+@REG.add(
+    "q_sample_epochs",
+    f"""
+    WITH m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM m),
+    s AS (SELECT sum(pow(n_tokens / t.tot, {TEMP_ALPHA})) AS z FROM m, t),
+    e AS (
+      SELECT source, n_docs, n_tokens,
+             pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z AS q,
+             ({TRAIN_BUDGET_MULT} * t.tot)
+               * (pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z)
+               / n_tokens AS epochs_raw
+      FROM m, t, s
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(q, 4) AS q,
+           ROUND(epochs_raw, 4) AS epochs_want,
+           ROUND(LEAST(epochs_raw, {EPOCH_CAP}), 4) AS epochs,
+           epochs_raw > {EPOCH_CAP} AS capped,
+           CAST(ROUND(LEAST(epochs_raw, {EPOCH_CAP}) * n_tokens)
+                AS BIGINT) AS planned_tokens
+    FROM e
+    """,
+)
+def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware mixture plan: turn the temperature-scaled target
+    shares (the ``q_sample_temperature`` rule, alpha={TEMP_ALPHA}) and a
+    total training budget of {TRAIN_BUDGET_MULT}x the corpus token mass
+    into per-source repetition counts — epochs = target_tokens /
+    available_tokens, clipped at {EPOCH_CAP} epochs (the
+    data-constrained-scaling ceiling past which repetition stops paying)
+    with capped sources flagged and the post-cap planned token count
+    reported. This is the planning table a training loader consumes;
+    ``q_token_budget`` then executes admission within each source.
+    (Surplus from capped sources is intentionally NOT redistributed —
+    reallocation is an iterative policy choice that belongs to the
+    loader, and the flag tells it where the slack is.)
+
+    Scale shape: identical to ``q_sample_temperature`` — one narrow
+    tokenize scan into a groupBy(source) partial-combined aggregate
+    (shuffle carries counts, never text), two broadcast 1-row
+    re-aggregates (total mass, partition function), O(sources) output,
+    no window, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    m = (
+        docs.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        # O(sources) frame feeding three divergent branches (total, Z,
+        # projection) — same materialization rationale as temperature
+        .localCheckpoint()
+    )
+    tot = m.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    with_p = m.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.col("n_tokens") / F.col("tot")
+    )
+    z = with_p.agg(F.sum(F.pow("_p", F.lit(TEMP_ALPHA))).alias("z"))
+    q = F.pow("_p", F.lit(TEMP_ALPHA)) / F.col("z")
+    epochs_raw = (TRAIN_BUDGET_MULT * F.col("tot")) * q / F.col("n_tokens")
+    epochs = F.least(epochs_raw, F.lit(EPOCH_CAP))
+    return with_p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(q, 4).alias("q"),
+        F.round(epochs_raw, 4).alias("epochs_want"),
+        F.round(epochs, 4).alias("epochs"),
+        (epochs_raw > EPOCH_CAP).alias("capped"),
+        F.round(epochs * F.col("n_tokens"))
+        .cast("long")
+        .alias("planned_tokens"),
+    )

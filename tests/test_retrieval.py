@@ -702,3 +702,28 @@ def test_inverted_index_tiered_bounds_rows_and_reconstructs(spark):
     for r in hot:
         lo = r["segment_id"] * 16
         assert all(lo <= d < lo + 16 for d in r["postings"])
+
+
+# --- BM25 query scoring (q_bm25_query) ---
+
+def test_bm25_query_topk_plan_and_invariants(spark, sf_dir):
+    from reactor_window_like_flink_spark.llm.retrieval import (
+        BM25_QUERY_TERMS,
+        BM25_QUERY_TOP_K,
+        q_bm25_query,
+    )
+
+    df = q_bm25_query(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= BM25_QUERY_TOP_K
+    # ranks contiguous from 1, ordered by (bm25 desc, doc_id)
+    for i, r in enumerate(rows_sorted := sorted(rows, key=lambda r: r["rank"])):
+        assert r["rank"] == i + 1
+        assert 0 < r["n_hits"] <= len(BM25_QUERY_TERMS)
+        assert r["bm25"] > 0
+    for a, b in zip(rows_sorted, rows_sorted[1:]):
+        assert (a["bm25"], -a["doc_id"]) >= (b["bm25"], -b["doc_id"])
+    # the top-k must be a distributed TakeOrderedAndProject, not a
+    # global sort or a corpus-wide rank window
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

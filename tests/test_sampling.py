@@ -327,3 +327,34 @@ def test_token_budget_window_input_is_admitted_prefix(spark):
     join = next(i for i, l in enumerate(lines) if "Join" in l)
     assert win < join, "running-sum Window must consume the prefix join"
     assert int(_TOKEN_BUDGET_HIST_SHIFT) == 32 - 10  # derived, not drifted
+
+
+# --- epoch-aware mixture planning (q_sample_epochs) ---
+
+def test_sample_epochs_cap_and_conservation(spark, sf_dir):
+    from reactor_window_like_flink_spark.llm.sampling import (
+        EPOCH_CAP,
+        TRAIN_BUDGET_MULT,
+        q_sample_epochs,
+    )
+
+    rows = q_sample_epochs(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["q"] for r in rows) - 1.0) < 1e-2  # shares sum to 1
+    for r in rows:
+        assert 0 < r["epochs"] <= EPOCH_CAP + 1e-9
+        assert r["capped"] == (r["epochs_want"] > EPOCH_CAP)
+        if r["capped"]:
+            assert r["epochs"] == EPOCH_CAP
+        else:
+            assert abs(r["epochs"] - r["epochs_want"]) < 1e-9
+        assert abs(r["planned_tokens"] - r["epochs"] * r["n_tokens"]) <= (
+            0.5 + r["n_tokens"] * 5e-5  # rounding of epochs to 4dp
+        )
+    # uncapped sources get exactly their temperature share of the budget:
+    # sum over all sources of epochs_want * n_tokens == budget
+    total = sum(r["n_tokens"] for r in rows)
+    want = sum(r["epochs_want"] * r["n_tokens"] for r in rows)
+    assert abs(want - TRAIN_BUDGET_MULT * total) / (
+        TRAIN_BUDGET_MULT * total
+    ) < 1e-3
