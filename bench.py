@@ -114,6 +114,7 @@ HEADLINE = [
     "q_multimodal_phash",
     "q_bm25_query",
     "q_sample_epochs",
+    "q_cms_rollup",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -711,3 +711,137 @@ def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# -------------------------------------------------- count-min sketch rollup
+
+# CMS geometry (Cormode & Muthukrishnan 2005): depth independent hash
+# rows x width counters. 4x256 keeps the fixture sketch readable; the
+# error bound is the standard eps = e/width with prob 1 - e^-depth.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+# Probe terms whose estimates the rollup reports against exact counts.
+CMS_PROBE_TERMS = ("the", "data", "query", "row", "vector")
+
+
+def _cms_bucket_sql(term_expr: str, d_expr: str, engine: str) -> str:
+    """Engine-neutral bucket hash: first 8 md5 hex chars of 'term|d' as a
+    32-bit int, mod width — the same device as q_token_budget's pri."""
+    concat = f"concat({term_expr}, '|', CAST({d_expr} AS STRING))"
+    if engine == "spark":
+        return (
+            f"pmod(conv(substring(md5({concat}), 1, 8), 16, 10), {CMS_WIDTH})"
+        )
+    concat = f"({term_expr} || '|' || CAST({d_expr} AS VARCHAR))"
+    return (
+        f"(CAST(('0x' || substr(md5({concat}), 1, 8)) AS BIGINT)"
+        f" % {CMS_WIDTH})"
+    )
+
+
+@REG.add(
+    "q_cms_rollup",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, d,
+             {_cms_bucket_sql("term", "d", "duck")} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, generate_series(0, {CMS_DEPTH - 1}) AS g(d)
+      GROUP BY source, d, bucket
+    ),
+    merged AS (
+      SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM cells GROUP BY d, bucket
+    ),
+    probes AS (
+      SELECT term, d,
+             {_cms_bucket_sql("term", "d", "duck")} AS bucket
+      FROM (VALUES {", ".join(f"('{t}')" for t in CMS_PROBE_TERMS)}) p(term),
+           generate_series(0, {CMS_DEPTH - 1}) AS g(d)
+    ),
+    est AS (
+      SELECT p.term, CAST(min(COALESCE(m.cnt, 0)) AS BIGINT) AS cms_est
+      FROM probes p LEFT JOIN merged m USING (d, bucket)
+      GROUP BY p.term
+    ),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact
+      FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in CMS_PROBE_TERMS)})
+      GROUP BY term
+    )
+    SELECT e.term, COALESCE(x.exact, 0) AS exact, e.cms_est,
+           e.cms_est - COALESCE(x.exact, 0) AS overcount
+    FROM est e LEFT JOIN exact x USING (term)
+    """,
+)
+def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min-sketch frequency rollup: per-source
+    {CMS_DEPTH}x{CMS_WIDTH} sketches built from the token stream, merged
+    across sources by counter addition (the re-aggregation property —
+    same contract as the HLL and fixed-bin quantile rollups), then
+    probed for {len(CMS_PROBE_TERMS)} terms against their exact counts
+    with the one-sided overcount reported.
+
+    The 100 TB point: term-frequency estimates WITHOUT a vocabulary
+    shuffle — the sketch aggregate keys on (source, d, bucket), a key
+    space of sources x {CMS_DEPTH * CMS_WIDTH} cells, so map-side
+    combine collapses every partition to a constant-size partial no
+    matter how many distinct terms exist (the vocab-keyed count the
+    exact audit runs is the thing this avoids; Misra-Gries heavy
+    hitters answers "which terms are frequent", CMS answers "how
+    frequent is THIS term" point queries over streams/shards). CMS
+    guarantees est >= exact; min-over-depth is the estimator. The
+    audit's exact side prunes to the probe terms BEFORE its groupBy, so
+    it stays cheap. Oracle-checked cell-for-cell: the bucket hash is
+    the engine-neutral md5 device, so DuckDB reproduces the sketch
+    exactly."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens()).alias("term"))
+    depth = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    ).alias("d")
+    bucket = F.expr(_cms_bucket_sql("term", "d", "spark")).alias("bucket")
+    cells = (
+        tok.select("source", "term", depth)
+        .select("source", "d", bucket)
+        .groupBy("source", "d", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    merged = cells.groupBy("d", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    probes = (
+        spark.createDataFrame(
+            [(t,) for t in CMS_PROBE_TERMS], "term string"
+        )
+        .select("term", depth)
+        .select("term", "d", bucket)
+    )
+    est = (
+        F.broadcast(probes)
+        .join(merged, ["d", "bucket"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est")
+        )
+    )
+    exact = (
+        tok.filter(F.col("term").isin(*CMS_PROBE_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    return (
+        est.join(F.broadcast(exact), "term", "left")
+        .select(
+            "term",
+            F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            "cms_est",
+            (F.col("cms_est") - F.coalesce("exact", F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

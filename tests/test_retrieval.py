@@ -727,3 +727,50 @@ def test_bm25_query_topk_plan_and_invariants(spark, sf_dir):
     # global sort or a corpus-wide rank window
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- count-min sketch rollup (q_cms_rollup) ---
+
+def test_cms_rollup_one_sided_and_merge_property(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.llm.retrieval import (
+        CMS_DEPTH,
+        CMS_PROBE_TERMS,
+        _cms_bucket_sql,
+        q_cms_rollup,
+    )
+    from reactor_window_like_flink_spark.llm.text import _tokens
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    rows = q_cms_rollup(spark, sf_dir).collect()
+    assert {r["term"] for r in rows} == set(CMS_PROBE_TERMS)
+    for r in rows:
+        # CMS never undercounts, and the estimate min-over-depth is tight
+        # enough to be finite
+        assert r["overcount"] >= 0
+        assert r["cms_est"] == r["exact"] + r["overcount"]
+
+    # merge property: summing per-source sketches == one corpus-wide
+    # sketch (counter addition is exact, the re-aggregation contract)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(_tokens()).alias("term"))
+    depth = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("d")
+    bucket = F.expr(_cms_bucket_sql("term", "d", "spark")).alias("bucket")
+    per_source_merged = (
+        tok.select("source", "term", depth)
+        .select("source", "d", bucket)
+        .groupBy("source", "d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = (
+        tok.select("term", depth)
+        .select("d", bucket)
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = {(r["d"], r["bucket"]): r["cnt"] for r in per_source_merged.collect()}
+    b = {(r["d"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b
