@@ -247,3 +247,63 @@ def test_streaming_quantiles_match_batch_histogram_inversion(
             assert got[q]["n_clamped"] == 1
     finally:
         query.stop()
+
+
+def test_streaming_cms_replay_equals_batch_sketch_and_accumulates(
+    spark, tmp_path
+):
+    """Continuous CMS: estimates after replaying a bounded stream equal
+    the batch sketch probed the same way (same md5 bucket device), never
+    undercount the true counts, and accumulate across micro-batches."""
+    from reactor_window_like_flink_spark.streaming.cms import (
+        cms_bucket,
+        continuous_cms,
+    )
+
+    probes = ("view", "click", "rare")
+    types_a = ["view"] * 6 + ["click"] * 3 + ["scroll"] * 4
+    types_b = ["view"] * 2 + ["rare"] + ["scroll"] * 5
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    out = continuous_cms(
+        src.stream(), "user_id", "event_type", probes, depth=4, width=32
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_cms")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish(_rows(types_a, 0))
+        _poll(lambda: spark.sql("SELECT * FROM t_cms").collect() or None)
+        src.publish(_rows(types_b, 100))
+        n_total = len(types_a) + len(types_b)
+        rows = _poll(
+            lambda: (
+                r
+                if (
+                    r := spark.sql(
+                        f"SELECT * FROM t_cms WHERE n_seen = {n_total}"
+                    ).collect()
+                )
+                and len(r) >= len(probes)
+                else None
+            )
+        )
+        assert rows, "second batch must accumulate onto state"
+        got = {r["item"]: r["cms_est"] for r in rows}
+
+        # reference: batch-built sketch over ALL items, probed identically
+        counters = [0] * (4 * 32)
+        for item in types_a + types_b:
+            for d in range(4):
+                counters[d * 32 + cms_bucket(item, d, 32)] += 1
+        exact = Counter(types_a + types_b)
+        for p in probes:
+            want = min(counters[d * 32 + cms_bucket(p, d, 32)] for d in range(4))
+            assert got[p] == want          # replay == batch sketch
+            assert got[p] >= exact[p]      # one-sided guarantee
+    finally:
+        query.stop()
