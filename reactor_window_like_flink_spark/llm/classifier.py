@@ -24,7 +24,7 @@ Reference parity note: no text surface in the reference engine
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
@@ -32,6 +32,7 @@ from reactor_window_like_flink_spark.llm.curation import (
     FUNNEL_MAX_TOK,
     FUNNEL_MIN_DIV,
     FUNNEL_MIN_TOK,
+    funnel_report,
 )
 from reactor_window_like_flink_spark.sources.tables import load
 
@@ -220,31 +221,8 @@ def q_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(classifier_score() < CLF_KEEP_MIN, 3)
         .otherwise(4)
     )
-    c = (
-        with_classifier_inputs(docs)
-        .select(stage_idx.alias("stage_idx"))
-        .groupBy("stage_idx")
-        .agg(F.count("*").alias("n"))
-    )
-    stages = spark.createDataFrame(
-        _CLF_FUNNEL_STAGES, "stage_idx int, stage string"
-    )
-    j = F.broadcast(stages).join(c, "stage_idx", "left").withColumn(
-        "n", F.coalesce("n", F.lit(0))
-    )
-    w_prev = Window.orderBy("stage_idx").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.orderBy("stage_idx").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    tot = F.sum("n").over(w_all).cast("double")
-    return j.select(
-        "stage_idx",
-        "stage",
-        F.col("n").cast("long").alias("n_docs"),
-        (tot - F.coalesce(F.sum("n").over(w_prev), F.lit(0).cast("long")))
-        .cast("long")
-        .alias("n_in"),
-        F.round(F.col("n") / tot, 4).alias("pct_of_total"),
+    return funnel_report(
+        spark,
+        with_classifier_inputs(docs).select(stage_idx.alias("stage_idx")),
+        _CLF_FUNNEL_STAGES,
     )

@@ -1094,17 +1094,33 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(dv < FUNNEL_MIN_DIV, 2)
         .otherwise(3)
     )
-    c = docs.select(stage_idx.alias("stage_idx")).groupBy("stage_idx").agg(
-        F.count("*").alias("n")
+    return funnel_report(
+        spark, docs.select(stage_idx.alias("stage_idx")), _FUNNEL_STAGES
     )
-    stages = spark.createDataFrame(_FUNNEL_STAGES, "stage_idx int, stage string")
-    j = F.broadcast(stages).join(c, "stage_idx", "left").withColumn(
+
+
+def funnel_report(
+    spark: SparkSession,
+    stage_idx_df: DataFrame,
+    stages: list[tuple[int, str]],
+) -> DataFrame:
+    """First-fail funnel report shared by every funnel key (the
+    ``q_filter_funnel`` arithmetic, extracted so classifier/other rule
+    sets can't drift from it): given one ``stage_idx`` row per document
+    and the ordered (idx, name) stage catalog, emit per stage the drop
+    count, telescoping stage input ``n_in``, and corpus share.
+
+    Scale shape: the groupBy shuffles O(#rules) distinct keys with
+    map-side combine; the unpartitioned windows run over the O(#rules)
+    stage catalog, never the corpus; the corpus total is the SUM of the
+    stage counts (every doc is charged to exactly one stage), so no
+    second count(*) pass over the table exists; the stage catalog joins
+    as a broadcast literal frame so zero-drop rules still report."""
+    c = stage_idx_df.groupBy("stage_idx").agg(F.count("*").alias("n"))
+    catalog = spark.createDataFrame(stages, "stage_idx int, stage string")
+    j = F.broadcast(catalog).join(c, "stage_idx", "left").withColumn(
         "n", F.coalesce("n", F.lit(0))
     )
-    # O(#rules)=4-row frame: the unpartitioned windows run over the stage
-    # catalog, never the corpus. The corpus total is the SUM of the stage
-    # counts (every doc is charged to exactly one stage), so no second
-    # count(*) pass over the table exists.
     w_prev = Window.orderBy("stage_idx").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -392,8 +392,20 @@ def phash_pairs(sigs: DataFrame) -> DataFrame:
             .cast("long")
             .alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # Filter BEFORE collapsing to one row per doc pair: a doc can
+        # carry several signatures (multi-asset callers), and the same
+        # pair reaches here once per matching chunk AND per signature
+        # pair — dedup-first would keep an arbitrary row and could
+        # discard a qualifying asset pair in favor of a non-qualifying
+        # one. min(hamming) is the best asset pair (deterministic);
+        # min(kind) makes the reported kinds deterministic too.
         .filter(F.col("hamming") <= PHASH_HAMMING)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("kind_a").alias("kind_a"),
+            F.min("kind_b").alias("kind_b"),
+            F.min("hamming").alias("hamming"),
+        )
     )
 
 

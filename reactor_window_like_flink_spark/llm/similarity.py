@@ -533,6 +533,9 @@ KNN_K = 5
 KNN_LSH_BANDS = 16
 KNN_LSH_BITS = 4
 KNN_LSH_SEED = 20260814
+# The cosine level the production default sizes recall for: a kNN graph
+# must find MODERATE-similarity neighbors, not just near-dups.
+KNN_PLAN_COSINE = 0.7
 
 
 def knn_graph(
@@ -551,17 +554,22 @@ def knn_graph(
     clustering/diversity passes), not the single-query top-k of
     q_similarity_cosine.
 
-    ``bits=None`` (the default) derives the bucket width from the
-    corpus count via ``auto_lsh_bits`` — the same corpus-sized
-    production default as the other three LSH paths
-    (``emb_band_buckets[_fast]``, ``lsh_cosine_pairs_fast``,
-    ``similarity_join``); pass ``n_vectors`` to skip the count job when
-    the size is already known, and cache ``emb`` first if its lineage
-    is expensive (the count re-executes it). ``bands`` defaults to the
-    kNN family's {KNN_LSH_BANDS}-band literal — kNN needs recall at
-    MODERATE cosine, which more/narrower bands buy at bounded candidate
-    volume. The fixture key ``q_knn_graph`` pins both literals (its
-    recall/exactness pytests depend on them).
+    ``bands=None, bits=None`` (the defaults) derive BOTH knobs jointly
+    from the corpus count via ``auto_lsh_plan`` at cosine
+    {KNN_PLAN_COSINE} — bits occupancy-bound, bands solved from the
+    S-curve so recall holds as bits grow (sizing bits alone while bands
+    stayed at the {KNN_LSH_BANDS}-band literal silently decayed
+    moderate-cosine recall at scale — the same hazard auto_lsh_plan
+    fixes for the near-dup paths; when even max_bands can't reach the
+    target at corpus scale the plan clamps AND warns, because
+    moderate-cosine recall at huge n is genuinely outside banded LSH's
+    economic regime — the warning tells the caller to consider IVF/PQ).
+    Passing exactly one knob keeps it and fills the other (literal
+    bands + occupancy bits). Pass ``n_vectors`` to skip the count job
+    when the size is already known, and cache ``emb`` first if its
+    lineage is expensive (the count re-executes it). The fixture key
+    ``q_knn_graph`` pins both literals (its recall/exactness pytests
+    depend on them).
 
     Scale shape (round-7 rework — the sf1 probe measured the previous
     pair-join form at 309 s / ~10⁸ candidate rows at 20k vectors,
@@ -586,15 +594,19 @@ def knn_graph(
 
     from reactor_window_like_flink_spark.llm.dedup import (
         auto_lsh_bits,
+        auto_lsh_plan,
         emb_band_buckets_fast,
     )
 
-    if bands is None:
-        bands = KNN_LSH_BANDS
-    if bits is None:
+    if bands is None and bits is None:
+        n = emb.count() if n_vectors is None else n_vectors
+        bands, bits = auto_lsh_plan(n, threshold=KNN_PLAN_COSINE)
+    elif bits is None:
         bits = auto_lsh_bits(
             emb.count() if n_vectors is None else n_vectors
         )
+    elif bands is None:
+        bands = KNN_LSH_BANDS
     buckets = emb_band_buckets_fast(emb, bands=bands, bits=bits, seed=seed)
     grouped = buckets.join(emb, "vec_id")
 

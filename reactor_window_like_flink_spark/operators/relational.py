@@ -1336,10 +1336,13 @@ def cdc_snapshot(
 
     Out-of-order changelogs are the normal case (CDC streams interleave
     by commit time per partition, not per key): correctness comes from
-    the aggregate being order-free — ``max(struct(seq_cols…, row))``
-    picks the same winner under any input order. ``seq_cols`` must be a
-    per-key total order (include a unique id as the last element;
-    equal-sequence rows would otherwise tie-break on payload bytes).
+    the aggregate being order-free — ``max_by(row, struct(seq_cols…))``
+    picks the same winner under any input order, and because ONLY the
+    sequence struct is ordered, the payload may carry non-orderable
+    types (maps, e.g. a raw ``props`` column) that the older
+    ``max(struct(seq, row))`` form rejected at analysis time.
+    ``seq_cols`` must be a per-key total order (include a unique id as
+    the last element; equal-sequence winners are undefined otherwise).
 
     Scale shape — the reason this is an aggregate and not the oracle's
     ROW_NUMBER window: one map-side-combined hash aggregate whose
@@ -1351,16 +1354,14 @@ def cdc_snapshot(
     keys = list(key_cols)
     payload = [c for c in changelog.columns if c not in set(keys)]
     win = changelog.groupBy(*keys).agg(
-        F.max(
+        F.max_by(
+            F.struct(*payload),
             F.struct(
-                *[F.col(c).alias(f"_s{i}") for i, c in enumerate(seq_cols)],
-                F.struct(*payload).alias("_row"),
-            )
-        ).alias("_w")
+                *[F.col(c).alias(f"_s{i}") for i, c in enumerate(seq_cols)]
+            ),
+        ).alias("_row")
     )
-    out = win.select(*keys, F.col("_w._row").alias("_row")).select(
-        *keys, "_row.*"
-    )
+    out = win.select(*keys, "_row.*")
     if not keep_tombstones:
         out = out.filter(F.col(op_col) != F.lit("D"))
     return out

@@ -219,3 +219,24 @@ def test_phash_key_finds_exact_dups_with_hamming_zero(spark, sf_dir):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert got.get((ids[i], ids[j])) == 0
+
+
+def test_phash_pairs_multi_signature_doc_keeps_qualifying_pair(spark):
+    """Regression: dedup-before-filter could keep a non-qualifying
+    candidate row for a pair and drop its qualifying asset match. A doc
+    with two signatures — one identical to the partner, one far but
+    sharing a chunk — must still pair at hamming 0."""
+    base = 0x0123456789ABCDEF
+    # far signature: same low 16-bit chunk as base (bucket collision in
+    # chunk 0) but many other bits flipped -> hamming > threshold
+    far = base ^ 0x7FFFFFFFFFFF0000
+    sigs = spark.createDataFrame(
+        [
+            (1, "image", base),   # asset 1 of doc 1: exact match
+            (1, "image", far),    # asset 2 of doc 1: far, collides chunk 0
+            (2, "image", base),   # doc 2
+        ],
+        "doc_id long, kind string, dhash long",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in phash_pairs(sigs).collect()}
+    assert got.get((1, 2)) == 0

@@ -155,3 +155,28 @@ def test_cdc_through_idempotent_batch_sink_replay(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_cdc_snapshot_supports_map_payload_columns(spark):
+    """Regression: the old max(struct(seq, row)) form rejected map
+    payload columns at analysis time (maps are not orderable);
+    max_by orders only the sequence struct, so any payload type works."""
+    from reactor_window_like_flink_spark.operators.relational import (
+        cdc_snapshot,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, 1, "I", {"a": "x"}),
+            (1, 3, "U", {"a": "y"}),
+            (1, 2, "U", {"a": "stale"}),
+            (2, 1, "I", {"b": "z"}),
+            (2, 2, "D", None),
+        ],
+        "k long, seq long, op string, props map<string,string>",
+    )
+    out = {
+        r["k"]: r["props"]
+        for r in cdc_snapshot(rows, ["k"], ["seq"]).collect()
+    }
+    assert out == {1: {"a": "y"}}  # key 2 tombstoned, key 1 latest wins

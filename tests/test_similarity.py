@@ -414,3 +414,35 @@ def test_similarity_join_fast_equals_exact_and_stays_broadcast(spark, sf_dir):
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_knn_graph_default_sizes_bands_jointly_and_warns_when_clamped(spark):
+    """Regression: the production default must size bands WITH bits
+    (auto_lsh_plan), not hold the 16-band fixture literal while bits
+    grow — and at corpus scales where moderate-cosine recall is
+    unreachable within max_bands it must WARN rather than silently
+    degrade."""
+    import warnings
+
+    from reactor_window_like_flink_spark.llm.dedup import auto_lsh_plan
+    from reactor_window_like_flink_spark.llm.similarity import (
+        KNN_PLAN_COSINE,
+        knn_graph,
+    )
+
+    n_big = 10_000_000
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bands, bits = auto_lsh_plan(n_big, threshold=KNN_PLAN_COSINE)
+    assert bands > 16  # joint sizing widened bands beyond the literal
+    assert any("max_bands" in str(x.message) for x in w)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, float(i % 2)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = knn_graph(emb, k=2, n_vectors=n_big)  # default path, no count job
+        assert any("max_bands" in str(x.message) for x in w)
+    assert {"vec_id", "neighbor_id"} <= set(df.columns)
