@@ -218,6 +218,9 @@ GENERAL_KEYS = (
     "q_unigram_tokenizer",
     "q_multimodal_phash",
     "q_upsert_cdc",
+    "q_bm25_query",
+    "q_sample_epochs",
+    "q_cms_rollup",
 )
 
 
