@@ -115,6 +115,7 @@ HEADLINE = [
     "q_bm25_query",
     "q_sample_epochs",
     "q_cms_rollup",
+    "q_similarity_ivfpq",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -968,3 +968,100 @@ def q_similarity_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, fast_banding=True,
         bands=EMB_LSH_BANDS, bits=EMB_LSH_BITS,
     )
+
+
+# ------------------------------------------------------- IVF + PQ hybrid
+
+# The FAISS IVFPQ composition: IVF prunes WHERE to look (probed cells ->
+# partition pruning at scale), PQ shrinks WHAT is scanned there (m ints
+# per row instead of dim floats), exact re-rank restores precision.
+_IVFPQ_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed index table (vec_id, label, embedding, code, cell):
+    the PQ codes joined with the IVF cell assignment, persisted once per
+    (session, dataset) — at scale this is ONE table written partitioned
+    by ``cell`` with the code column alongside, so a probed query scans
+    probes/cells of m-int codes and nothing else. Training is shared:
+    ``train_ivf``/``train_pq`` each run once per dataset (their own
+    caches), and this join is a one-time index build, not query work."""
+    cached = _IVFPQ_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    ivf = train_ivf(spark, sf_dir)
+    pq = train_pq(spark, sf_dir)
+    joined = pq.codes.join(
+        ivf.assigned.select("vec_id", "cell"), "vec_id"
+    ).persist()
+    joined.count()  # materialize outside any query's critical path
+    _IVFPQ_CACHE[sf_dir] = (spark, joined)
+    return joined
+
+
+@REG.add("q_similarity_ivfpq")  # rows-only: k-means centroids/codebooks
+# are not SQL-reproducible; tests assert two-stage recall on a clustered
+# fixture and exact-cosine agreement on the emitted rows.
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ hybrid ANN (the FAISS IVFPQ architecture): probe the top
+    ``IVF_PROBES`` k-means cells for the query, ADC-score ONLY those
+    cells' rows from the m-int code column, exact-re-rank the top
+    ``PQ_RERANK`` shortlist on raw embeddings, return the cosine top-k.
+
+    The 100 TB shape — why the hybrid beats either index alone: IVF
+    alone still reads dim floats per row in the probed cells; PQ alone
+    still scans every row's codes. Composed, the scan is
+    probes/cells × m ints: with the index table partitioned by cell,
+    the query is partition pruning (``cell IN (...)`` from a driver-side
+    centroid ranking) into a codes-only columnar read, one job, no
+    shuffle before the top-k heaps; only the ≤ PQ_RERANK shortlist ever
+    touches float embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    qe = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    qn = math.sqrt(sum(v * v for v in qe)) or 1.0
+    qu = [v / qn for v in qe]
+    ivf = train_ivf(spark, sf_dir)
+    pq = train_pq(spark, sf_dir)
+    probes = _probe_cells(ivf.centroids, qe, IVF_PROBES)
+    table = ivfpq_table(spark, sf_dir)
+    m = len(pq.codebooks)
+    dsub = len(qu) // m
+    lut = [
+        [
+            sum(a * b for a, b in zip(qu[j * dsub : (j + 1) * dsub], cent))
+            for cent in pq.codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]), F.col("code")[j] + 1
+        )
+        adc = term if adc is None else adc + term
+    candidates = (
+        table.filter(
+            F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .withColumn("adc", adc)
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_RERANK)
+    )
+    qe_col = F.array(*[F.lit(v) for v in qe])
+    return (
+        candidates.withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("embedding", qe_col, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (_norm("embedding") * F.lit(qn)),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+    )

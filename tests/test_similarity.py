@@ -446,3 +446,103 @@ def test_knn_graph_default_sizes_bands_jointly_and_warns_when_clamped(spark):
         df = knn_graph(emb, k=2, n_vectors=n_big)  # default path, no count job
         assert any("max_bands" in str(x.message) for x in w)
     assert {"vec_id", "neighbor_id"} <= set(df.columns)
+
+
+def test_ivfpq_two_stage_recall_on_clustered_vectors(spark):
+    """The hybrid contract: IVF probing then PQ-ADC shortlisting then
+    exact re-rank still recovers the true cosine top-10 on data with
+    neighborhood structure — the composition can lose recall at BOTH
+    stages, so assert the end-to-end number."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        IVF_PROBES,
+        PQ_RERANK,
+        _probe_cells,
+        fit_ivf,
+        fit_pq,
+    )
+
+    rng = np.random.default_rng(23)
+    n_clusters, per_cluster, dim = 16, 90, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vecs = [], []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.25 * rng.standard_normal((per_cluster, dim))
+        for i, p in enumerate(pts):
+            vid = c * per_cluster + i
+            rows.append((vid, c, [float(x) for x in p]))
+            vecs.append((vid, p.astype("float64")))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    ivf = fit_ivf(spark, df)
+    pq = fit_pq(spark, df)
+
+    qid, q = vecs[0]
+    qu = q / np.linalg.norm(q)
+    # stage 1: probed cells
+    probes = set(_probe_cells(ivf.centroids, [float(x) for x in q], IVF_PROBES))
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf.assigned.select("vec_id", "cell").collect()
+    }
+    # stage 2: ADC shortlist within probed cells
+    cb = np.asarray(pq.codebooks)
+    m, _, dsub = cb.shape
+    lut = np.stack([cb[j] @ qu[j * dsub : (j + 1) * dsub] for j in range(m)])
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in pq.codes.select("vec_id", "code").collect()
+    }
+    adc = sorted(
+        (
+            (-float(sum(lut[j][c] for j, c in enumerate(code))), v)
+            for v, code in codes.items()
+            if v != qid and cells[v] in probes
+        )
+    )[:PQ_RERANK]
+    shortlist = {v for _, v in adc}
+    ivf.assigned.unpersist()
+    pq.codes.unpersist()
+
+    scored = sorted(
+        (
+            (float(e @ q) / (np.linalg.norm(e) * np.linalg.norm(q)), v)
+            for v, e in vecs
+            if v != qid
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    true10 = {v for _, v in scored[:10]}
+    recall = len(true10 & shortlist) / 10
+    assert recall >= 0.8, f"IVFPQ end-to-end shortlist recall@10 = {recall}"
+
+
+def test_ivfpq_key_emits_exact_cosines_within_probed_cells(spark, sf_dir, vectors):
+    """The registered key's emitted rows: cosines are EXACT (re-rank
+    touches raw embeddings), descending with vec_id tie-break, drawn
+    only from the probed cells."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        IVF_PROBES,
+        _probe_cells,
+        train_ivf,
+    )
+
+    rows = entry_mod.queries()["q_similarity_ivfpq"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= TOP_K
+    q = next(e for v, _, e in vectors if v == QUERY_VEC_ID)
+    qn = float(np.sqrt(q @ q))
+    emb = {v: e for v, _, e in vectors}
+    for a, b in zip(rows, rows[1:]):
+        assert (a["cosine"], -a["vec_id"]) >= (b["cosine"], -b["vec_id"])
+    ivf = train_ivf(spark, sf_dir)
+    probes = set(_probe_cells(ivf.centroids, [float(x) for x in q], IVF_PROBES))
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf.assigned.select("vec_id", "cell").collect()
+    }
+    for r in rows:
+        e = emb[r["vec_id"]]
+        want = float(e @ q) / (float(np.sqrt(e @ e)) * qn)
+        assert abs(r["cosine"] - round(want, 4)) < 1e-9
+        assert cells[r["vec_id"]] in probes
