@@ -116,6 +116,7 @@ HEADLINE = [
     "q_sample_epochs",
     "q_cms_rollup",
     "q_similarity_ivfpq",
+    "q_bitmap_rollup",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

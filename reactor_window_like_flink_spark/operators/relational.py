@@ -1102,6 +1102,57 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "q_bitmap_rollup",
+    """
+    SELECT event_type,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type, month
+    """,
+)
+def q_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct rollup via bitmap aggregates — the exact
+    counterpart to ``q_hll_rollup``'s estimate: per-(day, event_type,
+    bucket) user bitmaps built ONCE (``bitmap_construct_agg`` over
+    32768-bit buckets keyed by ``bitmap_bucket_number`` — each user_id
+    owns exactly one bit in exactly one bucket, so counts are exact, not
+    sketched), monthly answers by OR-merging the daily bitmaps
+    (``bitmap_or_agg``) and summing per-bucket ``bitmap_count`` — the
+    raw events are never re-touched for coarser grains.
+
+    Oracle-checkable precisely BECAUSE it is exact: DuckDB runs plain
+    COUNT(DISTINCT user_id) per (event_type, month) and the numbers must
+    match bit-for-bit. Scale shape: the daily shuffle carries one ≤4 KiB
+    blob per (day, type, populated-bucket) — for a bounded id space a
+    CONSTANT number of blobs per key per day — and the monthly re-agg
+    reads only those blobs; COUNT(DISTINCT) at 100 TB would instead
+    shuffle every raw (key, user) pair on every query. The HLL twin
+    trades exactness for id-space-independent blob size; this one is
+    the right tool when ids are dense ints (the Delta/ClickHouse
+    bitmap-rollup pattern)."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    monthly_buckets = daily.groupBy(
+        F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias(
+            "month"
+        ),
+        "event_type",
+        "bucket",
+    ).agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+    return monthly_buckets.groupBy("event_type", "month").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )
+
+
+@REG.add(
     "q_reagg_rollup",
     """
     SELECT event_type,

@@ -102,3 +102,63 @@ def test_quantile_rollup_error_bound_and_degenerate(spark, sf_dir):
         rel.load = orig
     assert len(rows) == 3
     assert all(r["est"] == 7.5 and r["n_events"] == 20 for r in rows)
+
+
+def test_bitmap_rollup_exact_across_bucket_boundaries(spark, sf_dir):
+    """q_bitmap_rollup equals COUNT(DISTINCT) exactly (driver oracle
+    covers the fixture; this pins the bucket math on ids that straddle
+    the 32768-bit bucket boundary and on duplicates)."""
+    from pyspark.sql import functions as F
+
+    ids = [1, 2, 32768, 32769, 70000, 70000, 1]  # 5 distinct, 2 buckets+
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    got = (
+        df.groupBy(F.expr("bitmap_bucket_number(user_id)").alias("b"))
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+            .alias("bm")
+        )
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .first()["n"]
+    )
+    assert got == len(set(ids))
+    # merge property: two half-streams OR-merged == one pass
+    half_a, half_b = ids[:4], ids[4:]
+    def bitmaps(vals):
+        return (
+            spark.createDataFrame([(i,) for i in vals], "user_id long")
+            .groupBy(F.expr("bitmap_bucket_number(user_id)").alias("b"))
+            .agg(
+                F.expr(
+                    "bitmap_construct_agg(bitmap_bit_position(user_id))"
+                ).alias("bm")
+            )
+        )
+    merged = (
+        bitmaps(half_a).unionByName(bitmaps(half_b))
+        .groupBy("b")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .first()["n"]
+    )
+    assert merged == len(set(ids))
+
+    # and the registered key agrees with a direct COUNT(DISTINCT)
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    got_rows = {
+        (r["event_type"], r["month"]): r["n_users"]
+        for r in entry_mod.queries()["q_bitmap_rollup"](spark, sf_dir).collect()
+    }
+    want_rows = {
+        (r["event_type"], r["month"]): r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got_rows == want_rows
