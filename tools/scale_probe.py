@@ -221,6 +221,8 @@ GENERAL_KEYS = (
     "q_bm25_query",
     "q_sample_epochs",
     "q_cms_rollup",
+    "q_similarity_ivfpq",
+    "q_bitmap_rollup",
 )
 
 
