@@ -239,15 +239,28 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
     ]
-    qn = math.sqrt(sum(x * x for x in qe))
+    qn = math.sqrt(sum(x * x for x in qe)) or 1.0
     index = train_ivf(spark, sf_dir)
     probes = _probe_cells(index.centroids, qe, IVF_PROBES)
-    qe_col = F.array(*[F.lit(x) for x in qe])
-    return (
+    return _exact_cosine_topk(
         index.assigned.filter(
             F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
-        )
-        .withColumn(
+        ),
+        qe,
+        qn,
+    )
+
+
+def _exact_cosine_topk(
+    df: DataFrame, qe: list[float], qn: float, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine scoring + deterministic (cosine desc, vec_id) top-k
+    + output projection — the closing block every ANN key shares (ONE
+    canonical expression, so the keys cannot drift). ``df`` must carry
+    (vec_id, label, embedding)."""
+    qe_col = F.array(*[F.lit(v) for v in qe])
+    return (
+        df.withColumn(
             "cosine",
             F.aggregate(
                 F.zip_with("embedding", qe_col, lambda x, y: x.cast("double") * y),
@@ -257,7 +270,7 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (_norm("embedding") * F.lit(qn)),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
+        .limit(k)
         .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
     )
 
@@ -410,12 +423,28 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = math.sqrt(sum(v * v for v in qe)) or 1.0
     qu = [v / qn for v in qe]
     index = train_pq(spark, sf_dir)
-    m = len(index.codebooks)
+    candidates = (
+        index.codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("adc", _adc_expr(index.codebooks, qu))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_RERANK)
+    )
+    return _exact_cosine_topk(candidates, qe, qn)
+
+
+def _adc_expr(
+    codebooks: list[list[list[float]]], qu: list[float]
+) -> F.Column:
+    """The ADC scoring expression shared by the PQ keys: build the m×k
+    lookup table dot(q_sub, codebook[j][c]) driver-side, emit the
+    ``sum_j lut[j][code[j]]`` fold as JVM ``element_at`` over literal
+    arrays (1-based) on the m-int ``code`` column."""
+    m = len(codebooks)
     dsub = len(qu) // m
     lut = [
         [
             sum(a * b for a, b in zip(qu[j * dsub : (j + 1) * dsub], cent))
-            for cent in index.codebooks[j]
+            for cent in codebooks[j]
         ]
         for j in range(m)
     ]
@@ -425,27 +454,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(v) for v in lut[j]]), F.col("code")[j] + 1
         )
         adc = term if adc is None else adc + term
-    candidates = (
-        index.codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("adc", adc)
-        .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(PQ_RERANK)
-    )
-    qe_col = F.array(*[F.lit(v) for v in qe])
-    return (
-        candidates.withColumn(
-            "cosine",
-            F.aggregate(
-                F.zip_with("embedding", qe_col, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (_norm("embedding") * F.lit(qn)),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
-    )
+    return adc
 
 
 def quantize_int8(vectors: DataFrame) -> DataFrame:
@@ -979,11 +988,15 @@ _IVFPQ_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed index table (vec_id, label, embedding, code, cell):
-    the PQ codes joined with the IVF cell assignment, persisted once per
-    (session, dataset) — at scale this is ONE table written partitioned
-    by ``cell`` with the code column alongside, so a probed query scans
-    probes/cells of m-int codes and nothing else. Training is shared:
+    """The composed index table (vec_id, cell, code): the PQ codes
+    joined with the IVF cell assignment, persisted once per (session,
+    dataset) — at scale this is ONE table written partitioned by
+    ``cell`` with the code column alongside, so a probed query scans
+    probes/cells of m-int codes and nothing else. Deliberately SLIM:
+    embeddings/labels are NOT duplicated here (``ivf.assigned`` and
+    ``pq.codes`` already cache them — a third full copy would triple
+    executor cache cost); the ≤ PQ_RERANK shortlist joins back to
+    ``pq.codes`` for its floats. Training is shared:
     ``train_ivf``/``train_pq`` each run once per dataset (their own
     caches), and this join is a one-time index build, not query work."""
     cached = _IVFPQ_CACHE.get(sf_dir)
@@ -991,9 +1004,11 @@ def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached[1]
     ivf = train_ivf(spark, sf_dir)
     pq = train_pq(spark, sf_dir)
-    joined = pq.codes.join(
-        ivf.assigned.select("vec_id", "cell"), "vec_id"
-    ).persist()
+    joined = (
+        pq.codes.select("vec_id", "code")
+        .join(ivf.assigned.select("vec_id", "cell"), "vec_id")
+        .persist()
+    )
     joined.count()  # materialize outside any query's critical path
     _IVFPQ_CACHE[sf_dir] = (spark, joined)
     return joined
@@ -1027,41 +1042,18 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = train_pq(spark, sf_dir)
     probes = _probe_cells(ivf.centroids, qe, IVF_PROBES)
     table = ivfpq_table(spark, sf_dir)
-    m = len(pq.codebooks)
-    dsub = len(qu) // m
-    lut = [
-        [
-            sum(a * b for a, b in zip(qu[j * dsub : (j + 1) * dsub], cent))
-            for cent in pq.codebooks[j]
-        ]
-        for j in range(m)
-    ]
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[j]]), F.col("code")[j] + 1
-        )
-        adc = term if adc is None else adc + term
-    candidates = (
+    shortlist = (
         table.filter(
             F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
         )
-        .withColumn("adc", adc)
+        .withColumn("adc", _adc_expr(pq.codebooks, qu))
         .orderBy(F.desc("adc"), F.asc("vec_id"))
         .limit(PQ_RERANK)
+        .select("vec_id")
     )
-    qe_col = F.array(*[F.lit(v) for v in qe])
-    return (
-        candidates.withColumn(
-            "cosine",
-            F.aggregate(
-                F.zip_with("embedding", qe_col, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (_norm("embedding") * F.lit(qn)),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+    # only now touch floats: the <= PQ_RERANK shortlist (broadcast)
+    # joins back to the cached codes table for embedding + label
+    candidates = F.broadcast(shortlist).join(
+        pq.codes.select("vec_id", "label", "embedding"), "vec_id"
     )
+    return _exact_cosine_topk(candidates, qe, qn)

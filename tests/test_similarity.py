@@ -544,5 +544,7 @@ def test_ivfpq_key_emits_exact_cosines_within_probed_cells(spark, sf_dir, vector
     for r in rows:
         e = emb[r["vec_id"]]
         want = float(e @ q) / (float(np.sqrt(e @ e)) * qn)
-        assert abs(r["cosine"] - round(want, 4)) < 1e-9
+        # 1e-4: Spark's sequential fold and numpy's pairwise sum differ
+        # by ulps BEFORE each side rounds to 4dp (file convention)
+        assert abs(r["cosine"] - want) <= 1e-4
         assert cells[r["vec_id"]] in probes
