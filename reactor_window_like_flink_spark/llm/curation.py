@@ -642,14 +642,21 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = c.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cb"))
     s = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("ns"))
-    k = b.agg(F.count("*").cast("long").alias("k"))
-    n = b.agg(F.sum("cb").cast("long").alias("n"))
+    # k (bucket count) and n (corpus total) ride along as window sums
+    # over the O(buckets) frame instead of two more aggregate jobs +
+    # broadcast builds: this key's sf0.1 cost is JOB COUNT, not data
+    # (everything after c is <= sources x buckets rows), and the
+    # single-partition window is over <= DRIFT_BUCKETS rows.
+    wall = Window.partitionBy()
+    b = b.select(
+        "bucket",
+        "cb",
+        F.count("*").over(wall).cast("long").alias("k"),
+        F.sum("cb").over(wall).cast("long").alias("n"),
+    )
     grid = s.crossJoin(F.broadcast(b))
-    j = (
-        grid.join(c, ["source", "bucket"], "left")
-        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
-        .crossJoin(F.broadcast(k))
-        .crossJoin(F.broadcast(n))
+    j = grid.join(c, ["source", "bucket"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
     )
     p = (F.col("cnt") + 0.5) / (F.col("ns") + 0.5 * F.col("k"))
     q = (F.col("cb") + 0.5) / (F.col("n") + 0.5 * F.col("k"))

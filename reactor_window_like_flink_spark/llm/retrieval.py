@@ -786,12 +786,13 @@ def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed for {len(CMS_PROBE_TERMS)} terms against their exact counts
     with the one-sided overcount reported.
 
-    The 100 TB point: term-frequency estimates WITHOUT a vocabulary
-    shuffle — the sketch aggregate keys on (source, d, bucket), a key
-    space of sources x {CMS_DEPTH * CMS_WIDTH} cells, so map-side
-    combine collapses every partition to a constant-size partial no
-    matter how many distinct terms exist (the vocab-keyed count the
-    exact audit runs is the thing this avoids; Misra-Gries heavy
+    The 100 TB point: the depth fan-out never touches the token
+    stream — per-term counts are map-side-combined once (shuffle
+    volume = per-partition distinct terms, zipf-small for text), and
+    only that O(vocab) aggregate is exploded x depth into the
+    (source, d, bucket) key space of sources x
+    {CMS_DEPTH * CMS_WIDTH} cells, which map-side combine collapses
+    to a constant-size partial per partition (Misra-Gries heavy
     hitters answers "which terms are frequent", CMS answers "how
     frequent is THIS term" point queries over streams/shards). CMS
     guarantees est >= exact; min-over-depth is the estimator. The
@@ -805,11 +806,22 @@ def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
     ).alias("d")
     bucket = F.expr(_cms_bucket_sql("term", "d", "spark")).alias("bucket")
+    # Pre-aggregate (source, term) counts ONCE, then explode only the
+    # O(vocab) aggregate x depth. The naive form (explode every token
+    # row x depth, then combine) does depth-x the map-side hashing work
+    # on the full token stream; this form pays one map-side-combined
+    # vocab aggregate (shuffle bounded by per-partition distinct terms,
+    # zipf-small for text) and the depth fan-out touches only the vocab.
+    # The sketch cells are identical: sum of per-term counts into a
+    # bucket == count of exploded token rows in that bucket.
+    term_counts = tok.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("tc")
+    )
     cells = (
-        tok.select("source", "term", depth)
-        .select("source", "d", bucket)
+        term_counts.select("source", "term", "tc", depth)
+        .select("source", "d", bucket, "tc")
         .groupBy("source", "d", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("tc").cast("long").alias("cnt"))
     )
     merged = cells.groupBy("d", "bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
@@ -821,9 +833,11 @@ def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", depth)
         .select("term", "d", bucket)
     )
+    # Broadcast the RIGHT (build) side: Spark ignores a broadcast hint
+    # on the stream-preserved left side of a LEFT OUTER join, and
+    # merged is the bounded O(depth*width) frame anyway.
     est = (
-        F.broadcast(probes)
-        .join(merged, ["d", "bucket"], "left")
+        probes.join(F.broadcast(merged), ["d", "bucket"], "left")
         .groupBy("term")
         .agg(
             F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est")
