@@ -574,6 +574,234 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(docs.filter(is_batch), docs.filter(~is_batch))
 
 
+# ---------------------------------------- incremental NEAR-dup admission
+
+# The MinHash analog of the exact-hash ledger above: a production ingest
+# needs "is this batch doc a NEAR duplicate of anything already admitted?"
+# without re-banding the corpus per increment. The corpus side persists
+# TWO bucketed tables — the banded-LSH signature index (candidate lookup)
+# and the hashed-shingle sets (exact-Jaccard confirm) — each shuffled
+# ONCE at build time; an increment's admission then pays only
+# increment-sized work plus co-located index reads.
+NEAR_INDEX_BUCKETS = 32
+
+
+def _doc_toks(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, toks), the q_dedup_near tokenization."""
+    return docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+
+
+def build_corpus_near_index(
+    corpus: DataFrame,
+    prefix: str,
+    buckets: int = NEAR_INDEX_BUCKETS,
+) -> tuple[str, str]:
+    """Materialize the near-dup admission index for ``corpus``: the
+    ``{prefix}_bands`` table (doc_id, band_id, band_hash)
+    bucketed+sorted on exactly the candidate join's keys
+    (band_id, band_hash) — the increment's candidate join consumes this
+    bucket partitioning with NO corpus-side Exchange — and the
+    ``{prefix}_sets`` table (doc_id, sh) bucketed by doc_id for the
+    co-located confirm join. Returns the two table names. Same ledger
+    contract as ``build_corpus_hash_index``: admitted increments are
+    APPENDED (``append_to_near_index``), bucket spec preserved, so the
+    corpus-wide shuffle is never re-paid."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        hashed_shingle_sets,
+        minhash_bands,
+    )
+
+    toks = _doc_toks(corpus)
+    bands_t, sets_t = f"{prefix}_bands", f"{prefix}_sets"
+    (
+        minhash_bands(toks)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band_id", "band_hash")
+        .sortBy("band_id", "band_hash")
+        .format("parquet")
+        .saveAsTable(bands_t)
+    )
+    (
+        hashed_shingle_sets(toks)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(sets_t)
+    )
+    return bands_t, sets_t
+
+
+def append_to_near_index(
+    admitted: DataFrame, spark: SparkSession, prefix: str
+) -> None:
+    """Ledger maintenance: band + shingle-set rows for newly ADMITTED
+    docs are appended into the index tables (``insertInto`` preserves
+    the bucket spec), so the next increment's admission sees them —
+    replay-idempotent: re-admitting the same batch after the append
+    finds every doc at Jaccard 1.0 and admits nothing."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        hashed_shingle_sets,
+        minhash_bands,
+    )
+
+    toks = _doc_toks(admitted)
+    minhash_bands(toks).write.insertInto(f"{prefix}_bands")
+    hashed_shingle_sets(toks).write.insertInto(f"{prefix}_sets")
+
+
+def _near_admission(
+    batch_toks: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+) -> DataFrame:
+    """Core admission: batch docs → (doc_id, status, dup_of, jaccard).
+
+    status='near_dup' iff some corpus doc shares an LSH band AND the
+    exact hashed-shingle Jaccard confirms >= JACCARD_THRESHOLD;
+    dup_of = the lowest confirming corpus doc_id, jaccard = the highest
+    confirming similarity (deterministic aggregates over the confirmed
+    match set — note they may come from different matches). Admitted
+    docs carry (status='admitted', dup_of NULL, jaccard NULL).
+
+    Scale shape: every frame here is increment-sized except the two
+    corpus index reads — the candidate join consumes the bands table's
+    bucket partitioning (batch side shuffles, corpus side does not) and
+    the confirm join touches only candidate corpus doc_ids."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        hashed_shingle_sets,
+        minhash_bands,
+    )
+
+    bands_b = minhash_bands(batch_toks).localCheckpoint()
+    sets_b = hashed_shingle_sets(batch_toks).localCheckpoint()
+    cand = (
+        bands_b.alias("a")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    paired = (
+        cand.join(
+            sets_b.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_a")),
+            "batch_id",
+        )
+        .join(
+            corpus_sets.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b")
+            ),
+            "corpus_id",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    matches = (
+        paired.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("batch_id")
+        .agg(
+            F.min("corpus_id").alias("dup_of"),
+            F.max("jaccard").alias("jaccard"),
+        )
+    )
+    return (
+        batch_toks.select("doc_id")
+        .join(matches, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("admitted"))
+            .alias("status"),
+            "dup_of",
+            "jaccard",
+        )
+    )
+
+
+def incremental_dedup_near(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Index-free twin of ``incremental_dedup_near_indexed``: bands and
+    sets computed from the raw corpus frame. Same admitted set (the
+    banding devices are deterministic) — the re-banding reference the
+    indexed path is tested against, and the form the registered key's
+    pytest uses as its oracle."""
+    from reactor_window_like_flink_spark.llm.dedup import (
+        hashed_shingle_sets,
+        minhash_bands,
+    )
+
+    corpus_toks = _doc_toks(corpus)
+    return _near_admission(
+        _doc_toks(batch),
+        minhash_bands(corpus_toks).localCheckpoint(),
+        hashed_shingle_sets(corpus_toks).localCheckpoint(),
+    )
+
+
+def incremental_dedup_near_indexed(
+    batch: DataFrame, spark: SparkSession, prefix: str
+) -> DataFrame:
+    """Near-dup admission against the PERSISTED index (see
+    ``build_corpus_near_index``): corpus-side shuffle paid once at build
+    time, per-increment cost = increment-sized banding + co-located
+    index joins."""
+    return _near_admission(
+        _doc_toks(batch),
+        spark.table(f"{prefix}_bands"),
+        spark.table(f"{prefix}_sets"),
+    )
+
+
+# Registered-key index memo per (applicationId, sf_dir): the index build
+# (two bucketed table writes) runs once per session+dataset; bench warm
+# iterations then measure probe-only admission, same amortization story
+# as the IVFPQ index.
+_NEAR_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_NEAR_INDEX_MAX = 4
+
+
+@REG.add("q_dedup_incremental_near")  # rows-only: xxhash64/banded LSH has
+# no DuckDB mirror; pytest asserts equality with re-banding the whole
+# corpus (incremental_dedup_near) and replay-idempotence after append.
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission: ``source='src0'`` plays the
+    incoming crawl batch, every other source the already-ingested
+    corpus, served from the persisted banded-MinHash index (see
+    ``build_corpus_near_index`` / ``incremental_dedup_near_indexed``).
+    The MinHash analog of ``q_dedup_incremental``'s exact-hash ledger —
+    the composition a production ingest needs to refuse paraphrased/
+    near-identical re-crawls, not just byte-identical ones."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    prefix = _NEAR_INDEX_CACHE.pop(key, None)
+    docs = load(spark, sf_dir, "documents")
+    is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
+    if prefix is None:
+        # deterministic name (md5, not Python's per-process-salted hash)
+        # so a re-run on the same dataset OVERWRITES its old tables
+        # instead of littering the warehouse
+        import hashlib
+
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        prefix = f"near_idx_{digest}"
+        build_corpus_near_index(docs.filter(~is_batch), prefix)
+        while len(_NEAR_INDEX_CACHE) >= _NEAR_INDEX_MAX:
+            del _NEAR_INDEX_CACHE[next(iter(_NEAR_INDEX_CACHE))]
+    _NEAR_INDEX_CACHE[key] = prefix
+    return incremental_dedup_near_indexed(docs.filter(is_batch), spark, prefix)
+
+
 # Source-drift (PSI) contract: fixed n_chars buckets so runs compare
 # across snapshots; +0.5 Laplace smoothing keeps empty buckets finite and
 # both engines' arithmetic exact-integer-derived.

@@ -111,6 +111,50 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_bands(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) → (doc_id, band_id, band_hash): the banded-LSH
+    signature frame shared by ``q_dedup_near`` and the incremental
+    near-dup admission index (``llm/curation.py``). Distributed-MinHash
+    shape: explode shingles once, then ONE groupBy computes all
+    ``MINHASH_PERMS`` permutation minimums as partial aggregates
+    (map-side combine — the shuffle carries MINHASH_PERMS longs per
+    doc, never the shingle sets); bands are hashes of signature
+    slices. Deterministic end-to-end (xxhash64 + hash), so a corpus
+    banded today and an increment banded tomorrow collide on exactly
+    the bands a joint re-banding would produce."""
+    exploded = toks_df.select(
+        "doc_id", F.explode(_shingles_from_toks(3)).alias("shingle")
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64("shingle", F.lit(i)))
+                for i in range(MINHASH_PERMS)
+            ]
+        ).alias("sig"),
+    )
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_BANDS - 1}),"
+                f" b -> hash(slice(sig, b * {MINHASH_ROWS} + 1, {MINHASH_ROWS})))"
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
+def hashed_shingle_sets(toks_df: DataFrame) -> DataFrame:
+    """(doc_id, toks) → (doc_id, sh): per-doc xxhash64'd shingle sets for
+    the exact-Jaccard confirm — hashed-set Jaccard equals raw-set Jaccard
+    barring a 2^-64 collision, and confirm shuffles carry 8-byte elements
+    instead of full shingle text (~10x smaller rows)."""
+    return toks_df.select(
+        "doc_id",
+        F.transform(_shingles_from_toks(3), lambda x: F.xxhash64(x)).alias("sh"),
+    )
+
+
 @REG.add("q_dedup_near")  # rows-only: DuckDB has no xxhash64 to mirror the LSH
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs (shingle → minhash → band
@@ -132,25 +176,8 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     hints are reserved for scanned dimension tables).
     """
     toks = _tokenized(spark, sf_dir)
-    exploded = toks.select(
-        "doc_id", F.explode(_shingles_from_toks(3)).alias("shingle")
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min(F.xxhash64("shingle", F.lit(i)))
-                for i in range(MINHASH_PERMS)
-            ]
-        ).alias("sig"),
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {MINHASH_BANDS - 1}),"
-                f" b -> hash(slice(sig, b * {MINHASH_ROWS} + 1, {MINHASH_ROWS})))"
-            )
-        ).alias("band_id", "band_hash"),
+    bands = minhash_bands(
+        toks
     ).localCheckpoint()  # both self-join sides: signature agg runs once
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
@@ -170,9 +197,8 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # confirm shuffle carries 8-byte elements instead of full shingle text
     # (~10x smaller rows). The brute-force test compares against literal
     # string sets, keeping the hashed form honest.
-    sets = toks.select(
-        "doc_id",
-        F.transform(_shingles_from_toks(3), lambda x: F.xxhash64(x)).alias("sh"),
+    sets = hashed_shingle_sets(
+        toks
     ).localCheckpoint()  # read by both confirm sides: hash pass runs once
     with_a = sets.join(candidates, sets.doc_id == candidates.doc_a).select(
         "doc_a", "doc_b", F.col("sh").alias("sh_a")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.layout import partitioned_write
 from reactor_window_like_flink_spark.sources.tables import load
 
 REG = Registry()
@@ -984,34 +985,50 @@ def q_similarity_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The FAISS IVFPQ composition: IVF prunes WHERE to look (probed cells ->
 # partition pruning at scale), PQ shrinks WHAT is scanned there (m ints
 # per row instead of dim floats), exact re-rank restores precision.
-_IVFPQ_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+# Index-table memo per (applicationId, sf_dir), bounded LRU — the same
+# artifact-lifecycle posture as bpe.merges_for (id-stable across GC,
+# no cross-session thrash). The cached value is (path, DataFrame): the
+# index lives ON DISK partitioned by cell, so eviction deletes the
+# directory instead of unpersisting executor memory.
+_IVFPQ_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+_IVFPQ_CACHE_MAX = 4
 
 
 def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed index table (vec_id, cell, code): the PQ codes
-    joined with the IVF cell assignment, persisted once per (session,
-    dataset) — at scale this is ONE table written partitioned by
-    ``cell`` with the code column alongside, so a probed query scans
-    probes/cells of m-int codes and nothing else. Deliberately SLIM:
-    embeddings/labels are NOT duplicated here (``ivf.assigned`` and
-    ``pq.codes`` already cache them — a third full copy would triple
-    executor cache cost); the ≤ PQ_RERANK shortlist joins back to
-    ``pq.codes`` for its floats. Training is shared:
+    joined with the IVF cell assignment, WRITTEN ONCE per (session,
+    dataset) as a hive-partitioned parquet layout ``cell=<c>/*.parquet``
+    (``sources.layout.partitioned_write``) and read back — so a probed
+    query's ``cell IN (...)`` filter is satisfied by PLANNING-TIME
+    directory pruning (``PartitionFilters`` in the scan node): probes/
+    cells of the directories are listed, zero footers opened elsewhere,
+    and the physical read is probes/cells of m-int codes and nothing
+    else. Deliberately SLIM: embeddings/labels are NOT duplicated here
+    (``ivf.assigned`` and ``pq.codes`` already cache them — a third
+    full copy would multiply storage); the ≤ PQ_RERANK shortlist joins
+    back to ``pq.codes`` for its floats. Training is shared:
     ``train_ivf``/``train_pq`` each run once per dataset (their own
-    caches), and this join is a one-time index build, not query work."""
-    cached = _IVFPQ_CACHE.get(sf_dir)
-    if cached is not None and cached[0] is spark:
-        return cached[1]
-    ivf = train_ivf(spark, sf_dir)
-    pq = train_pq(spark, sf_dir)
-    joined = (
-        pq.codes.select("vec_id", "code")
-        .join(ivf.assigned.select("vec_id", "cell"), "vec_id")
-        .persist()
-    )
-    joined.count()  # materialize outside any query's critical path
-    _IVFPQ_CACHE[sf_dir] = (spark, joined)
-    return joined
+    caches), and the write is a one-time index build, not query work."""
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _IVFPQ_CACHE.pop(key, None)
+    if hit is None:
+        ivf = train_ivf(spark, sf_dir)
+        pq = train_pq(spark, sf_dir)
+        joined = pq.codes.select("vec_id", "code").join(
+            ivf.assigned.select("vec_id", "cell"), "vec_id"
+        )
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        partitioned_write(joined, path, ["cell"])
+        hit = (path, spark.read.parquet(path))
+        while len(_IVFPQ_CACHE) >= _IVFPQ_CACHE_MAX:  # evict the LRU
+            old_path, _ = _IVFPQ_CACHE.pop(next(iter(_IVFPQ_CACHE)))
+            shutil.rmtree(old_path, ignore_errors=True)
+    _IVFPQ_CACHE[key] = hit  # (re-)insert = most recently used
+    return hit[1]
 
 
 @REG.add("q_similarity_ivfpq")  # rows-only: k-means centroids/codebooks

@@ -99,3 +99,70 @@ def test_incremental_dedup_index_elides_corpus_shuffle(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.sql("DROP TABLE IF EXISTS b_corpus_hash")
+
+
+def test_incremental_near_dedup_matches_rebanding_and_replays(
+    spark, sf_dir, no_broadcast
+):
+    """The round-11 near-dup admission ledger: (a) admission against the
+    persisted banded-MinHash index equals re-banding the whole corpus;
+    (b) the candidate join's corpus side is read co-located from its
+    buckets (no corpus-side Exchange feeding that join); (c) after
+    appending the admitted docs (ledger maintenance), replaying the
+    SAME batch admits nothing — every doc confirms against its own
+    appended copy at Jaccard 1.0."""
+    import re
+    import shutil
+
+    from reactor_window_like_flink_spark.llm.curation import (
+        INCREMENTAL_BATCH_SOURCE,
+        append_to_near_index,
+        build_corpus_near_index,
+        incremental_dedup_near,
+        incremental_dedup_near_indexed,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    prefix = "t_near_idx"
+    for t in (f"{prefix}_bands", f"{prefix}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        docs = load(spark, sf_dir, "documents")
+        is_batch = F.col("source") == INCREMENTAL_BATCH_SOURCE
+        batch, corpus = docs.filter(is_batch), docs.filter(~is_batch)
+        build_corpus_near_index(corpus, prefix, buckets=8)
+
+        out = incremental_dedup_near_indexed(batch, spark, prefix)
+        rows = out.collect()
+        got = {(r["doc_id"], r["status"], r["dup_of"], r["jaccard"]) for r in rows}
+        want = {
+            (r["doc_id"], r["status"], r["dup_of"], r["jaccard"])
+            for r in incremental_dedup_near(batch, corpus).collect()
+        }
+        assert got == want and len(got) > 0
+        assert {r["status"] for r in rows} <= {"admitted", "near_dup"}
+
+        # the bands table feeds the candidate join from its buckets
+        plan = formatted_plan(out)
+        assert "Bucketed: true" in plan
+
+        # ledger maintenance + replay: append admitted docs, re-admit the
+        # same batch -> everything is a near_dup of itself (jaccard 1.0
+        # against its own appended copy), nothing admitted
+        admitted_ids = [r["doc_id"] for r in rows if r["status"] == "admitted"]
+        assert admitted_ids, "fixture should admit at least one doc"
+        append_to_near_index(
+            batch.filter(F.col("doc_id").isin(admitted_ids)), spark, prefix
+        )
+        replay = incremental_dedup_near_indexed(batch, spark, prefix).collect()
+        assert all(r["status"] == "near_dup" for r in replay)
+        by_id = {r["doc_id"]: r for r in replay}
+        for did in admitted_ids:
+            assert by_id[did]["jaccard"] == 1.0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        for t in (f"{prefix}_bands", f"{prefix}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

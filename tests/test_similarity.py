@@ -5,6 +5,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 from reactor_window_like_flink_spark.llm.similarity import (
@@ -548,3 +549,54 @@ def test_ivfpq_key_emits_exact_cosines_within_probed_cells(spark, sf_dir, vector
         # by ulps BEFORE each side rounds to 4dp (file convention)
         assert abs(r["cosine"] - want) <= 1e-4
         assert cells[r["vec_id"]] in probes
+
+
+def test_ivfpq_index_is_cell_partitioned_and_probe_prunes(spark, sf_dir):
+    """The round-11 physical contract: the composed (vec_id, cell, code)
+    index is a hive layout partitioned by cell, and a probe query's
+    ``cell IN (...)`` is satisfied by PLANNING-TIME directory pruning —
+    PartitionFilters in the scan node, files actually read drawn only
+    from the probed ``cell=<c>/`` directories (probes/cells of the
+    layout), the ivfpq docstring's 100 TB claim made measurable."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        IVF_PROBES,
+        QUERY_VEC_ID,
+        _probe_cells,
+        ivfpq_table,
+        train_ivf,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    table = ivfpq_table(spark, sf_dir)
+    all_files = table.inputFiles()
+    assert all_files and all("/cell=" in f for f in all_files)
+    n_cells = len({f.split("/cell=")[1].split("/")[0] for f in all_files})
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    ]
+    ivf = train_ivf(spark, sf_dir)
+    probes = _probe_cells(ivf.centroids, qe, IVF_PROBES)
+    assert len(probes) < n_cells  # pruning must have something to prune
+
+    probed = table.filter(F.col("cell").isin(probes))
+    probed.write.format("noop").mode("overwrite").save()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    read_files = [
+        r["f"]
+        for r in probed.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    want_dirs = {f"/cell={c}/" for c in probes}
+    assert read_files and all(
+        any(d in f for d in want_dirs) for f in read_files
+    )
+    assert len(read_files) <= len(probes) * max(
+        1, len(all_files) // n_cells
+    )
