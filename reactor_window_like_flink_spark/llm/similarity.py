@@ -328,6 +328,33 @@ def _lloyd(x, k: int, seed: int, iters: int = 25):
     return cents
 
 
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoder over FROZEN codebooks — shared by the
+    fit-time corpus encode and the append-without-retrain path
+    (``encode_pq``): an appended vector gets exactly the code a fit-time
+    encode would give it, so ADC scoring stays consistent across index
+    generations."""
+    import numpy as np
+
+    cb = np.asarray(codebooks)  # (m, k, dsub)
+    m, _, dsub = cb.shape
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        vx = np.asarray(col.tolist(), dtype=np.float64)
+        nn = np.linalg.norm(vx, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        vx /= nn
+        out = np.empty((len(vx), m), dtype=np.int32)
+        for j in range(m):
+            sub = vx[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return encode
+
+
 def fit_pq(
     spark: SparkSession,
     vectors: DataFrame,
@@ -367,21 +394,7 @@ def fit_pq(
     codebooks = [
         _lloyd(x[:, j * dsub : (j + 1) * dsub], k, PQ_SEED + j) for j in range(m)
     ]
-    cb = np.asarray(codebooks)  # (m, k, dsub) — broadcast in the UDF closure
-
-    @pandas_udf("array<int>")
-    def encode(col: pd.Series) -> pd.Series:
-        vx = np.asarray(col.tolist(), dtype=np.float64)
-        nn = np.linalg.norm(vx, axis=1, keepdims=True)
-        nn[nn == 0] = 1.0
-        vx /= nn
-        out = np.empty((len(vx), m), dtype=np.int32)
-        for j in range(m):
-            sub = vx[:, j * dsub : (j + 1) * dsub]
-            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
-            out[:, j] = d2.argmin(1)
-        return pd.Series(list(out))
-
+    encode = _pq_encode_udf([c.tolist() for c in codebooks])
     codes = vectors.select(
         "vec_id", "label", "embedding", encode("embedding").alias("code")
     ).persist()
@@ -1031,6 +1044,108 @@ def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit[1]
 
 
+# ---- index staleness: append-without-retrain + rebuild cadence --------
+#
+# Policy (tested in tests/test_similarity.py::test_ivfpq_append_*):
+# centroids and codebooks are QUERY-TIME PARAMETERS frozen at train time;
+# corpus growth does NOT retrain them. An appended batch gets (a) cell
+# assignments from the frozen centroids (``assign_cells`` — the same
+# argmin-distance rule the fit-time transform used) and (b) PQ codes from
+# the frozen codebooks (``encode_pq`` — the same Arrow encoder), then its
+# rows are APPENDED into the cell-partitioned index layout
+# (``append_ivfpq_rows``) — new rows land in exactly the directories a
+# probe for their neighborhood will prune to, so recall on appended data
+# holds with zero retraining. Retrain/rebuild is a periodic batch
+# decision, not an ingest-path one: when drift accumulates (monitor cell
+# occupancy skew with the same PSI device as ``q_source_drift`` — a
+# growing hot cell means the frozen centroids no longer tessellate the
+# data), re-fit on a fresh sample and OVERWRITE the layout; queries see
+# old index until the atomic swap.
+
+
+def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Append-path cell assignment: nearest FROZEN centroid by Euclidean
+    distance on the L2-normalized vector — bit-compatible with the
+    fit-time ``KMeans.transform`` rule (argmin |c|^2 - 2 x·c), so an
+    appended row lands in the cell a full re-fit assignment would give
+    it under the same centroids. One Arrow pass, no shuffle."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c2 = (cents**2).sum(1)
+
+    @pandas_udf("int")
+    def cell_of(col: pd.Series) -> pd.Series:
+        vx = np.asarray(col.tolist(), dtype=np.float64)
+        nn = np.linalg.norm(vx, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        vx /= nn
+        d = c2[None, :] - 2.0 * (vx @ cents.T)
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    return vectors.withColumn("cell", cell_of("embedding"))
+
+
+def encode_pq(vectors: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Append-path PQ encoding against FROZEN codebooks (see
+    ``_pq_encode_udf``)."""
+    return vectors.withColumn("code", _pq_encode_udf(codebooks)("embedding"))
+
+
+def append_ivfpq_rows(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    """Ledger maintenance for the cell-partitioned IVFPQ layout: assign +
+    encode the appended batch under the frozen index parameters and
+    append its (vec_id, code) rows into the matching ``cell=<c>/``
+    directories. Increment-sized work only; the existing layout is
+    untouched (parquet append adds files, never rewrites)."""
+    rows = encode_pq(assign_cells(new_vectors, centroids), codebooks)
+    (
+        rows.select("vec_id", "code", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivfpq_search(
+    table: DataFrame,
+    lookup: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    qe: list[float],
+    exclude_id: int | None = None,
+    probes_n: int = IVF_PROBES,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """The IVFPQ probe shared by the registered key and the staleness
+    tests: rank cells driver-side, ADC-score only the probed cells' code
+    rows from ``table`` (cell-partitioned: planning-time pruning),
+    exact-re-rank the shortlist against ``lookup``'s raw embeddings
+    (``(vec_id, label, embedding)`` — must cover appended rows too)."""
+    qn = math.sqrt(sum(v * v for v in qe)) or 1.0
+    qu = [v / qn for v in qe]
+    probes = _probe_cells(centroids, qe, probes_n)
+    flt = F.col("cell").isin(probes)
+    if exclude_id is not None:
+        flt = flt & (F.col("vec_id") != exclude_id)
+    shortlist = (
+        table.filter(flt)
+        .withColumn("adc", _adc_expr(codebooks, qu))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(rerank)
+        .select("vec_id")
+    )
+    candidates = F.broadcast(shortlist).join(
+        lookup.select("vec_id", "label", "embedding"), "vec_id"
+    )
+    return _exact_cosine_topk(candidates, qe, qn)
+
+
 @REG.add("q_similarity_ivfpq")  # rows-only: k-means centroids/codebooks
 # are not SQL-reproducible; tests assert two-stage recall on a clustered
 # fixture and exact-cosine agreement on the emitted rows.
@@ -1053,24 +1168,15 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(v)
         for v in emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
     ]
-    qn = math.sqrt(sum(v * v for v in qe)) or 1.0
-    qu = [v / qn for v in qe]
     ivf = train_ivf(spark, sf_dir)
     pq = train_pq(spark, sf_dir)
-    probes = _probe_cells(ivf.centroids, qe, IVF_PROBES)
-    table = ivfpq_table(spark, sf_dir)
-    shortlist = (
-        table.filter(
-            F.col("cell").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
-        )
-        .withColumn("adc", _adc_expr(pq.codebooks, qu))
-        .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(PQ_RERANK)
-        .select("vec_id")
+    # floats are touched only by the <= PQ_RERANK shortlist's join back
+    # to the cached codes table (the lookup side) for embedding + label
+    return ivfpq_search(
+        ivfpq_table(spark, sf_dir),
+        pq.codes,
+        ivf.centroids,
+        pq.codebooks,
+        qe,
+        exclude_id=QUERY_VEC_ID,
     )
-    # only now touch floats: the <= PQ_RERANK shortlist (broadcast)
-    # joins back to the cached codes table for embedding + label
-    candidates = F.broadcast(shortlist).join(
-        pq.codes.select("vec_id", "label", "embedding"), "vec_id"
-    )
-    return _exact_cosine_topk(candidates, qe, qn)

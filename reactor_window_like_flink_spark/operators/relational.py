@@ -1392,8 +1392,12 @@ def cdc_snapshot(
     sequence struct is ordered, the payload may carry non-orderable
     types (maps, e.g. a raw ``props`` column) that the older
     ``max(struct(seq, row))`` form rejected at analysis time.
-    ``seq_cols`` must be a per-key total order (include a unique id as
-    the last element; equal-sequence winners are undefined otherwise).
+    ``seq_cols`` should be a per-key total order; as a belt-and-braces
+    determinism guard, every ORDERABLE payload column is appended to
+    the ordering struct after the caller's sequence (restoring the old
+    form's byte-wise tie-break), so equal-sequence winners are
+    run-to-run stable unless the tie extends into map-typed columns —
+    only then is the winner undefined.
 
     Scale shape — the reason this is an aggregate and not the oracle's
     ROW_NUMBER window: one map-side-combined hash aggregate whose
@@ -1404,11 +1408,32 @@ def cdc_snapshot(
     """
     keys = list(key_cols)
     payload = [c for c in changelog.columns if c not in set(keys)]
+    # deterministic tie-break: orderable payload columns (maps are the
+    # only unorderable type here) follow the caller's sequence in the
+    # ordering struct
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    by_name = {f.name: f.dataType for f in changelog.schema.fields}
+    tiebreak = [
+        c for c in payload if c not in set(seq_cols) and _orderable(by_name[c])
+    ]
     win = changelog.groupBy(*keys).agg(
         F.max_by(
             F.struct(*payload),
             F.struct(
-                *[F.col(c).alias(f"_s{i}") for i, c in enumerate(seq_cols)]
+                *[
+                    F.col(c).alias(f"_s{i}")
+                    for i, c in enumerate([*seq_cols, *tiebreak])
+                ]
             ),
         ).alias("_row")
     )

@@ -600,3 +600,146 @@ def test_ivfpq_index_is_cell_partitioned_and_probe_prunes(spark, sf_dir):
     assert len(read_files) <= len(probes) * max(
         1, len(all_files) // n_cells
     )
+
+
+def _clustered_vectors(seed=29, n_clusters=8, per_cluster=60, dim=32):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + 0.2 * rng.standard_normal((per_cluster, dim))
+        for i, p in enumerate(pts):
+            rows.append((c * per_cluster + i, c, [float(x) for x in p]))
+    return rows
+
+
+def test_ivfpq_append_assignment_matches_fit_time_rule(spark):
+    """assign_cells/encode_pq under FROZEN parameters reproduce the
+    fit-time cell and code for vectors the index was trained on — the
+    invariant that makes append-without-retrain sound (an appended row
+    lands where a re-fit under the same parameters would put it)."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        assign_cells,
+        encode_pq,
+        fit_ivf,
+        fit_pq,
+    )
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    ivf = fit_ivf(spark, df, cells=8)
+    pq = fit_pq(spark, df)
+    try:
+        want_cells = {
+            r["vec_id"]: r["cell"]
+            for r in ivf.assigned.select("vec_id", "cell").collect()
+        }
+        got_cells = {
+            r["vec_id"]: r["cell"]
+            for r in assign_cells(df, ivf.centroids)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert got_cells == want_cells
+        want_codes = {
+            r["vec_id"]: list(r["code"])
+            for r in pq.codes.select("vec_id", "code").collect()
+        }
+        got_codes = {
+            r["vec_id"]: list(r["code"])
+            for r in encode_pq(df, pq.codebooks)
+            .select("vec_id", "code")
+            .collect()
+        }
+        assert got_codes == want_codes
+    finally:
+        ivf.assigned.unpersist()
+        pq.codes.unpersist()
+
+
+def test_ivfpq_append_holds_recall_without_retrain(spark, tmp_path):
+    """The staleness policy end-to-end: build the cell-partitioned index
+    on a base corpus, append a batch of NEW vectors (tight perturbations
+    of base points, so their true nearest neighbors are known) under the
+    frozen centroids/codebooks, and probe — appended ids surface in the
+    top-k with no retrain, and the probe still reads only the probed
+    cell directories (pruning survives the append)."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        append_ivfpq_rows,
+        assign_cells,
+        encode_pq,
+        fit_ivf,
+        fit_pq,
+        ivfpq_search,
+    )
+    from reactor_window_like_flink_spark.sources.layout import (
+        partitioned_write,
+    )
+
+    base = _clustered_vectors(seed=31)
+    df = spark.createDataFrame(
+        base, "vec_id long, label int, embedding array<float>"
+    )
+    ivf = fit_ivf(spark, df, cells=8)
+    pq = fit_pq(spark, df)
+    try:
+        path = str(tmp_path / "ivfpq")
+        partitioned_write(
+            pq.codes.select("vec_id", "code").join(
+                ivf.assigned.select("vec_id", "cell"), "vec_id"
+            ),
+            path,
+            ["cell"],
+        )
+
+        # appended batch: each new vector is a tiny perturbation of a
+        # base vector -> its true top-1 neighborhood is that base point
+        rng = np.random.default_rng(37)
+        probes_src = base[:: len(base) // 10][:10]
+        appended = [
+            (
+                10_000 + i,
+                lab,
+                [float(x + 0.01 * rng.standard_normal()) for x in emb],
+            )
+            for i, (vid, lab, emb) in enumerate(probes_src)
+        ]
+        new_df = spark.createDataFrame(
+            appended, "vec_id long, label int, embedding array<float>"
+        )
+        append_ivfpq_rows(new_df, path, ivf.centroids, pq.codebooks)
+
+        table = spark.read.parquet(path)
+        assert table.count() == len(base) + len(appended)
+        lookup = df.unionByName(new_df)
+
+        hits = 0
+        for (bvid, _, bemb), (avid, _, _) in zip(probes_src, appended):
+            got = ivfpq_search(
+                table,
+                lookup,
+                ivf.centroids,
+                pq.codebooks,
+                [float(x) for x in bemb],
+                exclude_id=bvid,
+            )
+            if avid in {r["vec_id"] for r in got.collect()}:
+                hits += 1
+        assert hits >= 8, f"appended-row recall {hits}/10 after append"
+
+        # pruning survives: a probed query reads only probed directories
+        one = table.filter(F.col("cell") == table.first()["cell"])
+        files = {
+            r["f"]
+            for r in one.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        cells_read = {f.split("/cell=")[1].split("/")[0] for f in files}
+        assert len(cells_read) == 1
+    finally:
+        ivf.assigned.unpersist()
+        pq.codes.unpersist()

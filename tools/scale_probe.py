@@ -226,28 +226,33 @@ GENERAL_KEYS = (
 )
 
 
+def _timed_run(df) -> tuple[float, int]:
+    """Execute the FULL projection (noop-format write, as bench.py does)
+    and return (wall, rows_out). A bare .count() lets column pruning
+    eliminate the scoring expressions of projection-only keys under
+    count(1), so timing it would measure a row-count scan, not the
+    kernel. The row count comes from a separate UNTIMED count job —
+    pruning is welcome there, it's metadata."""
+    t1 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t1, 2)
+    return wall, df.count()
+
+
 def probe_general(spark, qs, out_sf: str, result: dict) -> None:
     """Wall + rows at sf0.1 and sf1 (single run each) per key; the skew
     corpus additionally for q_token_budget."""
     for key in GENERAL_KEYS:
         rec = {}
         for label, sf in (("sf0.1", SRC_SF), ("sf1", out_sf)):
-            t1 = time.perf_counter()
-            n_out = qs[key](spark, sf).count()
-            rec[label] = {
-                "wall_s": round(time.perf_counter() - t1, 2),
-                "rows_out": n_out,
-            }
+            wall, n_out = _timed_run(qs[key](spark, sf))
+            rec[label] = {"wall_s": wall, "rows_out": n_out}
         rec["ratio_10x"] = round(
             rec["sf1"]["wall_s"] / max(rec["sf0.1"]["wall_s"], 1e-9), 2
         )
         if key == "q_token_budget":
-            t1 = time.perf_counter()
-            n_out = qs[key](spark, f"{out_sf}skew").count()
-            rec["sf1_90pct_one_domain"] = {
-                "wall_s": round(time.perf_counter() - t1, 2),
-                "rows_out": n_out,
-            }
+            wall, n_out = _timed_run(qs[key](spark, f"{out_sf}skew"))
+            rec["sf1_90pct_one_domain"] = {"wall_s": wall, "rows_out": n_out}
         result["queries"][key] = rec
         print(f"# {key}: {rec}", file=sys.stderr)
 
