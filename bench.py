@@ -117,6 +117,9 @@ HEADLINE = [
     "q_cms_rollup",
     "q_similarity_ivfpq",
     "q_bitmap_rollup",
+    "q_dedup_embedding_auto",
+    "q_knn_graph_auto",
+    "q_dedup_incremental_near",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

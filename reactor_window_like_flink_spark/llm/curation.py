@@ -28,6 +28,8 @@ no curation surface; north-star scope from BASELINE.json.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -586,6 +588,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_INDEX_BUCKETS = 32
 
 
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus stale-location cleanup: a managed
+    table's directory can outlive its catalog entry (a previous session
+    wrote it, this session's in-memory catalog never heard of it), and
+    ``saveAsTable(mode="overwrite")`` then fails with
+    LOCATION_ALREADY_EXISTS instead of overwriting. Index builds are
+    full rebuilds by contract, so clearing the orphan dir is correct."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    warehouse = warehouse.removeprefix("file:")
+    if warehouse:
+        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+
+
 def _doc_toks(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, toks), the q_dedup_near tokenization."""
     return docs.select(
@@ -597,6 +615,7 @@ def build_corpus_near_index(
     corpus: DataFrame,
     prefix: str,
     buckets: int = NEAR_INDEX_BUCKETS,
+    batch_id: int = -1,
 ) -> tuple[str, str]:
     """Materialize the near-dup admission index for ``corpus``: the
     ``{prefix}_bands`` table (doc_id, band_id, band_hash)
@@ -607,7 +626,17 @@ def build_corpus_near_index(
     co-located confirm join. Returns the two table names. Same ledger
     contract as ``build_corpus_hash_index``: admitted increments are
     APPENDED (``append_to_near_index``), bucket spec preserved, so the
-    corpus-wide shuffle is never re-paid."""
+    corpus-wide shuffle is never re-paid.
+
+    Both tables are ADDITIONALLY hive-partitioned by ``batch_id`` (the
+    build stamps ``batch_id`` on its rows, default -1 = the initial
+    corpus): per-batch maintenance is then a dynamic-partition
+    OVERWRITE of that batch's partition — replay-idempotent, the same
+    device as ``corpus_ingest_sink``'s ledger write — and a replayed
+    batch's admission can EXCLUDE its own prior rows with a
+    planning-time partition filter (see ``corpus_ingest_sink_near``).
+    Bucketed reads over the partitioned layout still satisfy the join
+    distribution (one file per bucket per partition)."""
     from reactor_window_like_flink_spark.llm.dedup import (
         hashed_shingle_sets,
         minhash_bands,
@@ -615,9 +644,13 @@ def build_corpus_near_index(
 
     toks = _doc_toks(corpus)
     bands_t, sets_t = f"{prefix}_bands", f"{prefix}_sets"
+    for t in (bands_t, sets_t):
+        _drop_table_and_location(toks.sparkSession, t)
     (
         minhash_bands(toks)
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
+        .partitionBy("batch_id")
         .bucketBy(buckets, "band_id", "band_hash")
         .sortBy("band_id", "band_hash")
         .format("parquet")
@@ -625,7 +658,9 @@ def build_corpus_near_index(
     )
     (
         hashed_shingle_sets(toks)
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
+        .partitionBy("batch_id")
         .bucketBy(buckets, "doc_id")
         .sortBy("doc_id")
         .format("parquet")
@@ -635,27 +670,43 @@ def build_corpus_near_index(
 
 
 def append_to_near_index(
-    admitted: DataFrame, spark: SparkSession, prefix: str
+    admitted: DataFrame, spark: SparkSession, prefix: str, batch_id: int = 0
 ) -> None:
     """Ledger maintenance: band + shingle-set rows for newly ADMITTED
-    docs are appended into the index tables (``insertInto`` preserves
-    the bucket spec), so the next increment's admission sees them —
-    replay-idempotent: re-admitting the same batch after the append
-    finds every doc at Jaccard 1.0 and admits nothing."""
+    docs are written into the index tables' ``batch_id`` partition as a
+    DYNAMIC-PARTITION OVERWRITE (bucket spec preserved), so the next
+    increment's admission sees them and a crash-replayed maintenance
+    write converges to identical content instead of double-appending."""
     from reactor_window_like_flink_spark.llm.dedup import (
         hashed_shingle_sets,
         minhash_bands,
     )
 
     toks = _doc_toks(admitted)
-    minhash_bands(toks).write.insertInto(f"{prefix}_bands")
-    hashed_shingle_sets(toks).write.insertInto(f"{prefix}_sets")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            minhash_bands(toks)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .insertInto(f"{prefix}_bands")
+        )
+        (
+            hashed_shingle_sets(toks)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .insertInto(f"{prefix}_sets")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
 
 def _near_admission(
     batch_toks: DataFrame,
-    corpus_bands: DataFrame,
-    corpus_sets: DataFrame,
+    corpus_bands: DataFrame | None,
+    corpus_sets: DataFrame | None,
+    lower_id_only: bool = False,
 ) -> DataFrame:
     """Core admission: batch docs → (doc_id, status, dup_of, jaccard).
 
@@ -678,13 +729,21 @@ def _near_admission(
 
     bands_b = minhash_bands(batch_toks).localCheckpoint()
     sets_b = hashed_shingle_sets(batch_toks).localCheckpoint()
+    # lower_id_only: the IN-batch pass (corpus frames are the batch's own
+    # bands/sets) — a doc is a near_dup iff it matches a LOWER-id batch
+    # doc. The pair rule (drop on any match to an earlier doc, no
+    # component/survivor election) is the standard corpus-dedup ingest
+    # convention: order-free, increment-bounded, replay-stable.
+    on = (F.col("a.band_id") == F.col("c.band_id")) & (
+        F.col("a.band_hash") == F.col("c.band_hash")
+    )
+    if lower_id_only:
+        on = on & (F.col("c.doc_id") < F.col("a.doc_id"))
+    if corpus_bands is None:  # self mode: the batch IS the corpus side
+        corpus_bands, corpus_sets = bands_b, sets_b
     cand = (
         bands_b.alias("a")
-        .join(
-            corpus_bands.alias("c"),
-            (F.col("a.band_id") == F.col("c.band_id"))
-            & (F.col("a.band_hash") == F.col("c.band_hash")),
-        )
+        .join(corpus_bands.alias("c"), on)
         .select(
             F.col("a.doc_id").alias("batch_id"),
             F.col("c.doc_id").alias("corpus_id"),
@@ -750,17 +809,24 @@ def incremental_dedup_near(batch: DataFrame, corpus: DataFrame) -> DataFrame:
 
 
 def incremental_dedup_near_indexed(
-    batch: DataFrame, spark: SparkSession, prefix: str
+    batch: DataFrame,
+    spark: SparkSession,
+    prefix: str,
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Near-dup admission against the PERSISTED index (see
     ``build_corpus_near_index``): corpus-side shuffle paid once at build
     time, per-increment cost = increment-sized banding + co-located
-    index joins."""
-    return _near_admission(
-        _doc_toks(batch),
-        spark.table(f"{prefix}_bands"),
-        spark.table(f"{prefix}_sets"),
-    )
+    index joins. ``exclude_batch_id`` drops that batch's own index
+    partition from BOTH tables (planning-time partition pruning) — the
+    crash-replay guard: a re-run batch must not confirm against its own
+    previously-appended copy (see ``corpus_ingest_sink_near``)."""
+    bands = spark.table(f"{prefix}_bands")
+    sets = spark.table(f"{prefix}_sets")
+    if exclude_batch_id is not None:
+        bands = bands.filter(F.col("batch_id") != exclude_batch_id)
+        sets = sets.filter(F.col("batch_id") != exclude_batch_id)
+    return _near_admission(_doc_toks(batch), bands, sets)
 
 
 # Registered-key index memo per (applicationId, sf_dir): the index build
@@ -1251,6 +1317,74 @@ def corpus_ingest_sink(
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             _fold_window(batch_id - compact_every, batch_id)
+
+    return admit
+
+
+def corpus_ingest_sink_near(
+    spark: SparkSession,
+    ledger_dir: str,
+    index_prefix: str,
+    buckets: int = NEAR_INDEX_BUCKETS,
+):
+    """Continuous NEAR-dup corpus ingestion as a ``foreachBatch`` sink —
+    the streaming composition the README's continuous-ingestion claim
+    implies for paraphrased/near-identical re-crawls, upgrading
+    ``corpus_ingest_sink``'s exact-hash admission to banded MinHash:
+
+    per micro-batch, a doc is ADMITTED iff it near-matches (LSH band
+    collision + exact hashed-shingle Jaccard >= threshold) neither
+    (a) a LOWER-id doc in the same batch (the pair rule — order-free,
+    increment-bounded) nor (b) anything in the persisted signature
+    index. Admitted rows land in the ledger's ``batch_id=N`` partition
+    AND their band/shingle-set rows land in the index tables'
+    ``batch_id=N`` partitions — both as overwrites, so the whole step
+    is replay-idempotent.
+
+    The exactly-once subtlety, near-dup edition: on crash-replay Spark
+    re-runs the batch with the SAME batch_id, and by then the index
+    already holds that batch's own rows — every doc would confirm
+    against its own copy at Jaccard 1.0 and the overwrite would EMPTY
+    the ledger partition. The admission therefore EXCLUDES the current
+    ``batch_id``'s index partitions (planning-time partition pruning —
+    the same device as ``corpus_ingest_sink``'s ledger-read exclusion),
+    making replay a no-op rewrite of identical content (asserted in
+    ``tests/test_curation.py``).
+
+    Scale shape: per-batch cost is increment-sized banding plus
+    co-located bucketed index joins (``build_corpus_near_index``); the
+    corpus-side shuffle was paid once at index build and per-partition
+    on append — never re-paid at admission."""
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("doc_id", "text", "lang", "source")
+        keep_self = (
+            _near_admission(_doc_toks(b), None, None, lower_id_only=True)
+            .filter(F.col("status") == "admitted")
+            .select("doc_id")
+        )
+        if spark.catalog.tableExists(f"{index_prefix}_bands"):
+            keep_idx = (
+                incremental_dedup_near_indexed(
+                    b, spark, index_prefix, exclude_batch_id=batch_id
+                )
+                .filter(F.col("status") == "admitted")
+                .select("doc_id")
+            )
+            keep = keep_self.join(keep_idx, "doc_id")
+            admitted = b.join(keep, "doc_id").localCheckpoint()
+            admitted.write.mode("overwrite").parquet(
+                f"{ledger_dir}/batch_id={batch_id}"
+            )
+            append_to_near_index(admitted, spark, index_prefix, batch_id)
+        else:  # first batch: the admitted rows BECOME the index
+            admitted = b.join(keep_self, "doc_id").localCheckpoint()
+            admitted.write.mode("overwrite").parquet(
+                f"{ledger_dir}/batch_id={batch_id}"
+            )
+            build_corpus_near_index(
+                admitted, index_prefix, buckets, batch_id=batch_id
+            )
 
     return admit
 

@@ -1049,6 +1049,29 @@ def q_dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add("q_dedup_embedding_auto")  # rows-only: the auto-sized plan's
+# pair set is corpus-size-dependent by design (bands, bits) =
+# auto_lsh_plan(n, threshold); tools/scale_probe.py records its recall
+# vs a driver-side exhaustive ground truth at sf0.1 and sf1.
+def q_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-SIZED registration of ``lsh_cosine_pairs_fast``: both
+    LSH knobs derived from the corpus count via ``auto_lsh_plan`` (the
+    round-10 joint sizing) instead of the 8x4 oracle literals — this is
+    the plan a real corpus runs, kept in the measured surface (bench
+    bar + scale probe with recall) so regressions in the auto path are
+    caught by measurement, not only by unit tests. At the fixture's
+    demo threshold ({EMB_COSINE_THRESHOLD}) the plan clamps at
+    max_bands and WARNS — low thresholds are outside banded LSH's
+    economic regime; the probe records the achieved recall next to the
+    wall time."""
+    import warnings
+
+    with warnings.catch_warnings():
+        # the clamp warning is the documented fixture-threshold behavior
+        warnings.simplefilter("ignore", UserWarning)
+        return lsh_cosine_pairs_fast(spark, sf_dir)
+
+
 def exact_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,

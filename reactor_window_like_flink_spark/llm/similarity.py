@@ -729,6 +729,25 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add("q_knn_graph_auto")  # rows-only: auto-sized plan, corpus-size-
+# dependent by design; tools/scale_probe.py records recall@k vs a
+# driver-side exact kNN at sf0.1 and sf1.
+def q_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-SIZED registration of ``knn_graph``: (bands, bits)
+    jointly derived from the corpus count via ``auto_lsh_plan`` at
+    cosine {KNN_PLAN_COSINE} (the defaults) instead of the 16x4 fixture
+    literals — the auto path kept in the measured surface (bench bar +
+    scale probe with recall) so its regressions are measured, not just
+    unit-tested."""
+    import warnings
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with warnings.catch_warnings():
+        # max_bands clamp may warn at fixture thresholds — documented
+        warnings.simplefilter("ignore", UserWarning)
+        return knn_graph(emb)
+
+
 # SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup pruned
 # within k-means clusters. The fixture threshold matches the bundled
 # isotropic embeddings (see EMB_COSINE_THRESHOLD rationale in

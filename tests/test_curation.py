@@ -403,3 +403,74 @@ def test_filter_funnel_conserves_documents(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["n_in"] == prev["n_in"] - prev["n_docs"]
     assert rows[-1]["n_docs"] == rows[-1]["n_in"]  # kept = survivors
+
+
+def test_corpus_ingest_sink_near_admission_and_crash_replay(spark, tmp_path):
+    """The NEAR-dup streaming ingest: in-batch pair-rule dedup, cross-
+    batch admission against the persisted MinHash index, index
+    maintenance per batch, and the near-dup edition of the crash-replay
+    trap — a replayed batch must not confirm against its own appended
+    index rows (else its ledger partition empties on recovery)."""
+    import shutil
+
+    from reactor_window_like_flink_spark.llm.curation import (
+        corpus_ingest_sink_near,
+    )
+
+    prefix = "t_ingest_near"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (f"{prefix}_bands", f"{prefix}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    ledger = str(tmp_path / "near_ledger")
+    sink = corpus_ingest_sink_near(spark, ledger, prefix, buckets=4)
+    schema = "doc_id long, text string, lang string, source string"
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")  # 1-token edit: near-dup
+    far = "completely different content about spark shuffle partitioning"
+
+    try:
+        b1 = spark.createDataFrame(
+            [
+                (1, base, "en", "s0"),
+                (2, near, "en", "s0"),  # in-batch near-dup of doc 1
+                (3, far, "en", "s1"),
+            ],
+            schema,
+        )
+        sink(b1, 0)
+        got1 = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+        assert got1 == {1, 3}  # pair rule: 2 near-matches lower-id 1
+
+        b2 = spark.createDataFrame(
+            [
+                (4, base.replace("dog", "cat"), "en", "s2"),  # near doc 1
+                (5, "an entirely novel document with fresh words", "en", "s0"),
+            ],
+            schema,
+        )
+        sink(b2, 1)
+        got2 = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+        assert got2 == {1, 3, 5}
+
+        # crash replay: batch 1's admitted rows are already in the index
+        # under batch_id=1 — the exclusion filter must keep the rerun's
+        # decisions identical instead of self-rejecting everything
+        sink(b2, 1)
+        got3 = sorted(
+            (r["doc_id"], r["batch_id"])
+            for r in spark.read.parquet(ledger).collect()
+        )
+        assert got3 == [(1, 0), (3, 0), (5, 1)]
+
+        # index maintenance tracked the ledger exactly: one sets row per
+        # admitted doc, none for rejected ones
+        idx_docs = {
+            r["doc_id"]
+            for r in spark.table(f"{prefix}_sets").select("doc_id").collect()
+        }
+        assert idx_docs == {1, 3, 5}
+    finally:
+        for t in (f"{prefix}_bands", f"{prefix}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
