@@ -1042,8 +1042,10 @@ def q_dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-pinned registration of ``lsh_cosine_pairs_fast``: widths
     pinned to the oracle literals so the pair-set-equality contract with
     ``q_dedup_embedding`` stays exact on the sweep fixtures. Production
-    callers use ``lsh_cosine_pairs_fast`` directly and get the
-    ``auto_lsh_bits`` corpus-sized default (``bits=None``)."""
+    callers use ``lsh_cosine_pairs_fast`` directly and get the joint
+    ``auto_lsh_plan`` sizing — the registered, benched, probe-measured
+    form of that path is ``q_dedup_embedding_auto`` (recall recorded at
+    sf0.1/sf1 by ``tools/scale_probe.py autolsh``)."""
     return lsh_cosine_pairs_fast(
         spark, sf_dir, bands=EMB_LSH_BANDS, bits=EMB_LSH_BITS
     )

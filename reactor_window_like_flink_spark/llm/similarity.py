@@ -721,7 +721,8 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     {KNN_LSH_BANDS}×{KNN_LSH_BITS} kNN-family literals at the kNN seed,
     which the recall/exactness pytests (and the rows-only driver
     record) depend on. Library callers use ``knn_graph`` directly and
-    get the ``auto_lsh_bits`` corpus-sized default (``bits=None``).
+    get the joint ``auto_lsh_plan`` defaults — the registered, benched,
+    probe-measured form of that path is ``q_knn_graph_auto``.
     Semantics and the 100 TB scale argument live on ``knn_graph``."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return knn_graph(
