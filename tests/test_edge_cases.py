@@ -167,3 +167,49 @@ def test_round7_keys_survive_empty_tables(spark, empty_dir):
         "q_token_budget",
     ):
         assert qs[key](spark, empty_dir).collect() == [], key
+
+
+def test_incremental_near_admission_edges(spark):
+    """Index-free near-admission on degenerate inputs: empty batch ->
+    empty output; empty corpus -> everything admitted; sub-shingle-width
+    docs fall back to the whole-text shingle (a single-token doc equals
+    its corpus copy at Jaccard 1.0)."""
+    from reactor_window_like_flink_spark.llm.curation import (
+        incremental_dedup_near,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    empty = spark.createDataFrame([], schema)
+    corpus = spark.createDataFrame(
+        [
+            (100, "word", "en", "s1"),
+            (101, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        ],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "word", "en", "s0"),  # single token == corpus 100
+            (2, "utterly unrelated fresh content here", "en", "s0"),
+        ],
+        schema,
+    )
+
+    # empty batch: no rows, schema intact
+    out = incremental_dedup_near(empty, corpus)
+    assert out.columns == ["doc_id", "status", "dup_of", "jaccard"]
+    assert out.count() == 0
+
+    # empty corpus: all admitted
+    rows = {
+        r["doc_id"]: r for r in incremental_dedup_near(batch, empty).collect()
+    }
+    assert {r["status"] for r in rows.values()} == {"admitted"}
+
+    # single-token doc matches its corpus copy via the whole-text shingle
+    rows = {
+        r["doc_id"]: r for r in incremental_dedup_near(batch, corpus).collect()
+    }
+    assert rows[1]["status"] == "near_dup"
+    assert rows[1]["dup_of"] == 100 and rows[1]["jaccard"] == 1.0
+    assert rows[2]["status"] == "admitted" and rows[2]["dup_of"] is None
