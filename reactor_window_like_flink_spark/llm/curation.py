@@ -1326,6 +1326,8 @@ def corpus_ingest_sink_near(
     ledger_dir: str,
     index_prefix: str,
     buckets: int = NEAR_INDEX_BUCKETS,
+    compact_every: int = 0,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ):
     """Continuous NEAR-dup corpus ingestion as a ``foreachBatch`` sink —
     the streaming composition the README's continuous-ingestion claim
@@ -1354,7 +1356,14 @@ def corpus_ingest_sink_near(
     Scale shape: per-batch cost is increment-sized banding plus
     co-located bucketed index joins (``build_corpus_near_index``); the
     corpus-side shuffle was paid once at index build and per-partition
-    on append — never re-paid at admission."""
+    on append — never re-paid at admission.
+
+    ``compact_every > 0`` composes the same periodic small-file
+    compaction as ``corpus_ingest_sink`` (ledger partitions share the
+    ``batch_id=N`` layout, so ``fold_ledger_window``'s crash-recoverable
+    swap applies verbatim); the index tables don't need it — each
+    batch's index rows are already one bucketed file set per
+    partition."""
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.select("doc_id", "text", "lang", "source")
@@ -1384,6 +1393,14 @@ def corpus_ingest_sink_near(
             )
             build_corpus_near_index(
                 admitted, index_prefix, buckets, batch_id=batch_id
+            )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            fold_ledger_window(
+                spark,
+                ledger_dir,
+                batch_id - compact_every,
+                batch_id,
+                target_file_bytes,
             )
 
     return admit

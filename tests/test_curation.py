@@ -474,3 +474,56 @@ def test_corpus_ingest_sink_near_admission_and_crash_replay(spark, tmp_path):
     finally:
         for t in (f"{prefix}_bands", f"{prefix}_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_ingest_sink_near_live_stream(spark, tmp_path):
+    """The near-dup sink wired into a real foreachBatch query: a
+    paraphrased re-crawl in a later micro-batch is refused even though
+    its bytes differ (the exact-hash sink would admit it)."""
+    import shutil
+    import time
+
+    from reactor_window_like_flink_spark.llm.curation import (
+        corpus_ingest_sink_near,
+    )
+    from reactor_window_like_flink_spark.streaming.publisher import (
+        FileStreamInput,
+    )
+
+    prefix = "t_live_near"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (f"{prefix}_bands", f"{prefix}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING"
+    src = FileStreamInput(spark, schema, str(tmp_path / "in"))
+    ledger = str(tmp_path / "ledger")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    query = (
+        src.stream()
+        .writeStream.foreachBatch(
+            corpus_ingest_sink_near(spark, ledger, prefix, buckets=4)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish([(1, base, "en", "s0"), (2, "fresh unrelated words entirely", "en", "s0")])
+        query.processAllAvailable()
+        src.publish([
+            (3, base.replace("lazy", "sleepy"), "en", "s1"),  # near-dup of 1
+            (4, "novel third document with new content", "en", "s0"),
+        ])
+        query.processAllAvailable()
+        deadline = time.time() + 30
+        got = set()
+        while time.time() < deadline:
+            got = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+            if got >= {1, 2, 4}:
+                break
+            time.sleep(0.5)
+    finally:
+        query.stop()
+        for t in (f"{prefix}_bands", f"{prefix}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert got == {1, 2, 4}  # doc 3 refused: near-dup across micro-batches
