@@ -66,8 +66,14 @@ def decontaminate(shingled: DataFrame, eval_pred: F.Column) -> DataFrame:
     training side stays a narrow scan -> explode -> local count. No hint
     is forced: an explicit broadcast of a *computed* subplan pins the
     build outside AQE's adaptive path (see ``llm/dedup.py``'s measured
-    note)."""
-    sh = shingled.withColumn("_eval", eval_pred)
+    note).
+
+    ``shingled`` is materialized here (localCheckpoint) because BOTH the
+    eval index and the training side derive from it with divergent
+    pruning — without it the tokenize+shingle pass ran twice (the
+    round-5 exchange-reuse lesson; interleaved A/B measured 2.6 s ->
+    1.1 s at sf0.1)."""
+    sh = shingled.localCheckpoint().withColumn("_eval", eval_pred)
     ev = sh.filter(F.col("_eval")).select(F.explode("sh").alias("s")).distinct()
     tr = sh.filter(~F.col("_eval")).select(
         "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
