@@ -733,8 +733,16 @@ def _near_admission(
         minhash_bands,
     )
 
-    bands_b = minhash_bands(batch_toks).localCheckpoint()
-    sets_b = hashed_shingle_sets(batch_toks).localCheckpoint()
+    # one tokenize pass: bands, confirm sets, and the final doc list all
+    # derive from the materialized toks (3 batch scans -> 1)
+    batch_toks = batch_toks.localCheckpoint()
+    bands_b = minhash_bands(batch_toks)
+    sets_b = hashed_shingle_sets(batch_toks)
+    if corpus_bands is None:
+        # self mode consumes bands/sets TWICE (both join sides) — only
+        # then is their own materialization worth the copy
+        bands_b = bands_b.localCheckpoint()
+        sets_b = sets_b.localCheckpoint()
     # lower_id_only: the IN-batch pass (corpus frames are the batch's own
     # bands/sets) — a doc is a near_dup iff it matches a LOWER-id batch
     # doc. The pair rule (drop on any match to an earlier doc, no
