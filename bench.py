@@ -120,6 +120,8 @@ HEADLINE = [
     "q_dedup_embedding_auto",
     "q_knn_graph_auto",
     "q_dedup_incremental_near",
+    "q_frequent_itemsets",
+    "q_frequent_sequences",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -1254,3 +1254,143 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_credited") > 0)
     )
     return credited.unionAll(unattr)
+
+
+# ------------------------------------------- frequent pattern mining
+
+# Mining thresholds. Both engines compute minCount = ceil(minSupport * n)
+# in IEEE doubles from the same literal, so the cutoffs agree exactly.
+FPM_MIN_SUPPORT = 0.001  # itemsets: fraction of baskets (orders)
+SEQ_MIN_SUPPORT = 0.5  # sequences: fraction of user sequences
+
+
+def frequent_itemsets(baskets: DataFrame, min_support: float) -> DataFrame:
+    """Frequent itemsets over ``(items: array)`` baskets via Spark ML's
+    parallel FP-growth (Li et al., PFP, RecSys'08 — the distributed
+    algorithm, JVM-side, shuffle = conditional pattern bases, never the
+    basket cross product), sliced to itemsets of size <= 2 so the result
+    is exactly ANSI-SQL-expressible (singles = per-item basket counts,
+    pairs = co-occurrence counts) for the driver oracle. Items are
+    sorted numerically inside each itemset and csv-joined, so the
+    itemset string is deterministic."""
+    from pyspark.ml.fpm import FPGrowth
+
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(
+                F.transform(F.array_sort("items"), lambda x: x.cast("string")),
+                ",",
+            ).alias("itemset"),
+            F.size("items").cast("int").alias("n_items"),
+            F.col("freq").cast("long").alias("support_count"),
+        )
+    )
+
+
+@REG.add(
+    "q_frequent_itemsets",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    minc AS (
+      SELECT CAST(CEIL(count(DISTINCT l_orderkey) * {FPM_MIN_SUPPORT}) AS BIGINT)
+               AS mc
+      FROM b
+    ),
+    singles AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS n_items,
+             CAST(count(*) AS BIGINT) AS support_count
+      FROM b GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT CAST(x.l_partkey AS VARCHAR) || ',' || CAST(y.l_partkey AS VARCHAR)
+               AS itemset,
+             2 AS n_items, CAST(count(*) AS BIGINT) AS support_count
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey
+    )
+    SELECT itemset, CAST(n_items AS INT) AS n_items, support_count
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs), minc
+    WHERE support_count >= mc
+    """,
+)
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining over order baskets (each order's distinct
+    parts): every itemset of size <= 2 carried by >= ceil(0.1% of
+    orders). See ``frequent_itemsets`` — the FP-growth lattice's
+    pair slice, oracle-checked against plain co-occurrence SQL."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    return frequent_itemsets(baskets, FPM_MIN_SUPPORT)
+
+
+def frequent_sequences(
+    sequences: DataFrame, min_support: float, max_len: int = 2
+) -> DataFrame:
+    """Sequential pattern mining over ``(sequence: array<array>)`` rows
+    via Spark ML's PrefixSpan (Pei et al., ICDE'01 — projected-database
+    parallelism; support = #sequences containing the pattern as a
+    subsequence, counted once per sequence). ``max_len <= 2`` keeps the
+    result ANSI-SQL-expressible for the oracle: length-1 = distinct
+    carriers per item, length-2 = carriers with an ordered occurrence."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_len,
+        sequenceCol="sequence",
+    )
+    out = ps.findFrequentSequentialPatterns(sequences)
+    return out.select(
+        F.array_join(F.flatten("sequence"), ">").alias("pattern"),
+        F.size("sequence").cast("int").alias("length"),
+        F.col("freq").cast("long").alias("support_count"),
+    )
+
+
+@REG.add(
+    "q_frequent_sequences",
+    f"""
+    WITH minc AS (
+      SELECT CAST(CEIL(count(DISTINCT user_id) * {SEQ_MIN_SUPPORT}) AS BIGINT)
+               AS mc
+      FROM events
+    ),
+    singles AS (
+      SELECT event_type AS pattern, 1 AS length,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS support_count
+      FROM events GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type || '>' || b.event_type AS pattern, 2 AS length,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS support_count
+      FROM events a JOIN events b ON a.user_id = b.user_id
+        AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT pattern, CAST(length AS INT) AS length, support_count
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs), minc
+    WHERE support_count >= mc
+    """,
+)
+def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavioral sequences: every event-type pattern of length
+    <= 2 (e.g. 'view>purchase') followed, in order, by >= half the
+    users. Per-user sequences are ordered by (ts, event_id) — the same
+    deterministic tie-break every window key uses — with one
+    single-item itemset per event, so PrefixSpan's 'strictly later
+    itemset' rule equals the oracle's ordered-pair EXISTS."""
+    events = load(spark, sf_dir, "events")
+    seqs = events.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id,"
+            " event_type))), s -> array(s.event_type))"
+        ).alias("sequence")
+    )
+    return frequent_sequences(seqs, SEQ_MIN_SUPPORT)

@@ -466,3 +466,63 @@ def _events_typed(spark, rows):
     return spark.createDataFrame(
         rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
     )
+
+
+def test_frequent_itemsets_planted_pairs(spark):
+    """FP-growth slice semantics on planted baskets: pair support counts
+    baskets containing BOTH items, the minCount cutoff is ceil(n*sup),
+    and itemset strings sort numerically (10 after 2)."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        frequent_itemsets,
+    )
+
+    baskets = spark.createDataFrame(
+        [
+            (1, [2, 10]),
+            (2, [2, 10, 7]),
+            (3, [2, 10]),
+            (4, [2]),
+            (5, [7]),
+        ],
+        "basket_id long, items array<long>",
+    )
+    rows = {
+        r["itemset"]: (r["n_items"], r["support_count"])
+        for r in frequent_itemsets(baskets, min_support=0.5).collect()
+    }
+    # minCount = ceil(5 * 0.5) = 3
+    assert rows["2"] == (1, 4)
+    assert rows["10"] == (1, 3)
+    assert rows["2,10"] == (2, 3)  # numeric sort: 2 before 10
+    assert "7" not in rows and "2,7" not in rows  # support 2 < 3
+
+
+def test_frequent_sequences_order_and_repeats(spark):
+    """PrefixSpan slice semantics on planted sequences: a pattern needs
+    an ORDERED occurrence (a before b), repeats (a>a) need two
+    occurrences, and support counts each sequence once."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        frequent_sequences,
+    )
+
+    def seq(*types):
+        return [[t] for t in types]
+
+    seqs = spark.createDataFrame(
+        [
+            (1, seq("a", "b", "a")),
+            (2, seq("a", "a", "b")),
+            (3, seq("b", "a")),
+        ],
+        "sid long, sequence array<array<string>>",
+    )
+    rows = {
+        r["pattern"]: (r["length"], r["support_count"])
+        for r in frequent_sequences(seqs, min_support=0.5).collect()
+    }
+    # minCount = ceil(3 * 0.5) = 2
+    assert rows["a"] == (1, 3) and rows["b"] == (1, 3)
+    assert rows["a>b"] == (2, 2)  # seqs 1, 2 (seq 3 has b BEFORE a)
+    assert rows["b>a"] == (2, 2)  # seqs 1, 3
+    assert rows["a>a"] == (2, 2)  # seqs 1, 2 (two a's each)
+    assert "b>b" not in rows  # no sequence has two b's
