@@ -122,6 +122,9 @@ HEADLINE = [
     "q_dedup_incremental_near",
     "q_frequent_itemsets",
     "q_frequent_sequences",
+    "q_association_rules",
+    "q_ewma_daily",
+    "q_chi2_contingency",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

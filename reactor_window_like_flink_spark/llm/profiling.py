@@ -649,3 +649,81 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+@REG.add(
+    "q_chi2_contingency",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang
+    ),
+    r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY source),
+    k AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY lang),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+    terms AS (
+      SELECT c.source, c.lang, c.o,
+             (r.rt * 1.0 * k.ct / n.n) AS e
+      FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN n
+    ),
+    agg AS (
+      SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_cols,
+             sum((o - e) * (o - e) / e) AS chi2
+      FROM terms
+    )
+    SELECT n_rows, n_cols,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           ROUND(chi2, 4) AS chi2,
+           ROUND(sqrt(chi2 / (n.n * LEAST(n_rows - 1, n_cols - 1))), 4)
+             AS cramers_v
+    FROM agg CROSS JOIN n
+    """,
+)
+def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test over the source x lang contingency
+    table (is language mix independent of crawl source?), with Cramer's
+    V as the bounded effect size — the one-number answer to "does this
+    source's language distribution differ from the corpus" that the PSI
+    drift monitor asks per-bucket.
+
+    Scale shape: documents collapse to ONE map-side-combined
+    O(sources x langs) cell aggregate; marginals re-aggregate those
+    cells; every later join is over the tiny cell frame. chi2 sums
+    cells in partition order (order-dependent doubles) — rounded to
+    4dp, far above the 1e-10 summation drift, per the contract rule."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    r = c.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    k = c.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    n = c.agg(F.sum("o").cast("long").alias("n"))
+    terms = (
+        c.join(F.broadcast(r), "source")
+        .join(F.broadcast(k), "lang")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("rt") * 1.0 * F.col("ct") / F.col("n"))
+    )
+    agg = terms.agg(
+        F.countDistinct("source").cast("long").alias("n_rows"),
+        F.countDistinct("lang").cast("long").alias("n_cols"),
+        F.sum(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+        ).alias("chi2"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

@@ -1262,6 +1262,10 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in IEEE doubles from the same literal, so the cutoffs agree exactly.
 FPM_MIN_SUPPORT = 0.001  # itemsets: fraction of baskets (orders)
 SEQ_MIN_SUPPORT = 0.5  # sequences: fraction of user sequences
+ASSOC_MIN_CONFIDENCE = 0.05  # rules: min P(consequent | antecedent)
+ASSOC_MIN_SUPPORT = 0.0002  # rules: pair-support floor (below
+#   FPM_MIN_SUPPORT so the rule lattice is non-empty at sweep scale --
+#   random fixture baskets co-occur rarely; production raises both)
 
 
 def frequent_itemsets(baskets: DataFrame, min_support: float) -> DataFrame:
@@ -1394,3 +1398,162 @@ def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sequence")
     )
     return frequent_sequences(seqs, SEQ_MIN_SUPPORT)
+
+
+@REG.add(
+    "q_association_rules",
+    f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+    minc AS (SELECT CAST(CEIL(n * {ASSOC_MIN_SUPPORT}) AS BIGINT) AS mc FROM n),
+    singles AS (
+      SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt
+      FROM b GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey
+    )
+    SELECT CAST(p.a AS VARCHAR) AS antecedent,
+           CAST(p.c AS VARCHAR) AS consequent,
+           ROUND(p.cnt * 1.0 / sa.cnt, 6) AS confidence,
+           ROUND((p.cnt * 1.0 / sa.cnt) / (sc.cnt * 1.0 / n.n), 6) AS lift,
+           ROUND(p.cnt * 1.0 / n.n, 6) AS support
+    FROM pairs p
+    JOIN singles sa ON sa.item = p.a
+    JOIN singles sc ON sc.item = p.c
+    CROSS JOIN n CROSS JOIN minc
+    WHERE p.cnt >= mc AND sa.cnt >= mc
+      AND p.cnt * 1.0 / sa.cnt >= {ASSOC_MIN_CONFIDENCE}
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the frequent-pair lattice (the rules half
+    of market-basket mining): every 1→1 rule whose antecedent AND pair
+    are frequent, with confidence = sup(a,c)/sup(a), lift =
+    confidence / (sup(c)/n), support = sup(a,c)/n — the standard
+    Agrawal-Srikant measures, restricted to singleton antecedents/
+    consequents so the whole rule set is exactly SQL-expressible for
+    the oracle (Spark ML's ``associationRules`` emits the same measures
+    from the FP-growth model; this key computes them from the SAME
+    aggregates the oracle runs so the floats match fold-for-fold).
+
+    Scale shape: one (order, part) distinct projection feeds a
+    pair-count aggregate (map-side combined; the shuffle key is the
+    part pair, never the basket) and two broadcast joins against the
+    O(parts) singles frame. At 100 TB the pair aggregate is the classic
+    co-occurrence shuffle — bounded by pairs actually co-occurring, not
+    the cross product."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    b = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n = b.select(F.countDistinct("l_orderkey").alias("n"))
+    singles = b.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("c")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    sa = singles.select(F.col("item").alias("a"), F.col("cnt").alias("cnt_a"))
+    sc = singles.select(F.col("item").alias("c"), F.col("cnt").alias("cnt_c"))
+    mc = F.ceil(F.col("n") * ASSOC_MIN_SUPPORT).cast("long")
+    conf = F.col("cnt") * 1.0 / F.col("cnt_a")
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sc), "c")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("cnt") >= mc)
+            & (F.col("cnt_a") >= mc)
+            & (conf >= ASSOC_MIN_CONFIDENCE)
+        )
+        .select(
+            F.col("a").cast("string").alias("antecedent"),
+            F.col("c").cast("string").alias("consequent"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("cnt_c") * 1.0 / F.col("n")), 6).alias("lift"),
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("support"),
+        )
+    )
+
+
+EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
+
+
+@REG.add(
+    "q_ewma_daily",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             list(CAST(cnt AS DOUBLE) ORDER BY day) AS vals,
+             CAST(count(*) AS BIGINT) AS n_days,
+             strftime(max(day), '%Y-%m-%d') AS last_day,
+             CAST(max_by(cnt, day) AS BIGINT) AS last_value
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n_days, last_day, last_value,
+           ROUND(list_reduce(vals,
+                 (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6)
+             AS ewma_level,
+           ROUND(last_value - list_reduce(vals,
+                 (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6)
+             AS last_deviation
+    FROM s
+    """,
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily event count per
+    type (alpha = {EWMA_ALPHA}, seeded at the first day — the
+    level-tracking smoother behind every "is today's volume normal?"
+    monitor), reporting the current level and the last day's deviation
+    from it.
+
+    Scale shape: raw events collapse to ONE map-side-combined daily
+    aggregate (O(types x days) — tiny forever); the sequential fold runs
+    as a JVM ``aggregate`` over each type's date-ordered array, O(days)
+    per type, no window shuffle. The fold is LEFT-TO-RIGHT in day order
+    in both engines (DuckDB ``list_reduce`` seeds with the first
+    element; Spark seeds with element 1 and folds the tail), so the
+    order-dependent float recurrence is bit-reproducible — only the
+    final emit rounds."""
+    events = load(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cnt))),"
+            " p -> CAST(p.cnt AS DOUBLE))"
+        ).alias("vals"),
+        F.count("*").cast("long").alias("n_days"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        F.expr("max_by(cnt, day)").cast("long").alias("last_value"),
+    )
+    ewma = F.expr(
+        f"aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+        f" (acc, x) -> {EWMA_ALPHA}D * x + {1 - EWMA_ALPHA}D * acc)"
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        "last_value",
+        F.round(ewma, 6).alias("ewma_level"),
+        F.round(F.col("last_value") - ewma, 6).alias("last_deviation"),
+    )

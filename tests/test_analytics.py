@@ -526,3 +526,67 @@ def test_frequent_sequences_order_and_repeats(spark):
     assert rows["b>a"] == (2, 2)  # seqs 1, 3
     assert rows["a>a"] == (2, 2)  # seqs 1, 2 (two a's each)
     assert "b>b" not in rows  # no sequence has two b's
+
+
+def test_association_rules_arithmetic_on_planted_baskets(spark, tmp_path):
+    """Confidence/lift/support on baskets with a planted implication:
+    item 1 appears in 4 baskets, {1,2} in 3 -> conf(1->2)=0.75,
+    lift = conf / P(2)."""
+    import __spark_entry__ as entry_mod
+
+    rows = []
+    baskets = [[1, 2], [1, 2], [1, 2], [1, 3], [2, 3], [4]]
+    for oid, parts in enumerate(baskets):
+        for p in parts:
+            rows.append((oid, p))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in entry_mod.queries()["q_association_rules"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r12 = got[("1", "2")]
+    assert r12["confidence"] == 0.75  # 3 of 4 baskets with 1 carry 2
+    assert r12["lift"] == round(0.75 / (4 / 6), 6)  # P(2) = 4/6
+    assert r12["support"] == 0.5  # 3 of 6 baskets
+    r21 = got[("2", "1")]
+    assert r21["confidence"] == 0.75 and r21["support"] == 0.5
+
+
+def test_ewma_matches_sequential_reference(spark, sf_dir):
+    """The registered EWMA equals a per-type Python left fold over the
+    date-ordered daily counts (seed = first day, alpha on the new
+    observation)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import EWMA_ALPHA
+
+    got = {
+        r["event_type"]: r
+        for r in entry_mod.queries()["q_ewma_daily"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    daily = con.sql(
+        f"SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,"
+        f" count(*) AS cnt FROM '{sf_dir}/events.parquet'"
+        f" GROUP BY 1, 2 ORDER BY event_type, day"
+    ).fetchall()
+    con.close()
+    series: dict = {}
+    for et, _, cnt in daily:
+        series.setdefault(et, []).append(float(cnt))
+    for et, vals in series.items():
+        level = vals[0]
+        for x in vals[1:]:
+            level = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * level
+        assert abs(got[et]["ewma_level"] - round(level, 6)) < 1e-9
+        assert got[et]["n_days"] == len(vals)
+        assert got[et]["last_deviation"] == round(
+            got[et]["last_value"] - level, 6
+        )

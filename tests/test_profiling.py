@@ -197,3 +197,35 @@ def test_incremental_dedup_admits_only_new_unique(spark):
         for r in incremental_dedup(batch, corpus).collect()
     }
     assert out == {2: 2, 4: 1}
+
+
+def test_chi2_contingency_matches_closed_form(spark, sf_dir):
+    """chi2 / dof / Cramer's V recomputed from the raw contingency
+    table in Python."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    row = entry_mod.queries()["q_chi2_contingency"](spark, sf_dir).first()
+    con = duckdb.connect()
+    cells = con.sql(
+        f"SELECT source, lang, count(*) FROM '{sf_dir}/documents.parquet'"
+        f" GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    rt: dict = {}
+    ct: dict = {}
+    n = 0
+    for s, l, o in cells:
+        rt[s] = rt.get(s, 0) + o
+        ct[l] = ct.get(l, 0) + o
+        n += o
+    chi2 = sum(
+        (o - rt[s] * ct[l] / n) ** 2 / (rt[s] * ct[l] / n)
+        for s, l, o in cells
+    )
+    assert row["n_rows"] == len(rt) and row["n_cols"] == len(ct)
+    assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(row["chi2"] - round(chi2, 4)) <= 1e-3
+    v = (chi2 / (n * min(len(rt) - 1, len(ct) - 1))) ** 0.5
+    assert abs(row["cramers_v"] - round(v, 4)) <= 1e-4
