@@ -125,6 +125,7 @@ HEADLINE = [
     "q_association_rules",
     "q_ewma_daily",
     "q_chi2_contingency",
+    "q_triangle_count",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

