@@ -126,6 +126,7 @@ HEADLINE = [
     "q_ewma_daily",
     "q_chi2_contingency",
     "q_triangle_count",
+    "q_pagerank",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose
