@@ -225,6 +225,13 @@ GENERAL_KEYS = (
     "q_similarity_ivfpq",
     "q_bitmap_rollup",
     "q_dedup_incremental_near",
+    "q_frequent_itemsets",
+    "q_frequent_sequences",
+    "q_association_rules",
+    "q_ewma_daily",
+    "q_chi2_contingency",
+    "q_triangle_count",
+    "q_pagerank",
 )
 
 
