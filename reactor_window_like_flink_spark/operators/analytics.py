@@ -1260,7 +1260,11 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Mining thresholds. Both engines compute minCount = ceil(minSupport * n)
 # in IEEE doubles from the same literal, so the cutoffs agree exactly.
-FPM_MIN_SUPPORT = 0.001  # itemsets: fraction of baskets (orders)
+FPM_MIN_SUPPORT = 0.0002  # itemsets: fraction of baskets (orders) —
+#   sized so the fixture's uniform-random baskets still surface
+#   frequent pairs at every shipped scale (0.001 went output-empty at
+#   sf0.1, a trivial pass; production corpora with real co-purchase
+#   structure raise this)
 SEQ_MIN_SUPPORT = 0.5  # sequences: fraction of user sequences
 ASSOC_MIN_CONFIDENCE = 0.05  # rules: min P(consequent | antecedent)
 ASSOC_MIN_SUPPORT = 0.0002  # rules: pair-support floor (below

@@ -235,45 +235,50 @@ GENERAL_KEYS = (
 )
 
 
-def _timed_run(df) -> tuple[float, int]:
+def _timed_run(build) -> tuple[float, int]:
     """Execute the FULL projection (noop-format write, as bench.py does)
-    and return (wall, rows_out). A bare .count() lets column pruning
-    eliminate the scoring expressions of projection-only keys under
-    count(1), so timing it would measure a row-count scan, not the
-    kernel. The first execution is an UNTIMED warm-up: plan/expression
-    compilation is a one-time constant (measured ~5 s for the
-    classifier's 4096-weight literal CASE) and the probe's job is the
-    DATA-scaling ratio, which cold-compile noise would swamp. The timed
-    value is a MEDIAN-of-3: this VM's block device stalls for multiple
-    seconds at random (measured: the same warm plan at 1.1, 1.3, 6.0 s
-    in one loop), so any single sample can be an I/O-stall artifact
-    masquerading as a scaling ratio. The row count comes from a
-    separate untimed count job — pruning is welcome there, it's
-    metadata."""
+    and return (wall, rows_out). ``build`` is a ZERO-ARG FACTORY that
+    returns a fresh DataFrame — timing a single reused frame is wrong
+    for any key whose plan contains (or ends in) a localCheckpoint: the
+    re-write would read the materialized RDD instead of re-running the
+    kernel (measured: q_pagerank "0.04 s" on a reused frame vs 6 s
+    rebuilt — the checkpoint-terminated plan measured a 20k-row block
+    read). A bare .count() is equally wrong the other way (column
+    pruning elides projection-only kernels). The first build+run is an
+    UNTIMED warm-up (plan/expression compile is a one-time constant,
+    ~5 s for the classifier's 4096-weight literal CASE); the timed
+    value is a MEDIAN-of-3 fresh builds (this VM's block device stalls
+    for multiple seconds at random — a single sample can be an
+    I/O-stall artifact). The row count comes from a separate untimed
+    count job — pruning is welcome there, it's metadata."""
     import statistics
 
-    df.write.format("noop").mode("overwrite").save()  # warm-up: JIT/plan
+    build().write.format("noop").mode("overwrite").save()  # warm-up
     samples = []
     for _ in range(3):
+        df = build()
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t1)
-    return round(statistics.median(samples), 2), df.count()
+    return round(statistics.median(samples), 2), build().count()
 
 
 def probe_general(spark, qs, out_sf: str, result: dict) -> None:
-    """Wall + rows at sf0.1 and sf1 (single run each) per key; the skew
-    corpus additionally for q_token_budget."""
-    for key in GENERAL_KEYS:
+    """Wall + rows at sf0.1 and sf1 per key; the skew corpus
+    additionally for q_token_budget. $SCALE_PROBE_KEYS (csv) restricts
+    the run — re-probing one reworked key shouldn't cost the full set."""
+    only = os.environ.get("SCALE_PROBE_KEYS")
+    keys = only.split(",") if only else GENERAL_KEYS
+    for key in keys:
         rec = {}
         for label, sf in (("sf0.1", SRC_SF), ("sf1", out_sf)):
-            wall, n_out = _timed_run(qs[key](spark, sf))
+            wall, n_out = _timed_run(lambda: qs[key](spark, sf))
             rec[label] = {"wall_s": wall, "rows_out": n_out}
         rec["ratio_10x"] = round(
             rec["sf1"]["wall_s"] / max(rec["sf0.1"]["wall_s"], 1e-9), 2
         )
         if key == "q_token_budget":
-            wall, n_out = _timed_run(qs[key](spark, f"{out_sf}skew"))
+            wall, n_out = _timed_run(lambda: qs[key](spark, f"{out_sf}skew"))
             rec["sf1_90pct_one_domain"] = {"wall_s": wall, "rows_out": n_out}
         result["queries"][key] = rec
         print(f"# {key}: {rec}", file=sys.stderr)
@@ -348,8 +353,10 @@ def probe_auto_lsh(spark, qs, out_sf: str, result: dict) -> None:
             plan = auto_lsh_plan(len(ids), EMB_COSINE_THRESHOLD)
 
         # --- embedding near-dup pairs ---
+        wall, n_out = _timed_run(
+            lambda: qs["q_dedup_embedding_auto"](spark, sf)
+        )
         df = qs["q_dedup_embedding_auto"](spark, sf)
-        wall, n_out = _timed_run(df)
         truth, n_true = _exact_pair_sample(ids, xn, EMB_COSINE_THRESHOLD)
         truth_df = spark.createDataFrame(truth, "vec_a long, vec_b long")
         found = df.join(
@@ -367,8 +374,10 @@ def probe_auto_lsh(spark, qs, out_sf: str, result: dict) -> None:
         print(f"# q_dedup_embedding_auto {label}: {rec}", file=sys.stderr)
 
         # --- kNN graph recall@k over sampled queries ---
+        wall, n_out = _timed_run(
+            lambda: qs["q_knn_graph_auto"](spark, sf)
+        )
         df = qs["q_knn_graph_auto"](spark, sf)
-        wall, n_out = _timed_run(df)
         rng = np.random.default_rng(7)
         q_idx = rng.choice(len(ids), size=min(500, len(ids)), replace=False)
         got_rows = (
@@ -404,8 +413,10 @@ def probe_auto_lsh(spark, qs, out_sf: str, result: dict) -> None:
         )
 
         t_design = 0.9
+        wall, n_out = _timed_run(
+            lambda: lsh_cosine_pairs_fast(spark, sf, threshold=t_design)
+        )
         df = lsh_cosine_pairs_fast(spark, sf, threshold=t_design)
-        wall, n_out = _timed_run(df)
         truth, n_true = _exact_pair_sample(ids, xn, t_design)
         if truth:
             truth_df = spark.createDataFrame(truth, "vec_a long, vec_b long")
