@@ -276,6 +276,11 @@ def pagerank(
     # symmetrized graph: every node appears as a src
     nodes = adj.select(F.col("src").alias("node")).localCheckpoint()
     n_total = nodes.count()
+    if n_total == 0:
+        # Empty graph: no nodes, no ranks — return the empty (node, rank)
+        # frame instead of dividing by zero (the edge-case contract every
+        # registered key honors: empty inputs yield empty outputs).
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n_total
     ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
     for i in range(iters):

@@ -877,7 +877,14 @@ def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix = f"near_idx_{digest}"
         build_corpus_near_index(docs.filter(~is_batch), prefix)
         while len(_NEAR_INDEX_CACHE) >= _NEAR_INDEX_MAX:
-            del _NEAR_INDEX_CACHE[next(iter(_NEAR_INDEX_CACHE))]
+            # Evict tables AND their warehouse directories, not just the
+            # memo entry — otherwise every evicted dataset leaks its two
+            # index tables on disk for the life of the warehouse (the
+            # IVFPQ cache already removes its directory on eviction).
+            evicted = _NEAR_INDEX_CACHE.pop(next(iter(_NEAR_INDEX_CACHE)))
+            if evicted != prefix:  # never drop the index just built
+                for t in (f"{evicted}_bands", f"{evicted}_sets"):
+                    _drop_table_and_location(spark, t)
     _NEAR_INDEX_CACHE[key] = prefix
     return incremental_dedup_near_indexed(docs.filter(is_batch), spark, prefix)
 

@@ -10,6 +10,7 @@ shuffles for the scoring pass; only the final top-k runs through
 
 from __future__ import annotations
 
+import atexit
 import math
 
 import pandas as pd
@@ -1022,9 +1023,25 @@ def q_similarity_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # artifact-lifecycle posture as bpe.merges_for (id-stable across GC,
 # no cross-session thrash). The cached value is (path, DataFrame): the
 # index lives ON DISK partitioned by cell, so eviction deletes the
-# directory instead of unpersisting executor memory.
+# directory instead of unpersisting executor memory. CONTRACT: eviction
+# invalidates any DataFrame handle previously returned for that (app,
+# sf_dir) — callers re-fetch via ivfpq_table(), never hoard the handle
+# across >_IVFPQ_CACHE_MAX interleaved datasets. All index dirs are
+# mkdtemp-created; the atexit hook below removes the survivors at
+# process exit so a long bench session leaves no /tmp residue.
 _IVFPQ_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
 _IVFPQ_CACHE_MAX = 4
+
+
+def _ivfpq_cleanup() -> None:
+    import shutil
+
+    for path, _ in _IVFPQ_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _IVFPQ_CACHE.clear()
+
+
+atexit.register(_ivfpq_cleanup)
 
 
 def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1258,8 +1258,12 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- frequent pattern mining
 
-# Mining thresholds. Both engines compute minCount = ceil(minSupport * n)
-# in IEEE doubles from the same literal, so the cutoffs agree exactly.
+# Mining thresholds. The oracle SQL casts each literal to DOUBLE before
+# the ceil (DuckDB would otherwise parse it as DECIMAL and do exact
+# arithmetic), so BOTH engines compute minCount = ceil(minSupport * n)
+# in IEEE doubles from the same literal and the cutoffs agree by
+# construction, not by luck — threshold edits can't silently diverge
+# the cross-engine agreement.
 FPM_MIN_SUPPORT = 0.0002  # itemsets: fraction of baskets (orders) —
 #   sized so the fixture's uniform-random baskets still surface
 #   frequent pairs at every shipped scale (0.001 went output-empty at
@@ -1326,7 +1330,8 @@ def frequent_itemsets(baskets: DataFrame, min_support: float) -> DataFrame:
     f"""
     WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     minc AS (
-      SELECT CAST(CEIL(count(DISTINCT l_orderkey) * {FPM_MIN_SUPPORT}) AS BIGINT)
+      SELECT CAST(CEIL(count(DISTINCT l_orderkey)
+                       * CAST({FPM_MIN_SUPPORT} AS DOUBLE)) AS BIGINT)
                AS mc
       FROM b
     ),
@@ -1431,7 +1436,7 @@ def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
-    minc AS (SELECT CAST(CEIL(n * {ASSOC_MIN_SUPPORT}) AS BIGINT) AS mc FROM n),
+    minc AS (SELECT CAST(CEIL(n * CAST({ASSOC_MIN_SUPPORT} AS DOUBLE)) AS BIGINT) AS mc FROM n),
     singles AS (
       SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt
       FROM b GROUP BY l_partkey

@@ -1375,6 +1375,7 @@ def cdc_snapshot(
     seq_cols: Sequence[str],
     op_col: str = "op",
     keep_tombstones: bool = False,
+    seq_unique: bool = False,
 ) -> DataFrame:
     """Changelog → snapshot with DELETE tombstones: the MERGE/CDC
     compaction a lakehouse sink runs (Delta MERGE / Flink upsert-kafka
@@ -1397,7 +1398,11 @@ def cdc_snapshot(
     the ordering struct after the caller's sequence (restoring the old
     form's byte-wise tie-break), so equal-sequence winners are
     run-to-run stable unless the tie extends into map-typed columns —
-    only then is the winner undefined.
+    only then is the winner undefined. Callers that DECLARE the
+    sequence a per-key total order (``seq_unique=True``) skip the
+    payload tie-break entirely: for wide rows with large text payloads
+    the byte-wise struct comparison on every aggregate update is pure
+    cost once the sequence alone decides the winner.
 
     Scale shape — the reason this is an aggregate and not the oracle's
     ROW_NUMBER window: one map-side-combined hash aggregate whose
@@ -1423,9 +1428,15 @@ def cdc_snapshot(
         return True
 
     by_name = {f.name: f.dataType for f in changelog.schema.fields}
-    tiebreak = [
-        c for c in payload if c not in set(seq_cols) and _orderable(by_name[c])
-    ]
+    tiebreak = (
+        []
+        if seq_unique
+        else [
+            c
+            for c in payload
+            if c not in set(seq_cols) and _orderable(by_name[c])
+        ]
+    )
     win = changelog.groupBy(*keys).agg(
         F.max_by(
             F.struct(*payload),
@@ -1449,6 +1460,7 @@ def cdc_merge(
     key_cols: Sequence[str],
     seq_cols: Sequence[str],
     op_col: str = "op",
+    seq_unique: bool = False,
 ) -> DataFrame:
     """Incrementally MERGE a changelog chunk into a tombstone-retaining
     snapshot state (both sides share the changelog schema; state rows
@@ -1475,6 +1487,7 @@ def cdc_merge(
         seq_cols,
         op_col,
         keep_tombstones=True,
+        seq_unique=seq_unique,
     )
 
 
@@ -1536,6 +1549,9 @@ def q_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_changelog(spark, sf_dir),
         key_cols=["user_id"],
         seq_cols=["seq_us", "event_id"],
+        # (ts, event_id) is a per-key total order: skip the payload
+        # tie-break and its per-update struct comparisons
+        seq_unique=True,
     )
     return snap.select(
         "user_id",

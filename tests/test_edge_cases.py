@@ -169,6 +169,29 @@ def test_round7_keys_survive_empty_tables(spark, empty_dir):
         assert qs[key](spark, empty_dir).collect() == [], key
 
 
+def test_round11_keys_survive_empty_tables(spark, empty_dir):
+    qs = entry_mod.queries()
+    for key in (
+        "q_pagerank",
+        "q_triangle_count",
+        "q_frequent_itemsets",
+        "q_frequent_sequences",
+        "q_association_rules",
+        "q_ewma_daily",
+        "q_chi2_contingency",
+        "q_knn_graph_auto",
+        "q_dedup_embedding_auto",
+    ):
+        rows = qs[key](spark, empty_dir).collect()  # must not raise
+        if key in ("q_chi2_contingency", "q_triangle_count"):
+            # global one-row summaries in both engines: the empty input
+            # yields one row of zero counts / NULL statistics (ANSI
+            # empty-aggregate), not an empty frame.
+            assert len(rows) <= 1, key
+        else:
+            assert rows == [], key
+
+
 def test_incremental_near_admission_edges(spark):
     """Index-free near-admission on degenerate inputs: empty batch ->
     empty output; empty corpus -> everything admitted; sub-shingle-width

@@ -57,6 +57,26 @@ def test_cdc_snapshot_matches_sequential_replay(spark):
     assert set(got) < all_keys
 
 
+def test_cdc_snapshot_seq_unique_skips_tiebreak_same_result(spark):
+    """(seq, rid) is a total order in the fixture, so declaring it
+    unique (skipping the payload tie-break struct columns) must yield
+    the identical snapshot — the flag is a cost knob, not a semantics
+    one, whenever its precondition holds."""
+    rows = _changelog()
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = {
+        r["k"]: (r["seq"], r["rid"], r["op"], r["v"])
+        for r in cdc_snapshot(df, ["k"], ["seq", "rid"]).collect()
+    }
+    fast = {
+        r["k"]: (r["seq"], r["rid"], r["op"], r["v"])
+        for r in cdc_snapshot(
+            df, ["k"], ["seq", "rid"], seq_unique=True
+        ).collect()
+    }
+    assert base == fast
+
+
 def test_cdc_tombstone_blocks_resurrection_and_allows_reinsert(spark):
     base = [
         (1, 10, 0, "I", 1.0),
