@@ -2037,3 +2037,150 @@ def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# ------------------------------------------- correlated-subquery shapes
+
+# Q21's "problem line" surrogate on the fixture schema (no
+# l_receiptdate/l_commitdate): a returned line (l_returnflag = 'R').
+# Local to lineitem, so the EXISTS/NOT EXISTS correlation stays the
+# classic single-column l_orderkey shape Catalyst must decorrelate.
+Q21_REGIONKEY = 0
+
+
+@REG.add(
+    "q_tpch_q21_shape",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, (l_returnflag = 'R') AS late
+      FROM lineitem
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, li l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = {Q21_REGIONKEY}
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, count each supplier's returned lines in MULTI-supplier
+    orders where it was the ONLY supplier with a returned line — a
+    doubly correlated EXISTS (some other supplier participated) +
+    NOT EXISTS (no other supplier's line was also returned) self-join
+    on lineitem, the canonical Catalyst DECORRELATION stress the
+    uncorrelated ``q_subquery_in``/``q_subquery_scalar`` never touch.
+
+    The Spark side is deliberately the raw correlated SQL: Catalyst
+    rewrites EXISTS into a left-semi and NOT EXISTS into a left-anti
+    hash join on l_orderkey with the l_suppkey inequality as a join
+    residual (plan-asserted in tests/test_relational_extra.py — no
+    BroadcastNestedLoopJoin anywhere). Scale shape: three hash joins on
+    the fact key plus two broadcast dims; the semi/anti sides carry only
+    (l_orderkey, l_suppkey[, late]) — Catalyst prunes the columns — so
+    the self-joins shuffle two narrow projections of lineitem, not the
+    table. ORDER BY (numwait DESC, s_name) is a total order (s_name
+    unique), so the LIMIT is deterministic."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("q21_nation")
+    return spark.sql(
+        f"""
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey, (l_returnflag = 'R') AS late
+          FROM q21_lineitem
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM q21_supplier, li l1, q21_orders, q21_nation
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.late
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = {Q21_REGIONKEY}
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
+    )
+
+
+Q17_BRAND = "Brand#4"
+
+
+@REG.add(
+    "q_tpch_q17_shape",
+    f"""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = '{Q17_BRAND}'
+      AND l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue of lines
+    whose quantity sits below 20% of their part's average quantity,
+    for one brand — the correlated SCALAR-AVG subquery against the
+    same fact (vs Q21's EXISTS pair).
+
+    Single-pass discipline (the q_tpch_q18_shape rule): the brand's
+    lineitem slice is cut ONCE — lineitem broadcast-semi-joined to the
+    filtered part dim — and localCheckpoint'd; the correlated subquery
+    then runs over THAT slice, so Catalyst's decorrelation (aggregate
+    on l_partkey joined back, plan-asserted: no BNLJ, no second parquet
+    scan) re-reads the materialized O(brand-selectivity × fact) slice,
+    never the 100 TB table. The per-part AVG is order-exact (integral
+    quantities sum exactly in doubles), making the `<` cut and thus the
+    rounded revenue deterministic. Correctness of avg-over-slice: the
+    brand filter is a part attribute, so the slice holds EVERY line of
+    each selected part."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sliced = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).drop("p_partkey")
+    # one fact scan total: the slice is materialized, the decorrelated
+    # aggregate and the probe both consume the checkpointed rows
+    sliced = sliced.localCheckpoint()
+    sliced.createOrReplaceTempView("q17_slice")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines
+        FROM q17_slice l1
+        WHERE l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l_quantity)
+                            FROM q17_slice l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )

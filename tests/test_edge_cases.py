@@ -236,3 +236,19 @@ def test_incremental_near_admission_edges(spark):
     assert rows[1]["status"] == "near_dup"
     assert rows[1]["dup_of"] == 100 and rows[1]["jaccard"] == 1.0
     assert rows[2]["status"] == "admitted" and rows[2]["dup_of"] is None
+
+
+ROUND12_EMPTY_EXPECT = {
+    # key -> expected row count on all-empty tables (None = just no crash,
+    # global-aggregate keys emit their ANSI one-row empty-sum shape)
+    "q_tpch_q21_shape": 0,
+    "q_tpch_q17_shape": 1,
+}
+
+
+def test_round12_keys_survive_empty_tables(spark, empty_dir):
+    qs = entry_mod.queries()
+    for key, want in ROUND12_EMPTY_EXPECT.items():
+        rows = qs[key](spark, empty_dir).collect()  # must not raise
+        if want is not None:
+            assert len(rows) == want, key

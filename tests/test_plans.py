@@ -342,3 +342,30 @@ def test_q18_broadcasts_qualifying_aggregate(q):
     """The HAVING-filtered aggregate must drive a broadcast join (its
     cardinality is data-pathology-bounded, not table-bounded)."""
     assert has_node(q("q_tpch_q18_shape"), "BroadcastHashJoin")
+
+
+def test_q21_decorrelates_to_semi_and_anti_joins(q):
+    """EXISTS / NOT EXISTS must decorrelate into hash semi/anti joins on
+    l_orderkey with the suppkey inequality as a residual — never a
+    nested-loop or cartesian fallback."""
+    df = q("q_tpch_q21_shape")
+    plan = formatted_plan(df)
+    assert has_node(df, "LeftSemi")
+    assert has_node(df, "LeftAnti")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the semi/anti self-joins key on the fact key
+    assert any(keys == ["l_orderkey"] for keys in _join_key_lists(df))
+
+
+def test_q17_single_fact_scan_and_decorrelated_avg(q):
+    """The correlated scalar-AVG subquery runs over the checkpointed
+    brand slice: the registered plan has ZERO parquet scans of lineitem
+    (the one fact scan happened at slice materialization) and the
+    decorrelation is a hash join against the per-part aggregate."""
+    df = q("q_tpch_q17_shape")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.lower().count("scan parquet") == 0
+    assert any(keys == ["l_partkey"] for keys in _join_key_lists(df))
