@@ -1064,14 +1064,22 @@ def q_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught by measurement, not only by unit tests. At the fixture's
     demo threshold ({EMB_COSINE_THRESHOLD}) the plan clamps at
     max_bands and WARNS — low thresholds are outside banded LSH's
-    economic regime; the probe records the achieved recall next to the
-    wall time."""
-    import warnings
-
-    with warnings.catch_warnings():
-        # the clamp warning is the documented fixture-threshold behavior
-        warnings.simplefilter("ignore", UserWarning)
-        return lsh_cosine_pairs_fast(spark, sf_dir)
+    economic regime; the warning is deliberately NOT suppressed here
+    (a caller cloning this key must see the clamp), and the plan's
+    worst-case recall at the threshold travels IN the output as the
+    ``achieved_recall`` audit column (= ``lsh_recall(threshold, bands,
+    bits)``, the S-curve floor over the pairs the join must find), so
+    a 29%-recall demo plan is visible in the key's own rows, not only
+    in the probe report."""
+    emb = load(spark, sf_dir, "embeddings")
+    bands, bits = auto_lsh_plan(emb.count(), EMB_COSINE_THRESHOLD)
+    pairs = lsh_cosine_pairs_fast(
+        spark, sf_dir, bands=bands, bits=bits
+    )
+    return pairs.withColumn(
+        "achieved_recall",
+        F.lit(round(lsh_recall(EMB_COSINE_THRESHOLD, bands, bits), 4)),
+    )
 
 
 def exact_jaccard_pairs(
