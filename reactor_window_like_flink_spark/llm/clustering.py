@@ -321,3 +321,102 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey").distinct()
     return pagerank(edges)
+
+
+# ------------------------------------------- label-propagation communities
+
+LPA_ROUNDS = 5
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.,
+    Phys. Rev. E 76, 2007) over an undirected edge list ``(u, v)``:
+    every node starts in its own community, and each round EVERY node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — the deterministic synchronous
+    variant (the asynchronous random-order original is irreproducible
+    by design; fixing order + tie-break makes the result a pure
+    function of the graph, which both the driver contract and the
+    sequential-reference pytest require). Fixed ``rounds`` rather than
+    a convergence test: synchronous LPA can two-cycle on bipartite
+    structures, so production runs cap rounds anyway (5 reaches label
+    consensus on the near-clique communities this tier targets —
+    communities form in 2-3 hops).
+
+    Unlike min-label ``connected_components`` (which floods one label
+    over everything reachable and answers "is A transitively tied to
+    B"), LPA stops label takeover at the density boundary: a label
+    needs majority support among a node's neighbors to cross, so two
+    dense near-cliques joined by a thin bridge KEEP distinct labels —
+    the modularity-forming workload between "connected" and
+    "centrality" that co-purchase and near-dup-graph analyses use.
+
+    Distributed shape — the ``pagerank`` adjacency-list discipline: the
+    graph is grouped ONCE into O(nodes) (src, dsts, followed by a
+    hash-partition on src) and checkpointed; each round joins labels
+    co-located on that key, fans out IN-ROW via ``explode``, and
+    re-aggregates with TWO map-side-combining shuffles: (node, label)
+    vote counts, then per-node argmax via ``max_by(label,
+    (votes, -label))`` — largest vote count wins, smallest label on
+    ties, so no sort and no window. Lineage truncates every second
+    round. Per-round shuffle volume is O(edges) vote rows combined
+    map-side to O(distinct (node,label)) — never an all-pairs product.
+
+    Returns (node, community) for every node with ≥1 edge."""
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .distinct()
+    )
+    adj = (
+        sym.groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"))
+        .repartition(n_parts, "src")
+        .localCheckpoint()
+    )
+    labels = adj.select(F.col("src").alias("node"), F.col("src").alias("label"))
+    for i in range(rounds):
+        votes = (
+            adj.join(labels, adj.src == labels.node)
+            .select(F.explode("dsts").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("votes"), (-F.col("label")).alias("_t"))
+            ).alias("label")
+        )
+        if (i + 1) % 2 == 0 or i == rounds - 1:
+            labels = labels.localCheckpoint()
+    return labels.select("node", F.col("label").alias("community"))
+
+
+@REG.add("q_communities_lpa")  # rows-only: fixed-round synchronous LPA
+# is iterative (no SQL mirror); pytest asserts equality with a
+# sequential python reference and two-community recovery on a planted
+# bridge-joined clique-pair fixture.
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the part co-purchase graph via
+    deterministic synchronous label propagation (see
+    ``label_propagation``) — which groups of parts form densely
+    co-purchased clusters, the tier between ``q_dedup_groups``'s
+    connected components and ``q_pagerank``'s centrality. Emits one
+    row per part with its community label plus the community size
+    (a broadcast-small self-aggregate)."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        _basket_pairs,
+    )
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey").distinct()
+    labels = label_propagation(edges)
+    sizes = labels.groupBy("community").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "community").select(
+        "node", "community", "community_size"
+    )

@@ -169,3 +169,100 @@ def test_pagerank_matches_sequential_reference(spark):
     for x in nodes:
         assert abs(got[x] - round(r[idx[x]], 6)) <= 1e-6
     assert abs(sum(got.values()) - 1.0) <= 1e-3  # mass conservation
+
+
+def _lpa_reference(edges, rounds):
+    """Sequential synchronous LPA — the semantics spec: every node
+    simultaneously adopts its neighbors' plurality label, ties to the
+    smallest label."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            votes = defaultdict(int)
+            for nb in adj[n]:
+                votes[labels[nb]] += 1
+            new[n] = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new
+    return labels
+
+
+def test_lpa_matches_sequential_reference_on_random_graph(spark):
+    import random
+
+    from reactor_window_like_flink_spark.llm.clustering import (
+        LPA_ROUNDS,
+        label_propagation,
+    )
+
+    rng = random.Random(77)
+    edges = {tuple(sorted(rng.sample(range(80), 2))) for _ in range(200)}
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df).collect()
+    }
+    want = _lpa_reference(edges, LPA_ROUNDS)
+    assert got == want
+
+
+def test_lpa_keeps_planted_communities_components_would_merge(spark):
+    """Two 8-cliques joined by a single bridge: connected components
+    collapse everything into one group; LPA must keep two communities
+    (the bridge label lacks majority support to cross)."""
+    from reactor_window_like_flink_spark.llm.clustering import (
+        connected_components,
+        label_propagation,
+    )
+    from pyspark.sql import functions as F
+
+    cliq_a = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    cliq_b = [(i, j) for i in range(10, 18) for j in range(i + 1, 18)]
+    edges = cliq_a + cliq_b + [(0, 10)]  # the thin bridge
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation(df).collect()
+    }
+    assert len(set(comm.values())) == 2
+    assert {comm[i] for i in range(8)} == {comm[0]}
+    assert {comm[i] for i in range(10, 18)} == {comm[10]}
+    assert comm[0] != comm[10]
+
+    comps = connected_components(
+        df.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        df.select(F.col("u").alias("node"))
+        .union(df.select(F.col("v").alias("node")))
+        .distinct(),
+    )
+    assert comps.select("comp").distinct().count() == 1
+
+
+def test_lpa_registered_key_shape_and_empty(spark, sf_dir, tmp_path):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = qs["q_communities_lpa"](spark, sf_dir)
+    assert out.columns == ["node", "community", "community_size"]
+    rows = out.collect()
+    assert len(rows) > 0
+    # community_size is consistent with the label multiset
+    from collections import Counter
+
+    sizes = Counter(r["community"] for r in rows)
+    assert all(sizes[r["community"]] == r["community_size"] for r in rows)
+    # empty graph -> empty frame
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(
+        0
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    assert qs["q_communities_lpa"](spark, str(tmp_path)).collect() == []
