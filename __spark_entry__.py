@@ -29,6 +29,7 @@ from reactor_window_like_flink_spark.operators.analytics import (
     REG as _ANALYTICS,
 )
 from reactor_window_like_flink_spark.operators.relational import REG as _RELATIONAL
+from reactor_window_like_flink_spark.operators.sketches import REG as _SKETCHES
 from reactor_window_like_flink_spark.streaming.joins import (
     REG as _STREAMING_JOINS,
 )
@@ -44,6 +45,7 @@ _ALL_REGS = [
     _EXTENSIONS,
     _RELATIONAL,
     _ANALYTICS,
+    _SKETCHES,
     _SCALAR,
 ]
 

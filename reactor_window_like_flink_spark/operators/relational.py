@@ -1249,10 +1249,13 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — associative, commutative, and exactly the quantity a
     materialized daily sketch table stores — then any quantile is
     answered by cumulative-count inversion with within-bin linear
-    interpolation, error bounded by one bin width. (t-digest/KLL are the
-    tighter-error production sketches; the fixed-bin form is chosen
-    here because its merge AND its estimate are exactly mirrorable in
-    ANSI SQL, so the whole rollup path is oracle-checked, not argued.)
+    interpolation, error bounded by one bin width. (The fixed-bin form
+    is chosen here because its merge AND its estimate are exactly
+    mirrorable in ANSI SQL, so the whole rollup path is oracle-checked,
+    not argued; the long-tail-safe production twin with
+    distribution-free RANK error is ``q_quantile_rollup_kll`` in
+    ``operators/sketches.py`` — same daily-sketch-table pattern, KLL
+    merge, pytest-bounded rank error on Zipf values.)
 
     Scale shape: the daily pre-aggregate is one map-side-combined
     (day, event_type, bin) count; the merge re-aggregates O(keys x

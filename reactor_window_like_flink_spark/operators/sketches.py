@@ -1,0 +1,239 @@
+"""Mergeable bounded-error quantile sketches: the KLL twin of the
+fixed-bin ``q_quantile_rollup`` (operators/relational.py).
+
+The fixed-bin histogram rollup is oracle-exact but its error is one bin
+width of a construction-time [lo, hi] — on long-tailed (Zipf) value
+distributions most bins cover the tail and the useful quantiles all
+land in one bin. The KLL sketch (Karnin, Lang, Liberty, "Optimal
+quantile approximation in streams", FOCS 2016) bounds RANK error
+instead: ~O(1/k) of the total count regardless of the value
+distribution, which is the guarantee a monitoring / profiling pipeline
+actually needs on heavy-tailed latencies and doc lengths.
+
+Determinism contract (the driver/pytest requirement): this
+implementation replaces KLL's random compaction coin with a PER-LEVEL
+ALTERNATING parity (the derandomization already noted in the KLL paper
+§4's discussion of deterministic compactors, and the classic
+Manku–Rajagopalan–Lindsay style) and builds/merges in a CANONICAL
+order — values in (ts, event_id) order inside each (day, key) group,
+day order for the rollup merge — so the sketch, and therefore every
+estimate, is a pure function of the data: distributed == sequential
+reference, run-to-run stable, any cluster size (asserted in
+tests/test_sketches.py).
+
+Scale shape of the rollup (the ``q_hll_rollup``/``q_cms_rollup``
+posture): raw events are touched ONCE, inside one map-side-combining
+groupBy(day, key) whose per-group state is the O(k log(n/k)) sketch —
+the shuffle to the merge stage carries sketches (couple of KiB each),
+never values; the (key) merge re-aggregates O(days) sketch rows per
+key. Coarser grains (weekly, monthly, all-time) merge the SAME stored
+daily sketches without re-touching raw events — the materialized
+daily-sketch-table pattern, now with distribution-free error.
+
+Reference parity note: no aggregation surface in the reference
+(WindowPublisher.java); north-star scope per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+KLL_K = 200  # sketch parameter: rank error ~O(1/k), size O(k log(n/k))
+KLL_QS = (0.5, 0.95, 0.99)  # the q_quantile_rollup grid
+
+
+class KLLSketch:
+    """Deterministic KLL quantile sketch. Level h holds items of weight
+    2**h; level capacities shrink geometrically (k * (2/3)^depth, min 2)
+    so total size is O(k). Compaction sorts the overfull level and
+    promotes every second item, alternating the start offset per level
+    (the deterministic coin) — each compaction perturbs any rank by at
+    most 2**h, and the geometric capacities make the summed
+    perturbation O(n/k) (the KLL analysis with the derandomized
+    compactor's constants)."""
+
+    __slots__ = ("k", "n", "levels", "coins")
+
+    def __init__(self, k: int = KLL_K) -> None:
+        self.k = k
+        self.n = 0
+        self.levels: list[list[float]] = [[]]
+        self.coins: list[int] = [0]
+
+    # ---- construction ------------------------------------------------
+
+    def _capacity(self, h: int) -> int:
+        depth = len(self.levels) - 1 - h
+        return max(2, int(math.ceil(self.k * (2.0 / 3.0) ** depth)))
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) <= self._capacity(h):
+                h += 1
+                continue
+            lvl = sorted(self.levels[h])
+            off = self.coins[h]
+            self.coins[h] ^= 1
+            if h + 1 == len(self.levels):
+                self.levels.append([])
+                self.coins.append(0)
+            self.levels[h + 1].extend(lvl[off::2])
+            self.levels[h] = []
+            # a promotion can overfill h+1; re-check from there
+            h += 1
+
+    def extend(self, values) -> None:
+        """Feed values IN THE GIVEN ORDER (callers pass the canonical
+        order; order affects which items survive compaction, never the
+        error bound)."""
+        buf = self.levels[0]
+        for v in values:
+            buf.append(float(v))
+            self.n += 1
+            if len(buf) > self._capacity(0):
+                self._compress()
+                buf = self.levels[0]
+
+    def merge(self, other: "KLLSketch") -> None:
+        """Concatenate levels and re-compact — associative up to the
+        deterministic compaction schedule; callers merge in a canonical
+        order to pin the result."""
+        self.n += other.n
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+            self.coins.append(0)
+        for h, lvl in enumerate(other.levels):
+            self.levels[h].extend(lvl)
+        self._compress()
+
+    # ---- estimation ----------------------------------------------------
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight reaches q*n —
+        the left-continuous inverse of the sketch CDF."""
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        pairs = sorted(
+            (v, 1 << h)
+            for h, lvl in enumerate(self.levels)
+            for v in lvl
+        )
+        target = q * self.n
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= target:
+                return v
+        return pairs[-1][0]
+
+    # ---- Spark row (de)serialization ------------------------------------
+
+    def to_row(self) -> tuple[int, list[list[float]], list[int]]:
+        return self.n, [list(lvl) for lvl in self.levels], list(self.coins)
+
+    @classmethod
+    def from_row(
+        cls, n: int, levels: list[list[float]], coins: list[int], k: int = KLL_K
+    ) -> "KLLSketch":
+        s = cls(k)
+        s.n = int(n)
+        s.levels = [list(lvl) for lvl in levels]
+        s.coins = list(coins)
+        return s
+
+
+_SKETCH_SCHEMA = (
+    "event_type string, day timestamp, n long,"
+    " levels array<array<double>>, coins array<int>"
+)
+
+
+def daily_kll_sketches(events: DataFrame, k: int = KLL_K) -> DataFrame:
+    """The materialized daily-sketch table: one KLL sketch per
+    (event_type, day) over ``value``, built in canonical (ts, event_id)
+    order. This is the frame a production pipeline WRITES daily; every
+    coarser rollup merges these rows without re-reading events."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        s = KLLSketch(k)
+        s.extend(pdf["value"].to_numpy())
+        n, levels, coins = s.to_row()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "day": [pdf["day"].iloc[0]],
+                "n": [n],
+                "levels": [levels],
+                "coins": [coins],
+            }
+        )
+
+    daily = events.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return daily.groupBy("event_type", "day").applyInPandas(
+        build, _SKETCH_SCHEMA
+    )
+
+
+def merge_kll_sketches(
+    sketches: DataFrame,
+    qs: tuple[float, ...] = KLL_QS,
+    k: int = KLL_K,
+) -> DataFrame:
+    """Merge the daily sketch rows up to event_type (in day order — the
+    canonical merge schedule) and answer the quantile grid. O(days)
+    sketch rows per key enter the merge; raw events are never touched."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        acc = KLLSketch(k)
+        for _, r in pdf.iterrows():
+            acc.merge(KLLSketch.from_row(r["n"], r["levels"], r["coins"], k))
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "q": list(qs),
+                "est": [round(acc.quantile(q), 4) for q in qs],
+                "n_events": acc.n,
+            }
+        )
+
+    return sketches.groupBy("event_type").applyInPandas(
+        merge, "event_type string, q double, est double, n_events long"
+    )
+
+
+@REG.add("q_quantile_rollup_kll")  # rows-only: KLL survivors depend on
+# the deterministic compaction schedule (no SQL mirror); pytest asserts
+# distributed == sequential reference and the DKW-style rank-error
+# bound on adversarial Zipf values (tests/test_sketches.py).
+def q_quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup with DISTRIBUTION-FREE rank error: the
+    KLL production twin of the oracle-checked fixed-bin
+    ``q_quantile_rollup`` — daily per-event_type KLL sketches merged up
+    to event_type, then the (p50, p95, p99) grid answered from the
+    merged sketch. Where the fixed-bin form's error is one bin width of
+    a construction-time range (arbitrarily bad on long tails), KLL
+    bounds the RANK of the answer within ~O(1/k) of n for ANY value
+    distribution — the sketch to materialize daily over doc-length /
+    latency / score columns at 100 TB. Same completes-the-family role
+    as q_agg_approx_distinct is to q_bitmap_rollup: the exact and the
+    approximate-mergeable form, side by side."""
+    events = load(spark, sf_dir, "events")
+    return merge_kll_sketches(daily_kll_sketches(events))
