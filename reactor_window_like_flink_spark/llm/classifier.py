@@ -24,6 +24,8 @@ Reference parity note: no text surface in the reference engine
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,14 +86,25 @@ def with_classifier_inputs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def classifier_score() -> F.Column:
+def classifier_score(
+    weights: list[float] | None = None, bias: float = CLF_BIAS
+) -> F.Column:
     """The serving expression: sigmoid(mean bucket weight + bias) over the
     document's char trigrams (docs with < 3 chars score sigmoid(bias)).
     A pure narrow projection — compose it into any scan or funnel.
 
+    ``weights``/``bias`` default to the pseudo-random stand-in; pass the
+    ``q_classifier_train`` output to serve the TRAINED model — the mean
+    bucket weight the fold computes IS x·w over the normalized trigram
+    histogram the trainer optimizes, so trained weights drop in with no
+    other change (tests/test_classifier.py asserts fold == numpy
+    sigmoid(X@w) agreement).
+
     Contract: the frame must carry the ``_lt``/``_cp`` columns added by
     ``with_classifier_inputs``."""
-    w = ", ".join(f"{x}D" for x in CLF_WEIGHTS)
+    if weights is None:
+        weights = CLF_WEIGHTS
+    w = ", ".join(f"{x!r}D" for x in weights)
     h = (
         "(element_at(_cp, i) * 961 + element_at(_cp, i + 1) * 31"
         f" + element_at(_cp, i + 2)) % {CLF_BUCKETS}"
@@ -105,7 +118,7 @@ def classifier_score() -> F.Column:
         f"  (acc, i) -> acc + element_at(array({w}), ({h}) + 1))"
         " / (length(_lt) - 2) ELSE cast(0.0 as double) END"
     )
-    return F.expr(f"1.0 / (1.0 + exp(-({mean} + {CLF_BIAS})))")
+    return F.expr(f"1.0 / (1.0 + exp(-({mean} + {bias!r})))")
 
 
 def _duck_score_sql() -> str:
@@ -225,4 +238,212 @@ def q_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         with_classifier_inputs(docs).select(stage_idx.alias("stage_idx")),
         _CLF_FUNNEL_STAGES,
+    )
+
+
+# ------------------------------------------- distributed training
+
+# Ridge-logistic Newton/IRLS: per pass the executors emit gradient
+# (65) + Hessian (65x65) partials; the driver solves the 65-dim Newton
+# system. Quadratic convergence makes the iteration count a small
+# CONSTANT (12) even though the teacher packs scores tightly around the
+# threshold; the L2 term (lam) keeps the separable-data optimum finite
+# and unique, so the learned weights are a well-defined deterministic
+# artifact rather than a diverging direction.
+CLF_TRAIN_BAND = 0.02  # confident-label band in teacher-logit space:
+#   docs within +-band of the decision boundary are EXCLUDED from
+#   training (the CCNet practice — Wenzek et al., LREC 2020 — of
+#   fitting the quality model on confidently-labeled examples; the
+#   ambiguous band is exactly where teacher FP noise lives)
+CLF_TRAIN_ITERS = 12
+CLF_TRAIN_L2 = 1e-4
+CLF_N_FEATURES = CLF_BUCKETS + 1  # + bias term (constant 1.0 feature)
+# Conditioning: bucket features are a normalized histogram (entries
+# ~1/64); the trainer scales them by CLF_BUCKETS so the Newton system
+# is well-conditioned. Serving undoes this: see trained_serving_params.
+_CLF_FEAT_SCALE = float(CLF_BUCKETS)
+
+
+def trigram_hashes() -> F.Column:
+    """The document's char-trigram bucket sequence as an array<int> —
+    the SAME hash the serving fold walks (``classifier_score``), emitted
+    as data so the trainer can histogram it. Empty for <3-char docs."""
+    h = (
+        "(element_at(_cp, i) * 961 + element_at(_cp, i + 1) * 31"
+        f" + element_at(_cp, i + 2)) % {CLF_BUCKETS}"
+    )
+    return F.expr(
+        "CASE WHEN length(_lt) >= 3 THEN"
+        f" transform(sequence(1, length(_lt) - 2), i -> CAST(({h}) AS INT))"
+        " ELSE array() END"
+    )
+
+
+def classifier_training_set(
+    docs: DataFrame,
+    text_col: str = "text",
+    band: float = CLF_TRAIN_BAND,
+) -> DataFrame:
+    """(doc_id, features array<double>[65], y double, margin double):
+    the normalized trigram-bucket histogram + constant bias feature,
+    labeled by the TEACHER (the shipped pseudo-weight scorer) and
+    FILTERED to the confident band |teacher logit - threshold logit| >=
+    ``band`` — the planted ground truth the trainer must recover. The
+    retained set is exactly linearly separable in this feature space
+    (the label IS the sign of a linear function of the features), so a
+    correct trainer provably reaches full training accuracy; swapping
+    the teacher label for a real one (human tags, reference-corpus
+    membership a la CCNet) changes nothing downstream.
+
+    The trigram walk stays JVM-side (the serving fold's hash, emitted
+    as an array); the O(CLF_BUCKETS) bincount and the teacher dot run
+    in Arrow batches. One narrow scan, zero shuffles; the band filter
+    drops ambiguous docs before anything is persisted."""
+    import numpy as np
+    import pandas as pd
+
+    base = with_classifier_inputs(docs, text_col).select(
+        "doc_id", trigram_hashes().alias("_h")
+    )
+    wt = [*CLF_WEIGHTS, CLF_BIAS]
+    logit_t = math.log(CLF_KEEP_MIN / (1.0 - CLF_KEEP_MIN))
+
+    def featurize(batches):
+        w_teach = np.asarray(wt, dtype="float64")
+        for pdf in batches:
+            feats = []
+            for h in pdf["_h"]:
+                arr = np.asarray(h, dtype="int64")
+                counts = np.bincount(arr, minlength=CLF_BUCKETS).astype(
+                    "float64"
+                )
+                if arr.size:
+                    counts /= arr.size
+                feats.append(np.append(counts, 1.0))
+            x = (
+                np.stack(feats)
+                if feats
+                else np.empty((0, CLF_N_FEATURES))
+            )
+            margin = x @ w_teach - logit_t
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": feats,
+                    "y": (margin >= 0).astype("float64"),
+                    "margin": margin,
+                }
+            )
+
+    out = base.mapInPandas(
+        featurize,
+        "doc_id long, features array<double>, y double, margin double",
+    )
+    return out.filter(F.abs("margin") >= band)
+
+
+def train_classifier(
+    feats: DataFrame,
+    iters: int = CLF_TRAIN_ITERS,
+    lam: float = CLF_TRAIN_L2,
+) -> list[float]:
+    """Distributed ridge-logistic Newton/IRLS: per Arrow batch the
+    executors emit the gradient partial Xᵀ(σ(Xw) − y) and the Hessian
+    partial Xᵀdiag(p(1−p))X as one (65 + 65² doubles) row; the driver
+    sums the O(partitions) partials, adds the L2 term, and solves the
+    65-dim Newton system — the distributed-second-order aggregation
+    shape (Joulin et al. EACL'17 train this model class; IRLS is the
+    GLM-fitting classic). Data never leaves the cluster; the driver
+    holds ~4.3k doubles per partition per step, and the per-step
+    broadcast is the 65-double weight closure.
+
+    At 100 TB: each iteration is ONE pass over the persisted feature
+    frame (materialized before the loop — the iterative lineage rule);
+    all-reduce volume O(partitions × 65²) is independent of corpus
+    size; 12 Newton steps replace the thousands of first-order steps
+    the teacher's razor-thin score margins would force on plain GD.
+    Iteration count and summation structure match the sequential
+    trainer's, so distributed == sequential to float-summation error
+    (asserted at 1e-6 in tests/test_classifier.py).
+
+    Returns the 65 weights in the SCALED feature space; feed
+    ``trained_serving_params`` to serve them through the fold."""
+    import numpy as np
+    import pandas as pd
+
+    feats = feats.select("features", "y").persist()
+    n_total = feats.count()  # materializes the feature pass
+    if n_total == 0:
+        feats.unpersist()
+        return [0.0] * CLF_N_FEATURES
+
+    w = np.zeros(CLF_N_FEATURES, dtype="float64")
+    eye = np.eye(CLF_N_FEATURES, dtype="float64")
+    try:
+        for _ in range(iters):
+            w_now = w.copy()
+
+            def partials(batches, w_now=w_now):
+                for pdf in batches:
+                    x = np.stack(pdf["features"].to_numpy())
+                    x[:, :CLF_BUCKETS] *= _CLF_FEAT_SCALE
+                    y = pdf["y"].to_numpy(dtype="float64")
+                    p = 1.0 / (1.0 + np.exp(-(x @ w_now)))
+                    g = x.T @ (p - y)
+                    h = (x.T * (p * (1.0 - p))) @ x
+                    yield pd.DataFrame(
+                        {"g": [g.tolist()], "h": [h.ravel().tolist()]}
+                    )
+
+            rows = feats.mapInPandas(
+                partials, "g array<double>, h array<double>"
+            ).collect()
+            grad = np.zeros(CLF_N_FEATURES, dtype="float64")
+            hess = np.zeros(
+                (CLF_N_FEATURES, CLF_N_FEATURES), dtype="float64"
+            )
+            for r in rows:  # O(partitions) rows, summed in plan order
+                grad += np.asarray(r["g"], dtype="float64")
+                hess += np.asarray(r["h"], dtype="float64").reshape(
+                    CLF_N_FEATURES, CLF_N_FEATURES
+                )
+            grad = grad / n_total + lam * w
+            hess = hess / n_total + lam * eye
+            w -= np.linalg.solve(hess, grad)
+    finally:
+        feats.unpersist()
+    return [float(x) for x in w]
+
+
+def trained_serving_params(w: list[float]) -> tuple[list[float], float]:
+    """Map trained (scaled-space) weights to ``classifier_score``
+    parameters: the fold computes mean bucket weight = x_unscaled · w,
+    so bucket weights pick up the training-time conditioning factor and
+    the bias passes through. ``classifier_score(*params)`` then serves
+    the trained model as the same zero-shuffle codegen fold as the
+    shipped one."""
+    return [x * _CLF_FEAT_SCALE for x in w[:CLF_BUCKETS]], w[CLF_BUCKETS]
+
+
+@REG.add("q_classifier_train")  # rows-only: 12 rounds of distributed
+# Newton re-aggregation have no SQL mirror; pytest asserts weight
+# agreement with a sequential numpy trainer at 1e-6, full training
+# accuracy on the confident band, and serving-fold round-trip
+# (tests/test_classifier.py).
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the fastText-style quality classifier on the corpus — the
+    other half of ``q_quality_classifier`` (which only scores with
+    fixed weights): distributed ridge-logistic Newton/IRLS over hashed
+    char-trigram histogram features, labels planted by the shipped
+    teacher scorer on the confident band (``classifier_training_set``).
+    Emits one row per SERVING coefficient (feature_idx {0..63} = bucket
+    weights, 64 = bias), already in ``classifier_score(weights, bias)``
+    parameterization — the artifact a curation team materializes and
+    feeds straight back into the zero-shuffle 100 TB scoring pass."""
+    docs = load(spark, sf_dir, "documents")
+    w = train_classifier(classifier_training_set(docs))
+    weights, bias = trained_serving_params(w)
+    return spark.createDataFrame(
+        [(i, round(x, 8)) for i, x in enumerate([*weights, bias])],
+        "feature_idx int, weight double",
     )
