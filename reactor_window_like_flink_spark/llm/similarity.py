@@ -1123,6 +1123,40 @@ def assign_cells(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     return vectors.withColumn("cell", cell_of("embedding"))
 
 
+def assign_cells_with_error(
+    vectors: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """``assign_cells`` plus the TRUE squared distance to the winning
+    centroid (``qerr`` = 1 + |c|² − 2x·c on the unit sphere) — the
+    quantization error the streaming drift monitor accumulates: rising
+    mean qerr means the frozen centroids no longer tessellate the
+    incoming data, which is exactly the staleness the rebuild policy
+    answers (cell-occupancy skew shifts with corpus COMPOSITION even
+    when coverage is fine; coverage error does not)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c2 = (cents**2).sum(1)
+
+    @pandas_udf("cell int, qerr double")
+    def cell_err(col: pd.Series) -> pd.DataFrame:
+        vx = np.asarray(col.tolist(), dtype=np.float64)
+        nn = np.linalg.norm(vx, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        vx /= nn
+        d = c2[None, :] - 2.0 * (vx @ cents.T)
+        best = d.argmin(1)
+        return pd.DataFrame(
+            {
+                "cell": best.astype("int32"),
+                "qerr": 1.0 + d[np.arange(len(best)), best],
+            }
+        )
+
+    out = vectors.withColumn("_ce", cell_err("embedding"))
+    return out.select(*vectors.columns, "_ce.cell", "_ce.qerr")
+
+
 def encode_pq(vectors: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
     """Append-path PQ encoding against FROZEN codebooks (see
     ``_pq_encode_udf``)."""
@@ -1217,3 +1251,242 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         qe,
         exclude_id=QUERY_VEC_ID,
     )
+
+
+# ---- streaming ANN ingestion: the staleness policy, executed ----------
+#
+# The batch-side append path above (assign_cells / encode_pq /
+# append_ivfpq_rows) documents the policy — frozen parameters, appends
+# land in prunable cell partitions, rebuild is a periodic batch decision
+# on drift. ann_ingest_sink AUTOMATES it as a foreachBatch sink: every
+# micro-batch is assigned + encoded under the CURRENT generation's
+# frozen parameters and overwritten into its own
+# ``gen=<g>/batch_id=<n>/cell=<c>/`` partition (replay-idempotent, the
+# corpus_ingest_sink device), the per-batch cell occupancy feeds a PSI
+# drift statistic against the generation's fit-time baseline (the
+# q_source_drift device), and when accumulated drift crosses the
+# threshold the sink EXECUTES the rebuild: re-fit on a bounded sample,
+# re-assign/re-encode every stored row into ``gen=<g+1>`` in one pass,
+# atomically advance the generation pointer. Readers of the old
+# generation keep a consistent directory until they re-resolve.
+
+ANN_DRIFT_QERR_RATIO = 1.5  # rebuild when incoming mean quantization
+#   error exceeds 1.5x the generation's fit-time baseline
+ANN_DRIFT_MIN_ROWS = 256  # don't trip on tiny-sample noise
+ANN_FIT_SAMPLE_MAX = 100_000  # refit sample bound (train cost is O(1))
+
+
+class AnnIngestIndex:
+    """One streaming IVFPQ index: the frozen per-generation parameters
+    (centroids, codebooks), the fit-time mean quantization error the
+    drift statistic compares against, the error accumulated since the
+    last (re)fit, and the current generation pointer. The on-disk
+    layout under ``root`` is ``gen=<g>/batch_id=<n>/cell=<c>/`` parquet
+    of (vec_id, embedding, label, code) — self-contained: the same
+    frame serves as ``ivfpq_search``'s code table AND its re-rank
+    lookup. In-memory state is per-process; a production deployment
+    persists (gen, params, baseline) next to the layout and reloads on
+    restart — the layout itself is already restart-safe (pure
+    overwritten partitions)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        centroids: list[list[float]],
+        codebooks: list[list[list[float]]],
+        baseline_qerr: float,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.baseline_qerr = baseline_qerr
+        self.recent_err = 0.0
+        self.recent_n = 0
+        self.gen = 0
+        self.rebuilds = 0
+
+    @property
+    def gen_dir(self) -> str:
+        return f"{self.root}/gen={self.gen}"
+
+    def table(self) -> DataFrame:
+        """The current generation as a DataFrame (batch_id and cell are
+        partition columns — ``cell IN (...)`` probes prune at planning
+        time exactly like ``ivfpq_table``'s layout)."""
+        return self.spark.read.parquet(self.gen_dir)
+
+    def search(
+        self,
+        qe: list[float],
+        exclude_id: int | None = None,
+        probes_n: int = IVF_PROBES,
+    ) -> DataFrame:
+        t = self.table()
+        return ivfpq_search(
+            t,
+            t,
+            self.centroids,
+            self.codebooks,
+            qe,
+            exclude_id=exclude_id,
+            probes_n=probes_n,
+        )
+
+
+def _fit_ann_params(
+    x, cells: int, m: int, k: int, seed: int
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fit (centroids, codebooks) on a driver-side numpy sample — the
+    ``_lloyd`` trainer ``fit_pq`` uses, applied to both stages so the
+    sink has no Spark-ML dependency in the rebuild path."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    nn = np.linalg.norm(x, axis=1, keepdims=True)
+    nn[nn == 0] = 1.0
+    x = x / nn
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    centroids = _lloyd(x, cells, seed)
+    codebooks = [
+        _lloyd(x[:, j * dsub : (j + 1) * dsub], k, seed + 1 + j)
+        for j in range(m)
+    ]
+    return (
+        [[float(v) for v in c] for c in centroids],
+        [[[float(v) for v in row] for row in cb] for cb in codebooks],
+    )
+
+
+def _encoded(index: AnnIngestIndex, vectors: DataFrame) -> DataFrame:
+    """Assign + encode under the current generation's frozen parameters,
+    carrying the per-row quantization error for the drift monitor."""
+    return encode_pq(
+        assign_cells_with_error(vectors, index.centroids), index.codebooks
+    ).select("vec_id", "embedding", "label", "code", "cell", "qerr")
+
+
+def _err_stats(rows: DataFrame) -> tuple[float, int]:
+    r = rows.agg(
+        F.sum("qerr").alias("s"), F.count("*").alias("n")
+    ).first()
+    return float(r["s"] or 0.0), int(r["n"])
+
+
+def fit_ann_ingest_index(
+    spark: SparkSession,
+    bootstrap: DataFrame,
+    root: str,
+    cells: int = IVF_CELLS,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = PQ_SEED,
+) -> AnnIngestIndex:
+    """Generation 0: fit on the (bounded-sample of the) bootstrap set,
+    encode it, land it as ``batch_id=-1``, and record the fit-time mean
+    quantization error as the drift baseline."""
+    sample = [
+        r["embedding"]
+        for r in bootstrap.select("embedding")
+        .limit(ANN_FIT_SAMPLE_MAX)
+        .collect()
+    ]
+    if not sample:
+        raise ValueError("ann index bootstrap must be non-empty")
+    centroids, codebooks = _fit_ann_params(sample, cells, m, k, seed)
+    index = AnnIngestIndex(spark, root, centroids, codebooks, 0.0)
+    rows = _encoded(index, bootstrap).localCheckpoint()
+    rows.drop("qerr").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index.gen_dir}/batch_id=-1"
+    )
+    err, n = _err_stats(rows)
+    index.baseline_qerr = err / max(1, n)
+    return index
+
+
+def _rebuild(index: AnnIngestIndex, seed: int = PQ_SEED) -> None:
+    """The executed drift response: re-fit on a bounded sample of the
+    CURRENT generation, re-assign + re-encode every stored row in one
+    pass into ``gen+1`` (batch_id partitioning preserved, so replays of
+    old batches stay idempotent against the new generation), then
+    advance the pointer and reset the drift accumulator. Readers of the
+    old generation's directory stay consistent; the swap is the pointer
+    advance."""
+    cells = len(index.centroids)
+    m = len(index.codebooks)
+    k = len(index.codebooks[0])
+    all_rows = index.table().select(
+        "vec_id", "embedding", "label", "batch_id"
+    )
+    sample = [
+        r["embedding"]
+        for r in all_rows.select("embedding")
+        .limit(ANN_FIT_SAMPLE_MAX)
+        .collect()
+    ]
+    index.centroids, index.codebooks = _fit_ann_params(
+        sample, cells, m, k, seed + index.rebuilds + 1
+    )
+    rows = (
+        encode_pq(
+            assign_cells_with_error(all_rows, index.centroids),
+            index.codebooks,
+        )
+        .select(
+            "vec_id", "embedding", "label", "code", "batch_id", "cell", "qerr"
+        )
+        .localCheckpoint()
+    )
+    rows.drop("qerr").write.mode("overwrite").partitionBy(
+        "batch_id", "cell"
+    ).parquet(f"{index.root}/gen={index.gen + 1}")
+    index.gen += 1
+    index.rebuilds += 1
+    err, n = _err_stats(rows)
+    index.baseline_qerr = err / max(1, n)
+    index.recent_err = 0.0
+    index.recent_n = 0
+
+
+def ann_ingest_sink(
+    index: AnnIngestIndex,
+    drift_ratio: float = ANN_DRIFT_QERR_RATIO,
+    min_drift_rows: int = ANN_DRIFT_MIN_ROWS,
+):
+    """foreachBatch sink over a ``(vec_id, embedding, label)`` stream:
+    in-batch exact dedup (``dropDuplicates(vec_id)`` — cross-corpus
+    near-dedup is the q_dedup_embedding family's job upstream), assign +
+    encode under the current generation's frozen parameters, overwrite
+    the batch's own ``batch_id=<n>`` partition (at-least-once replay
+    rewrites identical content — the corpus_ingest_sink contract), then
+    feed the batch's quantization error into the drift monitor: when
+    the mean error since the last (re)fit exceeds ``drift_ratio`` × the
+    fit-time baseline over at least ``min_drift_rows`` rows, the frozen
+    centroids no longer cover the incoming data and ``_rebuild``
+    executes. Per-batch work is increment-sized: one Arrow
+    assign/encode pass, one partitioned write, one 2-double error
+    aggregate."""
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select("vec_id", "embedding", "label").dropDuplicates(
+            ["vec_id"]
+        )
+        rows = _encoded(index, b).localCheckpoint()
+        rows.drop("qerr").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{index.gen_dir}/batch_id={batch_id}")
+        err, n = _err_stats(rows)
+        index.recent_err += err
+        index.recent_n += n
+        if (
+            index.recent_n >= min_drift_rows
+            and index.recent_err / index.recent_n
+            >= drift_ratio * index.baseline_qerr
+        ):
+            _rebuild(index)
+
+    return admit
