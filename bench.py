@@ -129,6 +129,7 @@ HEADLINE = [
     "q_pagerank",
     "q_tpch_q21_shape",
     "q_tpch_q17_shape",
+    "q_tpch_q22_shape",
     "q_communities_lpa",
     "q_quantile_rollup_kll",
     "q_classifier_train",

@@ -2187,3 +2187,50 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                             WHERE l2.l_partkey = l1.l_partkey)
         """
     )
+
+
+@REG.add(
+    "q_tpch_q22_shape",
+    """
+    SELECT c_nationkey AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with no finished order, counted per nation — the NOT IN
+    + uncorrelated scalar-average combination. NOT IN is semantically
+    NULL-AWARE (one NULL in the subquery empties the result), so
+    Catalyst cannot plan the plain left-anti hash join the EXISTS form
+    gets: it plans the single-column null-aware anti join
+    (BroadcastHashJoin LeftAnti with NULL-aware matching,
+    spark.sql.optimization.useNullAwareAntiJoin) — the one physical
+    join variant Q21's correlated EXISTS pair never exercises, and the
+    classic NOT-IN-vs-NOT-EXISTS production trap (without the
+    optimization it degenerates to BroadcastNestedLoopJoin; the plan
+    test pins that it doesn't). The scalar average evaluates once and
+    prunes at the customer scan (the q_subquery_scalar discipline).
+    Scale shape: one customer scan filtered by a broadcast scalar, one
+    anti join against the order-custkey projection, O(nations) output."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey AS cntry,
+               CAST(count(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM q22_customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q22_customer
+                           WHERE c_acctbal > 0.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM q22_orders
+                                WHERE o_orderstatus = 'F')
+        GROUP BY c_nationkey
+        """
+    )

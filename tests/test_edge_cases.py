@@ -243,6 +243,7 @@ ROUND12_EMPTY_EXPECT = {
     # global-aggregate keys emit their ANSI one-row empty-sum shape)
     "q_tpch_q21_shape": 0,
     "q_tpch_q17_shape": 1,
+    "q_tpch_q22_shape": 0,
 }
 
 

@@ -369,3 +369,15 @@ def test_q17_single_fact_scan_and_decorrelated_avg(q):
     assert "CartesianProduct" not in plan
     assert plan.lower().count("scan parquet") == 0
     assert any(keys == ["l_partkey"] for keys in _join_key_lists(df))
+
+
+def test_q22_null_aware_anti_is_hash_join_with_pushed_scalar(q):
+    """NOT IN must plan the null-aware anti HASH join (not the BNLJ it
+    degenerates to without the optimization), and the scalar-average
+    subquery must push to the customer scan as a pushed filter."""
+    df = q("q_tpch_q22_shape")
+    plan = formatted_plan(df)
+    assert has_node(df, "LeftAnti")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any("ScalarSubquery" in f for f in pushed_filters(df))

@@ -232,6 +232,12 @@ GENERAL_KEYS = (
     "q_chi2_contingency",
     "q_triangle_count",
     "q_pagerank",
+    "q_tpch_q21_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q22_shape",
+    "q_communities_lpa",
+    "q_quantile_rollup_kll",
+    "q_classifier_train",
 )
 
 
