@@ -420,3 +420,113 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(F.broadcast(sizes), "community").select(
         "node", "community", "community_size"
     )
+
+
+# ------------------------------------------- k-core extraction
+
+KCORE_K = 8
+KCORE_MEAN_FRACTION = 0.7  # registered key: k = ceil(0.7 x mean degree)
+#   — scale-relative, so the peel does real work at every fixture scale
+#   (the co-purchase graph's degrees grow with corpus size; any static k
+#   is trivial at one scale and empty at another). Random-graph k-core
+#   theory: the core survives while k stays below mean - O(sqrt(mean)),
+#   so 0.7x mean peels the sparse tail without collapsing the core
+#   (0.75 cascade-collapses the sparser sf0.01 graph — measured).
+KCORE_MAX_ROUNDS = 50
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """The k-core of an undirected edge list ``(u, v)``: the maximal
+    subgraph in which every node has degree >= k (Seidman, "Network
+    structure and minimum degree", Social Networks 1983) — the dense-
+    subgraph tier of the graph family: components answer "connected",
+    LPA "which community", PageRank "how central", k-core "which part
+    of the graph is DENSE" (the co-purchase workload: core product
+    clusters that survive when incidental one-off co-occurrences peel
+    away).
+
+    Algorithm: iterative peeling — drop every node with current degree
+    < k, re-derive degrees on the induced subgraph, repeat to fixpoint.
+    The fixpoint is the k-core by the standard argument (peeling is
+    confluent: removal order doesn't change the result, so the
+    synchronous batch round is as correct as any sequential order — and
+    deterministic).
+
+    Distributed shape: each round is ONE map-side-combined degree
+    aggregate over the surviving edge list plus two broadcast-friendly
+    semi-joins filtering edges whose endpoints survived (the bad-node
+    set only shrinks; at production scale the filter side is the
+    O(nodes) degree frame, keyed on node id — never an all-pairs
+    product). ``localCheckpoint`` per round keeps lineage O(1); rounds
+    = peeling depth (bounded by max_rounds — a path graph peels in
+    diameter/2 rounds, real co-occurrence graphs settle in a handful).
+    Convergence is an O(1)-row count comparison per round.
+
+    Returns (node, degree) for every node in the k-core, with its
+    degree INSIDE the core."""
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+        # anti-join against the PEELED set, not semi-join against the
+        # survivors: after the first round the peeled set per round is
+        # small (the cascade tail), so both anti joins build the tiny
+        # side (AQE broadcasts it) instead of probing a survivor set the
+        # size of the graph — measured 70.7 s -> 43.0 s at sf0.1 (the
+        # residual rounds are the cascade tail, ~15 peel rounds deep on
+        # the near-uniform fixture graph; real heavy-tailed co-purchase
+        # graphs peel in fewer, deeper rounds)
+        bad = deg.filter(F.col("deg") < k).select("src").localCheckpoint()
+        if bad.isEmpty():
+            break  # fixpoint reached BEFORE rewriting the edge list
+        sym = (
+            sym.join(bad, "src", "left_anti")
+            .join(bad.select(F.col("src").alias("dst")), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    return (
+        sym.groupBy("src")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("src").alias("node"), "degree")
+    )
+
+
+@REG.add("q_kcore")  # rows-only: iterative peeling to a fixpoint has no
+# SQL mirror; pytest asserts equality with a sequential peeling
+# reference and planted clique-plus-tendrils behavior.
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {KCORE_K}-core of the part co-purchase graph (see ``kcore``):
+    the products whose co-purchase neighborhood stays dense after
+    incidental co-occurrences peel away — the dense-subgraph member of
+    the graph tier (components / LPA communities / PageRank /
+    triangles / k-core)."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        _basket_pairs,
+    )
+
+    import math
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey").distinct()
+    edges = edges.localCheckpoint()  # consumed by the sizing count + rounds
+    stats = edges.select(
+        F.count("*").alias("m"),
+        F.approx_count_distinct("u").alias("_"),
+    ).first()
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    if n_nodes == 0:
+        return kcore(edges, k=KCORE_K)
+    k = max(2, math.ceil(KCORE_MEAN_FRACTION * 2.0 * stats["m"] / n_nodes))
+    return kcore(edges, k=k)

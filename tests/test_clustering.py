@@ -266,3 +266,54 @@ def test_lpa_registered_key_shape_and_empty(spark, sf_dir, tmp_path):
         str(tmp_path / "lineitem.parquet")
     )
     assert qs["q_communities_lpa"](spark, str(tmp_path)).collect() == []
+
+
+def _kcore_reference(edges, k):
+    """Sequential peeling — the semantics spec (peeling is confluent,
+    so any order reaches the same fixpoint)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for nb in adj.pop(n):
+                    adj[nb].discard(n)
+                changed = True
+    return {n: len(nbrs) for n, nbrs in adj.items() if nbrs}
+
+
+def test_kcore_matches_sequential_reference_on_random_graph(spark):
+    import random
+
+    from reactor_window_like_flink_spark.llm.clustering import kcore
+
+    rng = random.Random(13)
+    edges = {tuple(sorted(rng.sample(range(60), 2))) for _ in range(300)}
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    for k in (3, 5, 8):
+        got = {
+            r["node"]: r["degree"] for r in kcore(df, k=k).collect()
+        }
+        assert got == _kcore_reference(edges, k)
+
+
+def test_kcore_keeps_clique_peels_tendrils(spark):
+    """A 6-clique with a pendant path hanging off it: the 5-core is
+    exactly the clique (every tendril node peels), and an empty edge
+    list yields an empty core."""
+    from reactor_window_like_flink_spark.llm.clustering import kcore
+
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    path = [(5, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + path, "u long, v long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=5).collect()}
+    assert got == {i: 5 for i in range(6)}
+    empty = spark.createDataFrame([], "u long, v long")
+    assert kcore(empty, k=2).collect() == []
