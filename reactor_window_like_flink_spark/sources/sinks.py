@@ -53,12 +53,26 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+MEMORY_TABLE_MAX_ROWS = 100_000
+
+
 def to_memory_table(
-    spark: SparkSession, df: DataFrame, name: str
+    spark: SparkSession, df: DataFrame, name: str, max_rows: int = MEMORY_TABLE_MAX_ROWS
 ) -> DataFrame:
     """Batch analog of the streaming memory sink: materialize into a
-    local-relation temp view (driver memory — debug/test scale only)."""
-    spark.createDataFrame(df.collect(), df.schema).createOrReplaceTempView(name)
+    local-relation temp view (driver memory — debug/test scale only).
+    The collect is guarded by ``max_rows`` (the publisher's
+    ``limit(cap+1)`` device): exceeding it raises instead of silently
+    OOMing the driver — a memory sink pointed at a fact table is a
+    caller bug, not a workload."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"to_memory_table('{name}'): result exceeds max_rows="
+            f"{max_rows}; memory sinks are debug/test scale — write to a"
+            " file sink instead or raise max_rows explicitly"
+        )
+    spark.createDataFrame(rows, df.schema).createOrReplaceTempView(name)
     return spark.table(name)
 
 

@@ -101,3 +101,16 @@ def test_register_views_enables_spark_sql_surface(spark, sf_dir):
         """
     ).collect()
     assert sum(r["n"] for r in out) == spark.table("customer").count()
+
+
+def test_memory_table_cap_raises_instead_of_collecting(spark, sf_dir):
+    import pytest
+
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="max_rows"):
+        to_memory_table(spark, li, "t_too_big", max_rows=100)
+    # under the cap: works as before
+    out = to_memory_table(spark, li.limit(5), "t_small", max_rows=100)
+    assert out.count() == 5
