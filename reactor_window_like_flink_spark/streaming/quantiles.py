@@ -118,3 +118,89 @@ def continuous_quantiles(
             timeoutConf="NoTimeout",
         )
     )
+
+
+# ---- streaming KLL: the long-tail-safe twin -----------------------------
+
+KLL_OUTPUT_SCHEMA = "key string, q double, est double, n_seen long"
+KLL_STATE_SCHEMA = "n long, levels array<array<double>>, coins array<int>"
+
+
+def continuous_quantiles_kll(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    k: int | None = None,
+    qs: tuple[float, ...] = DEFAULT_QS,
+) -> DataFrame:
+    """Bounded-state running quantiles per key with DISTRIBUTION-FREE
+    rank error: the streaming twin of
+    ``operators/sketches.py::q_quantile_rollup_kll``, completing the
+    sketch pairing the fixed-bin ``continuous_quantiles`` starts (CMS
+    and Misra-Gries already have their streaming twins) — no
+    construction-time [lo, hi] contract, no clamping, rank error
+    ~O(1/k) of the running count on ANY value distribution.
+
+    Per micro-batch per key: build a fresh deterministic KLL over the
+    batch's values in ``order_cols`` order, MERGE it into the key's
+    state sketch, emit one row per requested quantile. Merging a
+    per-batch sketch (rather than extending the state sketch value by
+    value) makes the streaming state EQUAL to the batch rollup's
+    merge-in-chunk-order result whenever micro-batches align with the
+    batch rollup's chunks — the replay-equivalence contract
+    ``tests/test_sketches_stream.py`` asserts day-aligned. State per
+    key is the O(k log(n/k)) sketch rows; crash-replay re-applies the
+    batch on the pre-batch state, so the recovered sketch is
+    bit-identical (deterministic compaction, deterministic order)."""
+    from reactor_window_like_flink_spark.operators.sketches import (
+        KLL_K,
+        KLLSketch,
+    )
+
+    kk = KLL_K if k is None else k
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: Any
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            n, levels, coins = state.get
+            acc = KLLSketch.from_row(n, levels, coins, kk)
+        else:
+            acc = KLLSketch(kk)
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            batch = KLLSketch(kk)
+            batch.extend(pdf["value"].to_numpy())
+            acc.merge(batch)
+        n, levels, coins = acc.to_row()
+        state.update((n, levels, coins))
+        if touched and acc.n:
+            yield pd.DataFrame(
+                [
+                    (key[0], q, round(acc.quantile(q), 4), acc.n)
+                    for q in qs
+                ],
+                columns=["key", "q", "est", "n_seen"],
+            )
+
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("double").alias("value"),
+            *order_cols,
+        )
+        .filter(F.col("value").isNotNull())
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=KLL_OUTPUT_SCHEMA,
+            stateStructType=KLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
