@@ -133,6 +133,7 @@ HEADLINE = [
     "q_communities_lpa",
     "q_quantile_rollup_kll",
     "q_classifier_train",
+    "q_embed_pca",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -15,6 +15,7 @@ from reactor_window_like_flink_spark.llm.classifier import REG as CLASSIFIER_REG
 from reactor_window_like_flink_spark.llm.clustering import REG as CLUSTERING_REG
 from reactor_window_like_flink_spark.llm.curation import REG as CURATION_REG
 from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
+from reactor_window_like_flink_spark.llm.embeddings import REG as EMBEDDINGS_REG
 from reactor_window_like_flink_spark.llm.multimodal import REG as MULTIMODAL_REG
 from reactor_window_like_flink_spark.llm.profiling import REG as PROFILING_REG
 from reactor_window_like_flink_spark.llm.retrieval import REG as RETRIEVAL_REG
@@ -25,6 +26,7 @@ from reactor_window_like_flink_spark.llm.unigram import REG as UNIGRAM_REG
 
 REGS = [
     DEDUP_REG,
+    EMBEDDINGS_REG,
     CLUSTERING_REG,
     SIMILARITY_REG,
     TEXT_REG,
@@ -40,6 +42,7 @@ REGS = [
 
 __all__ = [
     "REGS",
+    "EMBEDDINGS_REG",
     "CLASSIFIER_REG",
     "DEDUP_REG",
     "CLUSTERING_REG",

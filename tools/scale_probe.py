@@ -238,6 +238,7 @@ GENERAL_KEYS = (
     "q_communities_lpa",
     "q_quantile_rollup_kll",
     "q_classifier_train",
+    "q_embed_pca",
 )
 
 
