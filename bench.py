@@ -134,6 +134,7 @@ HEADLINE = [
     "q_quantile_rollup_kll",
     "q_classifier_train",
     "q_embed_pca",
+    "q_bm25_indexed",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

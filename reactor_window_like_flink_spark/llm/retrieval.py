@@ -859,3 +859,179 @@ def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+# ------------------------------------------- index-served BM25 query
+
+# Session memo for the query-serving index structures: postings +
+# doc-length tables built ONCE per (app, dataset) — the ivfpq_table
+# amortization posture. Bounded LRU; persisted frames unpersist on
+# eviction.
+_BM25_INDEX_CACHE: dict = {}
+_BM25_INDEX_MAX = 4
+
+
+def bm25_index(spark: SparkSession, sf_dir: str):
+    """The materialized retrieval index ``q_bm25_indexed`` serves from:
+    ``postings`` (term, doc_id, tf) and ``doclen`` (doc_id, dl), each
+    persisted. At 100 TB the postings table is WRITTEN bucketed (or
+    hive-partitioned) by term so a query's ``term IN (...)`` prunes to
+    the query terms' buckets at planning time — the in-process persist
+    is the local[32] analog, exactly the ivfpq_table stance."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BM25_INDEX_CACHE.pop(key, None)
+    if hit is None:
+        docs = load(spark, sf_dir, "documents")
+        toks = _tokens()
+        postings = (
+            docs.select("doc_id", F.explode(toks).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .persist()
+        )
+        doclen = docs.select(
+            "doc_id", F.size(toks).cast("long").alias("dl")
+        ).persist()
+        postings.count()  # build outside any query's critical path
+        doclen.count()
+        hit = (postings, doclen)
+        while len(_BM25_INDEX_CACHE) >= _BM25_INDEX_MAX:
+            old_p, old_d = _BM25_INDEX_CACHE.pop(
+                next(iter(_BM25_INDEX_CACHE))
+            )
+            old_p.unpersist()
+            old_d.unpersist()
+    _BM25_INDEX_CACHE[key] = hit
+    return hit
+
+
+@REG.add(
+    "q_bm25_indexed",
+    f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(string_split(lower(text), ' '), "
+                 f"x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+                 for i, t in enumerate(BM25_QUERY_TERMS)
+             )}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS df_{i}"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             {" + ".join(
+                 f"CASE WHEN d.tf_{i} > 0 THEN 1 ELSE 0 END"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )} AS n_hits,
+             {" + ".join(
+                 f"(ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+                 f" * (d.tf_{i} * ({BM25_K1} + 1.0))"
+                 f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B}"
+                 f"      + {BM25_B} * d.dl / s.avgdl)))"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )} AS s
+      FROM per_doc d, stats s
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(s, 4) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+                AS INT) AS rank
+    FROM scored WHERE n_hits > 0
+    ORDER BY ROUND(s, 4) DESC, doc_id LIMIT {BM25_QUERY_TOP_K}
+    """,
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME top-{BM25_QUERY_TOP_K} BM25 query as ``q_bm25_query``,
+    answered from the PRE-BUILT index (``bm25_index``) instead of a
+    corpus scan — the ad-hoc-query serving path: ``q_bm25_query``'s
+    constant-term projection is the right plan when the query is known
+    at plan time and the corpus will be scanned anyway; the postings
+    join is the right plan when the index already exists and the query
+    must NOT pay a corpus scan. Identical output (same formula, same
+    fixed term order, same tie-break) — the oracle is the same SQL.
+
+    Plan shape: the query touches ONLY the query terms' posting rows
+    (pushed ``term IN (...)`` filter; bucket/partition pruning in the
+    written form) pivoted into fixed tf_i columns by one doc-keyed
+    aggregate; df_i collapse into the SAME broadcast 1-row stats
+    aggregate as N/avgdl (one pass over doclen + the 3 posting lists);
+    the candidate set (union of posting lists) broadcast-joins doclen;
+    score is a fixed-order projection; top-k is
+    TakeOrderedAndProject with the rank window over K rows. The corpus
+    text is never read at query time."""
+    postings, doclen = bm25_index(spark, sf_dir)
+    terms = list(BM25_QUERY_TERMS)
+    nterms = len(terms)
+    cand = postings.filter(F.col("term").isin(terms))
+    per_doc = cand.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    # ONE 1-row stats aggregate: N + avgdl from doclen, df_i from the
+    # pruned postings (df = posting-list length)
+    dfs = cand.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = (
+        doclen.agg(
+            F.count("*").cast("double").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        .crossJoin(F.broadcast(dfs))
+    )
+    scored = (
+        doclen.join(F.broadcast(per_doc), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+
+    def term_score(i: int) -> F.Column:
+        idf = F.log(
+            1.0
+            + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        return idf * (tf * (BM25_K1 + 1.0)) / (
+            tf
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+
+    s = term_score(0)
+    for i in range(1, nterms):  # fixed fold order — engine-identical sum
+        s = s + term_score(i)
+    n_hits = sum(
+        F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in range(nterms)
+    )
+    topk = (
+        scored.select(
+            "doc_id",
+            n_hits.cast("long").alias("n_hits"),
+            F.round(s, 4).alias("bm25"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_QUERY_TOP_K)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -139,3 +139,23 @@ def test_perplexity_filter_drops_garbage_per_lang(spark):
         assert out[base]["z"] == out[base + 5]["z"]
         # garbage doc sits far below its own language's mean
         assert out[base + 99]["z"] < -1.5 < out[base]["z"]
+
+
+def test_bm25_indexed_equals_scan_form(spark, sf_dir):
+    """The index-served query must return exactly the scan-form rows —
+    same formula, same fixed term order, same tie-break."""
+    qs = entry_mod.queries()
+    scan = [tuple(r) for r in qs["q_bm25_query"](spark, sf_dir).collect()]
+    idx = [tuple(r) for r in qs["q_bm25_indexed"](spark, sf_dir).collect()]
+    assert idx == scan
+
+
+def test_bm25_indexed_plan_prunes_to_query_terms(spark, sf_dir):
+    """The query path reads the persisted postings through the pushed
+    term IN (...) filter and never re-reads document text."""
+    from reactor_window_like_flink_spark.plans import formatted_plan
+
+    df = entry_mod.queries()["q_bm25_indexed"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan  # served from the built index
+    assert "term" in plan and "IN" in plan.upper()
