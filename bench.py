@@ -135,6 +135,7 @@ HEADLINE = [
     "q_classifier_train",
     "q_embed_pca",
     "q_bm25_indexed",
+    "q_holt_trend",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -1723,3 +1723,103 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_wedges",
         F.round(coeff, 6).alias("clustering_coefficient"),
     )
+
+
+HOLT_ALPHA = 0.3  # level smoothing (matches EWMA_ALPHA's regime)
+HOLT_BETA = 0.1  # trend smoothing
+
+
+@REG.add(
+    "q_holt_trend",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, CAST(cnt AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    hw AS (
+      SELECT event_type, rn, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn, r.n,
+             CAST({HOLT_ALPHA} AS DOUBLE) * r.x
+               + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (hw.l + hw.b),
+             CAST({HOLT_BETA} AS DOUBLE)
+               * ((CAST({HOLT_ALPHA} AS DOUBLE) * r.x
+                   + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (hw.l + hw.b))
+                  - hw.l)
+               + CAST({1 - HOLT_BETA} AS DOUBLE) * hw.b
+      FROM hw JOIN r
+        ON r.event_type = hw.event_type AND r.rn = hw.rn + 1
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             strftime(max(day), '%Y-%m-%d') AS last_day,
+             CAST(max_by(cnt, day) AS BIGINT) AS last_value
+      FROM d GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_days, s.last_day, s.last_value,
+           ROUND(hw.l, 6) AS level,
+           ROUND(hw.b, 6) AS trend,
+           ROUND(hw.l + hw.b, 6) AS forecast_next
+    FROM hw JOIN s ON hw.event_type = s.event_type
+    WHERE hw.rn = hw.n
+    """,
+)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of the daily event
+    count per type (Holt 1957 / the ETS(A,A,N) workhorse): level AND
+    trend state, plus the one-step forecast — the monitor that catches
+    a steady drift ``q_ewma_daily``'s level-only smoother lags on
+    (EWMA under-forecasts a trending series by b/alpha forever).
+    Recurrence, seeded l_1 = x_1, b_1 = 0:
+    l_t = a*x_t + (1-a)(l_{{t-1}} + b_{{t-1}});
+    b_t = B*(l_t - l_{{t-1}}) + (1-B)*b_{{t-1}}.
+
+    Scale shape — the q_ewma_daily device with a 2-field state: events
+    collapse to ONE map-side-combined O(types x days) daily aggregate;
+    the order-dependent recurrence folds LEFT-TO-RIGHT in day order as
+    a JVM ``aggregate`` over each type's date-ordered array with a
+    ``named_struct(l, b)`` accumulator (Spark evaluates both fields
+    against the PRE-update accumulator — verified; DuckDB 1.0's
+    list_reduce mis-evaluates struct accumulators, so the oracle runs
+    the identical arithmetic as a RECURSIVE CTE instead, one row per
+    (type, day) step). Only the final emit rounds — the fold itself is
+    bit-reproducible across engines."""
+    events = load(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cnt))),"
+            " p -> CAST(p.cnt AS DOUBLE))"
+        ).alias("vals"),
+        F.count("*").cast("long").alias("n_days"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        F.expr("max_by(cnt, day)").cast("long").alias("last_value"),
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    hw = F.expr(
+        f"aggregate(slice(vals, 2, size(vals) - 1),"
+        f" named_struct('l', vals[0], 'b', CAST(0.0 AS DOUBLE)),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {a}D * x + {1 - a}D * (acc.l + acc.b),"
+        f"   'b', {b}D * (({a}D * x + {1 - a}D * (acc.l + acc.b)) - acc.l)"
+        f"        + {1 - b}D * acc.b))"
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        "last_value",
+        F.round(hw["l"], 6).alias("level"),
+        F.round(hw["b"], 6).alias("trend"),
+        F.round(hw["l"] + hw["b"], 6).alias("forecast_next"),
+    )

@@ -614,3 +614,56 @@ def test_triangle_count_on_planted_graph(spark, tmp_path):
     # wedges: K4 nodes have degree 3 -> 4*3=12; node 6 has degree 2 -> +1
     assert r["n_wedges"] == 13
     assert r["clustering_coefficient"] == round(12 / 13, 6)
+
+
+def test_holt_trend_matches_sequential_recurrence_and_catches_drift(
+    spark, tmp_path
+):
+    """Planted linearly-trending series: the sequential Holt recurrence
+    is the spec, and the trend state must be positive (the signal EWMA's
+    level-only smoother cannot represent) with the one-step forecast
+    above the EWMA level."""
+    from datetime import datetime, timedelta, timezone
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    eid = 0
+    daily = []
+    for day in range(20):
+        n = 10 + 3 * day  # steady upward drift
+        daily.append(float(n))
+        for i in range(n):
+            rows.append(
+                (eid, t0 + timedelta(days=day, seconds=i), 1, "grow", 1.0)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {
+        r["event_type"]: r
+        for r in entry_mod.queries()["q_holt_trend"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    got = out["grow"]
+
+    l, b = daily[0], 0.0
+    for x in daily[1:]:
+        nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
+        l = nl
+    assert got["level"] == round(l, 6)
+    assert got["trend"] == round(b, 6)
+    assert got["forecast_next"] == round(l + b, 6)
+    assert got["trend"] > 1.0  # the drift signal exists
+    assert got["n_days"] == 20 and got["last_value"] == 10 + 3 * 19
