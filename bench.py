@@ -136,6 +136,7 @@ HEADLINE = [
     "q_embed_pca",
     "q_bm25_indexed",
     "q_holt_trend",
+    "q_dow_seasonal_anomaly",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -1823,3 +1823,70 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hw["b"], 6).alias("trend"),
         F.round(hw["l"] + hw["b"], 6).alias("forecast_next"),
     )
+
+
+@REG.add(
+    "q_dow_seasonal_anomaly",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, cnt, isodow(day) AS dow FROM d
+    ),
+    s AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             AVG(CAST(cnt AS DOUBLE)) AS mu,
+             stddev_pop(CAST(cnt AS DOUBLE)) AS sigma
+      FROM w GROUP BY 1, 2
+    )
+    SELECT w.event_type, strftime(w.day, '%Y-%m-%d') AS day,
+           CAST(w.dow AS INT) AS dow, w.cnt,
+           s.n_days AS dow_n,
+           ROUND(s.mu, 6) AS dow_mean,
+           ROUND(CASE WHEN s.sigma > 0 THEN (w.cnt - s.mu) / s.sigma
+                 ELSE 0.0 END, 4) AS seasonal_z
+    FROM w JOIN s ON w.event_type = s.event_type AND w.dow = s.dow
+    """,
+)
+def q_dow_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonally adjusted volume anomaly: each (type, day)
+    count z-scored against ITS WEEKDAY's distribution — the seasonal
+    residual member of the volume-monitor trio (q_ewma_daily level,
+    q_holt_trend drift, this one periodicity): a quiet Sunday is normal
+    for Sundays, and a Monday-sized Sunday is the anomaly a global
+    z-score (q_outliers) averages away. ISO weekday numbering is the
+    one dow convention both engines share (Spark ``weekday()+1`` ==
+    DuckDB ``isodow``; their ``dayofweek``s disagree on where Sunday
+    lands).
+
+    Scale shape: events collapse to the same ONE map-side-combined
+    O(types x days) daily aggregate as the smoothers; the (type, dow)
+    stats frame is O(types x 7) and broadcast back onto it — no window,
+    no second pass over raw events. Degenerate weekdays (sigma = 0)
+    score z = 0 rather than dividing by zero."""
+    events = load(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = d.withColumn("dow", (F.weekday("day") + 1).cast("int"))
+    s = w.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("dow_n"),
+        F.avg(F.col("cnt").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("cnt").cast("double")).alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    return w.join(F.broadcast(s), ["event_type", "dow"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "cnt",
+        "dow_n",
+        F.round("mu", 6).alias("dow_mean"),
+        F.round(z, 4).alias("seasonal_z"),
+    )
