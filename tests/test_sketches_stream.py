@@ -128,3 +128,72 @@ def test_streaming_kll_keys_are_independent(spark, tmp_path):
         assert by_key[("b", 0.5)] == 100.0
     finally:
         query.stop()
+
+
+def test_streaming_holt_replay_equals_batch_fold(spark, tmp_path):
+    """Daily-aggregate rows streamed in two batches: the final emission
+    equals the sequential Holt fold over all days in order, and keys
+    smooth independently."""
+    from reactor_window_like_flink_spark.operators.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from reactor_window_like_flink_spark.streaming.smoothing import (
+        continuous_holt_trend,
+    )
+
+    daily = [10.0, 13.0, 9.0, 17.0, 21.0, 18.0, 25.0, 24.0]
+    src = FileStreamInput(
+        spark,
+        "event_type STRING, day DATE, cnt LONG",
+        str(tmp_path / "in"),
+        max_files_per_trigger=1,
+    )
+    out = continuous_holt_trend(src.stream(), "event_type", "day", "cnt")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_holt")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    from datetime import date, timedelta
+
+    d0 = date(2024, 1, 1)
+
+    def rows(vals, start):
+        return [
+            ("grow", d0 + timedelta(days=start + i), int(v))
+            for i, v in enumerate(vals)
+        ]
+
+    try:
+        src.publish(rows(daily[:4], 0) + [("flat", d0, 5)])
+        src.publish(rows(daily[4:], 4) + [("flat", d0 + timedelta(days=1), 5)])
+        got = _poll(
+            lambda: (
+                r
+                if (
+                    r := spark.sql(
+                        f"SELECT * FROM t_holt WHERE key = 'grow'"
+                        f" AND n_days = {len(daily)}"
+                    ).collect()
+                )
+                else None
+            )
+        )
+        assert got, "second batch must fold onto state"
+        row = got[0]
+    finally:
+        query.stop()
+
+    l, b = daily[0], 0.0
+    for x in daily[1:]:
+        nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
+        l = nl
+    assert row["level"] == round(l, 6)
+    assert row["trend"] == round(b, 6)
+    assert row["forecast_next"] == round(l + b, 6)
+    assert row["last_day"] == str(d0 + timedelta(days=len(daily) - 1))
