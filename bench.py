@@ -137,6 +137,7 @@ HEADLINE = [
     "q_bm25_indexed",
     "q_holt_trend",
     "q_dow_seasonal_anomaly",
+    "q_sample_k_per_group",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

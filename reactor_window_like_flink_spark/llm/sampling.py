@@ -772,3 +772,46 @@ def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("planned_tokens"),
     )
+
+
+SAMPLE_K_PER_GROUP = 20  # q_sample_k_per_group: docs kept per language
+
+
+@REG.add(
+    "q_sample_k_per_group",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {SAMPLE_K_PER_GROUP}
+    """,
+)
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-K sample per group: exactly
+    {SAMPLE_K_PER_GROUP} documents per language, chosen by md5
+    priority — the eval-set / human-review draw ("give me 20 random
+    docs per language, the SAME 20 every run") that fraction samplers
+    (q_sample_hash / q_sample_stratified) can't pin: a rate keeps a
+    BINOMIAL count per group, not an exact K.
+
+    Scale shape: the md5 priority is a scan expression (RNG-free, the
+    q_sample_hash device — any cluster size, identical draw) and the
+    per-group top-K runs as WindowGroupLimit (plan-asserted): per-
+    partition K-row heaps per group BEFORE the single keyed shuffle, so
+    a 100 TB corpus exchanges ~K×groups×partitions candidate rows, not
+    the table. Ordering ties broken by doc_id — total order, so the cut
+    is deterministic even under md5 collisions."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= SAMPLE_K_PER_GROUP)
+    )

@@ -381,3 +381,8 @@ def test_q22_null_aware_anti_is_hash_join_with_pushed_scalar(q):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert any("ScalarSubquery" in f for f in pushed_filters(df))
+
+
+def test_sample_k_per_group_uses_window_group_limit(q):
+    df = q("q_sample_k_per_group")
+    assert has_node(df, "WindowGroupLimit")
