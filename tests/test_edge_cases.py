@@ -244,6 +244,13 @@ ROUND12_EMPTY_EXPECT = {
     "q_tpch_q21_shape": 0,
     "q_tpch_q17_shape": 1,
     "q_tpch_q22_shape": 0,
+    "q_bm25_indexed": 0,
+    "q_holt_trend": 0,
+    "q_dow_seasonal_anomaly": 0,
+    "q_sample_k_per_group": 0,
+    "q_kcore": 0,
+    "q_quantile_rollup_kll": 0,
+    "q_communities_lpa": 0,
 }
 
 
