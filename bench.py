@@ -138,6 +138,8 @@ HEADLINE = [
     "q_holt_trend",
     "q_dow_seasonal_anomaly",
     "q_sample_k_per_group",
+    "q_abtest_ztest",
+    "q_anova_f",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

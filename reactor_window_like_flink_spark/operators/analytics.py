@@ -1890,3 +1890,186 @@ def q_dow_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mu", 6).alias("dow_mean"),
         F.round(z, 4).alias("seasonal_z"),
     )
+
+
+# ------------------------------------------- experimentation statistics
+
+ABTEST_CONV_VALUE = 200.0  # conversion: any purchase with value above this
+
+
+@REG.add(
+    "q_abtest_ztest",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS grp,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND value > {ABTEST_CONV_VALUE} THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      FROM u
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           ROUND(c_a * 1.0 / n_a, 6) AS rate_a,
+           ROUND(c_b * 1.0 / n_b, 6) AS rate_b,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b)
+             THEN NULL
+             ELSE ROUND((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                  / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                         * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_stat
+    FROM s
+    """,
+)
+def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test over a hash-randomized A/B split:
+    users assigned by md5(user_id) % 2 (the RNG-free assignment device
+    — deterministic, uniform, and exactly what a real experiment
+    framework hashes), conversion = any purchase above
+    {ABTEST_CONV_VALUE}, z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+    — the experimentation readout that joins q_chi2_contingency in the
+    closed-form statistics tier. Degenerate splits (empty arm, zero or
+    full conversion) emit NULL rather than ±inf, identically in both
+    engines.
+
+    Scale shape: ONE map-side-combined per-user aggregate (the only
+    shuffle, keyed on user_id), then a 1-row global fold — at 100 TB
+    the z-statistic costs one pass over events and exchanges O(users)
+    compact rows."""
+    events = load(spark, sf_dir, "events")
+    grp = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+    )
+    u = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > ABTEST_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).withColumn("grp", grp)
+    s = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    p = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (
+        F.col("c_a") * 1.0 / F.col("n_a")
+        - F.col("c_b") * 1.0 / F.col("n_b")
+    ) / F.sqrt(p * (1.0 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | ((F.col("c_a") + F.col("c_b")) == 0)
+        | ((F.col("c_a") + F.col("c_b")) == (F.col("n_a") + F.col("n_b")))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.round(F.col("c_a") * 1.0 / F.col("n_a"), 6).alias("rate_a"),
+        F.round(F.col("c_b") * 1.0 / F.col("n_b"), 6).alias("rate_b"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 4))
+        .alias("z_stat"),
+    )
+
+
+@REG.add(
+    "q_anova_f",
+    """
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(n_chars AS DOUBLE)) AS s,
+             SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS ss
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_tot,
+             SUM(s) AS s_tot, SUM(ss) AS ss_tot,
+             SUM(s * s / n) AS sq_means
+      FROM g
+    )
+    SELECT k, n_tot,
+           ROUND((sq_means - s_tot * s_tot / n_tot) / (k - 1), 6)
+             AS ms_between,
+           ROUND((ss_tot - sq_means) / (n_tot - k), 6) AS ms_within,
+           CASE WHEN k < 2 OR n_tot <= k OR (ss_tot - sq_means) = 0
+             THEN NULL
+             ELSE ROUND(((sq_means - s_tot * s_tot / n_tot) / (k - 1))
+                  / ((ss_tot - sq_means) / (n_tot - k)), 4) END AS f_stat
+    FROM t
+    """,
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic of document length across sources —
+    "do sources differ in length beyond within-source noise?", the
+    continuous-outcome member of the statistics tier (chi-squared:
+    categorical×categorical; A/B z: binary across two arms; this:
+    continuous across k groups). Computed from per-group sufficient
+    statistics only: F = MS_between / MS_within with
+    SS_between = Σ sᵢ²/nᵢ − S²/N and SS_within = Σ ssᵢ − Σ sᵢ²/nᵢ.
+
+    Scale shape: ONE map-side-combined per-source (n, Σx, Σx²)
+    aggregate — O(sources) rows — then a 1-row fold; the integral
+    n_chars values make every sum order-exact in doubles, so the
+    statistic is bit-stable across engines before the final round.
+    Degenerate inputs (one group, zero within-variance) emit NULL."""
+    docs = load(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+    )
+    t = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sq_means"),
+    )
+    ms_between = (
+        F.col("sq_means") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    ) / (F.col("k") - 1)
+    ms_within = (F.col("ss_tot") - F.col("sq_means")) / (
+        F.col("n_tot") - F.col("k")
+    )
+    degenerate = (
+        (F.col("k") < 2)
+        | (F.col("n_tot") <= F.col("k"))
+        | ((F.col("ss_tot") - F.col("sq_means")) == 0)
+    )
+    return t.select(
+        "k",
+        "n_tot",
+        F.round(ms_between, 6).alias("ms_between"),
+        F.round(ms_within, 6).alias("ms_within"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(ms_between / ms_within, 4))
+        .alias("f_stat"),
+    )

@@ -667,3 +667,68 @@ def test_holt_trend_matches_sequential_recurrence_and_catches_drift(
     assert got["forecast_next"] == round(l + b, 6)
     assert got["trend"] > 1.0  # the drift signal exists
     assert got["n_days"] == 20 and got["last_value"] == 10 + 3 * 19
+
+
+def test_abtest_and_anova_closed_form(spark, sf_dir):
+    """Both statistics recompute exactly from the collected raw data
+    (the q_chi2_contingency closed-form contract)."""
+    import math
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        ABTEST_CONV_VALUE,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    qs = entry_mod.queries()
+
+    # --- A/B z-test ---
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    conv = {}
+    for r in events:
+        ok = r["event_type"] == "purchase" and r["value"] > ABTEST_CONV_VALUE
+        conv[r["user_id"]] = conv.get(r["user_id"], False) or ok
+    import hashlib
+
+    def grp(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    n = [0, 0]
+    c = [0, 0]
+    for uid, ok in conv.items():
+        g = grp(uid)
+        n[g] += 1
+        c[g] += int(ok)
+    p = (c[0] + c[1]) / (n[0] + n[1])
+    z = (c[0] / n[0] - c[1] / n[1]) / math.sqrt(
+        p * (1 - p) * (1 / n[0] + 1 / n[1])
+    )
+    row = qs["q_abtest_ztest"](spark, sf_dir).first()
+    assert (row["n_a"], row["n_b"], row["c_a"], row["c_b"]) == (
+        n[0],
+        n[1],
+        c[0],
+        c[1],
+    )
+    assert row["z_stat"] == round(z, 4)
+
+    # --- ANOVA F ---
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    groups = {}
+    for r in docs:
+        groups.setdefault(r["source"], []).append(float(r["n_chars"]))
+    k = len(groups)
+    n_tot = sum(len(v) for v in groups.values())
+    s_tot = sum(sum(v) for v in groups.values())
+    ss_tot = sum(sum(x * x for x in v) for v in groups.values())
+    sq_means = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    f = ((sq_means - s_tot**2 / n_tot) / (k - 1)) / (
+        (ss_tot - sq_means) / (n_tot - k)
+    )
+    row = qs["q_anova_f"](spark, sf_dir).first()
+    assert (row["k"], row["n_tot"]) == (k, n_tot)
+    assert abs(row["f_stat"] - round(f, 4)) <= 1e-4

@@ -251,6 +251,8 @@ ROUND12_EMPTY_EXPECT = {
     "q_kcore": 0,
     "q_quantile_rollup_kll": 0,
     "q_communities_lpa": 0,
+    "q_abtest_ztest": 1,
+    "q_anova_f": 1,
 }
 
 
