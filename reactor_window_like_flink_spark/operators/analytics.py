@@ -2073,3 +2073,222 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(ms_between / ms_within, 4))
         .alias("f_stat"),
     )
+
+
+def _abtest_arm(col: str = "user_id") -> F.Column:
+    """md5-hash A/B arm assignment (the q_abtest_ztest device): arm =
+    first-8-hex-digits of md5(user_id) mod 2 — RNG-free, uniform, and
+    identical in DuckDB (``('0x' || substr(md5(..),1,8))::BIGINT % 2``)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+
+
+_ABTEST_ARM_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 2"
+)
+
+# Shared CTE: per distinct metric value, the two arms' counts plus the
+# running count of strictly-smaller values — the sufficient statistics
+# for every rank / ECDF test (the window runs over DISTINCT values, not
+# events; for a truly continuous 100 TB metric, bucket values first —
+# the q_histogram device — and the rank tests below are exact on the
+# bucketed metric).
+_RANK_STATS_SQL = f"""
+    WITH v AS (
+      SELECT value AS v, {_ABTEST_ARM_SQL} AS grp FROM events
+    ),
+    per AS (
+      SELECT v,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM v GROUP BY v
+    ),
+    c AS (
+      SELECT ca, cb, ca + cb AS t,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per
+    )
+"""
+
+
+@REG.add(
+    "q_mannwhitney_u",
+    _RANK_STATS_SQL
+    + """,
+    s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             SUM(ca * (cum_before + (t + 1) / 2.0)) AS r_a,
+             SUM(CAST(t AS DOUBLE) * t * t - t) AS ties
+      FROM c
+    )
+    SELECT n_a, n_b,
+           ROUND(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_a,
+           CASE WHEN n_a = 0 OR n_b = 0
+                  OR (n_a * 1.0 * n_b / 12.0)
+                     * ((n_a + n_b + 1)
+                        - ties / ((n_a + n_b) * (n_a + n_b - 1.0))) <= 0
+             THEN NULL
+             ELSE ROUND(((r_a - n_a * (n_a + 1) / 2.0)
+                         - n_a * 1.0 * n_b / 2.0)
+                  / sqrt((n_a * 1.0 * n_b / 12.0)
+                         * ((n_a + n_b + 1)
+                            - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 4)
+             END AS z_stat
+    FROM s
+    """,
+)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the two hash-randomized
+    arms on ``events.value`` — the NONPARAMETRIC member of the
+    statistics tier (z-test: binary; ANOVA: continuous-normal; this:
+    continuous with no distributional assumption, the test a metrics
+    platform runs when revenue-per-event is heavy-tailed). Tied values
+    get the average rank (cum_before + (t+1)/2); the normal
+    approximation uses the exact tie-corrected variance
+    sigma^2 = (n_a n_b / 12) * ((N+1) - sum(t^3 - t) / (N (N-1))).
+
+    Scale shape: one map-side-combined groupBy on the metric VALUE
+    (events collapse to O(distinct values) rows), one window pass over
+    those distinct values for the running rank offset, then a 1-row
+    fold. Rank sums are exact in doubles (half-integer ranks times
+    integer counts), so the statistic is bit-stable across engines
+    before the final round. Degenerate inputs (empty arm, all values
+    tied) emit NULL."""
+    events = load(spark, sf_dir, "events")
+    per = (
+        events.withColumn("grp", _abtest_arm())
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    t = (F.col("ca") + F.col("cb")).alias("t")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = per.select(
+        "ca",
+        "cb",
+        t,
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)
+        ).alias("cum_before"),
+    )
+    s = c.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca") * (F.col("cum_before") + (F.col("t") + 1) / 2.0)
+        ).alias("r_a"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = F.col("r_a") - n_a * (n_a + 1) / 2.0
+    sig2 = (n_a * 1.0 * n_b / 12.0) * (
+        (n_a + n_b + 1) - F.col("ties") / ((n_a + n_b) * (n_a + n_b - 1.0))
+    )
+    degenerate = (n_a == 0) | (n_b == 0) | (sig2 <= 0)
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 2).alias("u_a"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round((u_a - n_a * 1.0 * n_b / 2.0) / F.sqrt(sig2), 4))
+        .alias("z_stat"),
+    )
+
+
+@REG.add(
+    "q_ks_test",
+    _RANK_STATS_SQL
+    + """,
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b
+      FROM per
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+             ELSE ROUND(MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6)
+             END AS d_stat,
+           CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+             ELSE ROUND(MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b))
+                  * sqrt(n_a * 1.0 * n_b / (n_a + n_b)), 4)
+             END AS ks_stat
+    FROM cum, tot
+    GROUP BY n_a, n_b
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the hash-randomized
+    arms on ``events.value``: D = max over pooled distinct values of
+    |ECDF_a - ECDF_b|, plus the scaled statistic D * sqrt(n_a n_b / N)
+    (the quantity compared against the Kolmogorov critical values) —
+    the whole-DISTRIBUTION readout that catches variance/shape shifts a
+    mean test (q_abtest_ztest / q_anova_f) misses, e.g. an experiment
+    that moves the tail without moving the mean.
+
+    Scale shape: the same O(distinct values) sufficient statistics as
+    q_mannwhitney_u (shared CTE in the oracle) — one value-keyed
+    map-side-combined aggregate, one window pass over distinct values
+    for the two running ECDFs, one 1-row max fold. ECDF ratios are
+    single IEEE divisions of exact integer counts, so D is bit-stable
+    across engines before the round. Empty arms emit NULL."""
+    events = load(spark, sf_dir, "events")
+    per = (
+        events.withColumn("grp", _abtest_arm())
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    diff = F.abs(
+        F.col("cum_a") * 1.0 / n_a - F.col("cum_b") * 1.0 / n_b
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    return joined.groupBy("n_a", "n_b").agg(
+        F.when((n_a == 0) | (n_b == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(F.max(diff), 6))
+        .alias("d_stat"),
+        F.when((n_a == 0) | (n_b == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.max(diff) * F.sqrt(n_a * 1.0 * n_b / (n_a + n_b)), 4
+            )
+        )
+        .alias("ks_stat"),
+    )

@@ -732,3 +732,66 @@ def test_abtest_and_anova_closed_form(spark, sf_dir):
     row = qs["q_anova_f"](spark, sf_dir).first()
     assert (row["k"], row["n_tot"]) == (k, n_tot)
     assert abs(row["f_stat"] - round(f, 4)) <= 1e-4
+
+
+def test_mannwhitney_and_ks_closed_form(spark, sf_dir):
+    """Both rank/ECDF statistics recompute exactly from the collected
+    raw values (average ranks and tie-corrected variance done the
+    textbook way, independent of the engine's grouped-window form)."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    qs = entry_mod.queries()
+    events = load(spark, sf_dir, "events").select("user_id", "value").collect()
+
+    def grp(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    a = sorted(r["value"] for r in events if grp(r["user_id"]) == 0)
+    b = sorted(r["value"] for r in events if grp(r["user_id"]) == 1)
+    n_a, n_b = len(a), len(b)
+    pooled = sorted([(x, 0) for x in a] + [(x, 1) for x in b])
+    n = n_a + n_b
+
+    # --- Mann-Whitney U: average ranks over the pooled sort ---
+    r_a = 0.0
+    ties = 0.0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t = j - i
+        avg_rank = (i + 1 + j) / 2.0  # ranks i+1 .. j
+        r_a += avg_rank * sum(1 for k in range(i, j) if pooled[k][1] == 0)
+        ties += t**3 - t
+        i = j
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    sig2 = (n_a * n_b / 12.0) * ((n + 1) - ties / (n * (n - 1.0)))
+    z = (u_a - n_a * n_b / 2.0) / math.sqrt(sig2)
+    row = qs["q_mannwhitney_u"](spark, sf_dir).first()
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["u_a"] == round(u_a, 2)
+    assert abs(row["z_stat"] - round(z, 4)) <= 1e-4
+
+    # --- KS: max ECDF gap over pooled distinct values ---
+    d = 0.0
+    ca = cb = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        ca += sum(1 for k in range(i, j) if pooled[k][1] == 0)
+        cb += (j - i) - sum(1 for k in range(i, j) if pooled[k][1] == 0)
+        d = max(d, abs(ca / n_a - cb / n_b))
+        i = j
+    row = qs["q_ks_test"](spark, sf_dir).first()
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["d_stat"] == round(d, 6)
+    assert row["ks_stat"] == round(d * math.sqrt(n_a * n_b / n), 4)
+    # the hash split is balanced enough to be a real test
+    assert min(n_a, n_b) > 0.4 * n

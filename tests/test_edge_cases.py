@@ -253,6 +253,8 @@ ROUND12_EMPTY_EXPECT = {
     "q_communities_lpa": 0,
     "q_abtest_ztest": 1,
     "q_anova_f": 1,
+    "q_mannwhitney_u": 1,
+    "q_ks_test": 0,
 }
 
 
