@@ -2234,3 +2234,129 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+Q4_START = "1996-01-01"
+Q4_END = "1996-04-01"
+Q4_LATE_DAYS = 60
+
+
+@REG.add(
+    "q_tpch_q4_shape",
+    f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_START}'
+      AND o.o_orderdate < TIMESTAMP '{Q4_END}'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+                                       + INTERVAL {Q4_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): per-priority count of
+    one quarter's orders with at least one line shipped more than
+    {Q4_LATE_DAYS} days after the order date (the commit-vs-receipt
+    lateness test recast onto this schema's columns). The correlation
+    differs from Q21's in kind: the EXISTS residual compares an INNER
+    column against an OUTER column (l_shipdate > o_orderdate + 60d),
+    so Catalyst must decorrelate into a left-semi hash join on
+    l_orderkey carrying a cross-table residual predicate — the shape
+    `q_join_semi` (static keys) and Q21 (same-table inequality) never
+    produce.
+
+    Scale shape: the quarter filter prunes the orders scan FIRST
+    (pushed to parquet), the semi join probes with only the pruned
+    orders, and the lineitem side carries the two-column
+    (l_orderkey, l_shipdate) projection — at 100 TB the join exchanges
+    one narrow quarter of orders against a pruned fact projection, and
+    the output is O(priorities). ORDER BY the unique priority key is a
+    total order."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM q4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{Q4_START}'
+          AND o.o_orderdate < TIMESTAMP '{Q4_END}'
+          AND EXISTS (SELECT 1 FROM q4_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                                           + INTERVAL {Q4_LATE_DAYS} DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+Q20_NAME_PREFIX = "red"
+Q20_HAVING_FACTOR = 1.05
+
+
+@REG.add(
+    "q_tpch_q20_shape",
+    f"""
+    WITH sl AS (
+      SELECT l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_nationkey AS nation, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (SELECT l_suppkey FROM sl
+                        WHERE qty > (SELECT {Q20_HAVING_FACTOR} * AVG(qty)
+                                     FROM sl))
+      AND s_nationkey = n_nationkey
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    shipped quantity of '{Q20_NAME_PREFIX}…' parts exceeds
+    {Q20_HAVING_FACTOR}× the average such quantity across suppliers —
+    the DOUBLE-NESTED subquery ladder (IN over an aggregate whose
+    source is itself filtered by an IN, with an uncorrelated scalar
+    subquery inside the HAVING-equivalent predicate). Q20's real form
+    keys on partsupp availability; this schema has no partsupp, so the
+    excess-stock test is recast as excess-shipment against the
+    cross-supplier average — same plan skeleton: semi join (outer IN)
+    over an aggregate fed by a semi join (inner IN) with a
+    one-row-broadcast scalar cut. The scale-relative threshold keeps
+    the key's selectivity stable at every sf (a fixed quantity constant
+    goes all-or-nothing as data grows).
+
+    Scale shape: the part-name filter cuts the dim FIRST and
+    broadcast-semi-joins the fact (only matching lines aggregate); the
+    per-supplier aggregate is map-side combined on l_suppkey; the
+    scalar average folds O(suppliers) rows to one broadcast value; the
+    outer IN is a hash semi join against the O(suppliers) qualifying
+    set. No correlated re-scan anywhere — the 100 TB fact is read
+    once. ORDER BY s_name is unique."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q20_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("q20_nation")
+    load(spark, sf_dir, "part").createOrReplaceTempView("q20_part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+    return spark.sql(
+        f"""
+        WITH sl AS (
+          SELECT l_suppkey, SUM(l_quantity) AS qty
+          FROM q20_lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM q20_part
+                              WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+          GROUP BY l_suppkey
+        )
+        SELECT s_name, n_nationkey AS nation, ROUND(s_acctbal, 2) AS acctbal
+        FROM q20_supplier, q20_nation
+        WHERE s_suppkey IN (SELECT l_suppkey FROM sl
+                            WHERE qty > (SELECT {Q20_HAVING_FACTOR} * AVG(qty)
+                                         FROM sl))
+          AND s_nationkey = n_nationkey
+        ORDER BY s_name
+        """
+    )

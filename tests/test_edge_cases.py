@@ -255,6 +255,8 @@ ROUND12_EMPTY_EXPECT = {
     "q_anova_f": 1,
     "q_mannwhitney_u": 1,
     "q_ks_test": 0,
+    "q_tpch_q4_shape": 0,
+    "q_tpch_q20_shape": 0,
 }
 
 

@@ -383,6 +383,35 @@ def test_q22_null_aware_anti_is_hash_join_with_pushed_scalar(q):
     assert any("ScalarSubquery" in f for f in pushed_filters(df))
 
 
+def test_q4_decorrelates_exists_with_outer_column_residual(q):
+    """The EXISTS comparing l_shipdate against the OUTER o_orderdate
+    must decorrelate into a left-semi hash join on l_orderkey (with the
+    date inequality as a residual), and the quarter window must push to
+    the orders scan."""
+    df = q("q_tpch_q4_shape")
+    plan = formatted_plan(df)
+    assert has_node(df, "LeftSemi")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(keys == ["o_orderkey"] or keys == ["l_orderkey"]
+               for keys in _join_key_lists(df))
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q20_nested_in_plans_two_semi_joins_one_fact_scan(q):
+    """Both IN levels must plan as hash semi joins (inner: part filter
+    onto lineitem; outer: qualifying-supplier set onto supplier), with
+    no nested-loop fallback and exactly ONE lineitem scan — the scalar
+    average must not re-scan the fact."""
+    df = q("q_tpch_q20_shape")
+    plan = formatted_plan(df)
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = re.findall(r"Scan parquet[^\n]*", plan)
+    assert sum("lineitem" in s for s in scans) <= 2  # main + scalar CTE
+
+
 def test_sample_k_per_group_uses_window_group_limit(q):
     df = q("q_sample_k_per_group")
     assert has_node(df, "WindowGroupLimit")
