@@ -16,6 +16,7 @@ from reactor_window_like_flink_spark.llm.clustering import REG as CLUSTERING_REG
 from reactor_window_like_flink_spark.llm.curation import REG as CURATION_REG
 from reactor_window_like_flink_spark.llm.dedup import REG as DEDUP_REG
 from reactor_window_like_flink_spark.llm.embeddings import REG as EMBEDDINGS_REG
+from reactor_window_like_flink_spark.llm.features import REG as FEATURES_REG
 from reactor_window_like_flink_spark.llm.multimodal import REG as MULTIMODAL_REG
 from reactor_window_like_flink_spark.llm.profiling import REG as PROFILING_REG
 from reactor_window_like_flink_spark.llm.retrieval import REG as RETRIEVAL_REG
@@ -37,12 +38,14 @@ REGS = [
     BPE_REG,
     UNIGRAM_REG,
     CLASSIFIER_REG,
+    FEATURES_REG,
     MULTIMODAL_REG,
 ]
 
 __all__ = [
     "REGS",
     "EMBEDDINGS_REG",
+    "FEATURES_REG",
     "CLASSIFIER_REG",
     "DEDUP_REG",
     "CLUSTERING_REG",

@@ -1,0 +1,174 @@
+"""ML feature-preparation operators: the transformations a training
+pipeline applies between curation and the trainer — smoothed target
+encoding of categoricals and global feature scaling (z-score + min-max)
+— expressed as aggregate-then-broadcast scan projections so the fact
+table is never windowed or re-shuffled.
+
+Reference parity note: the reference engine (``WindowPublisher.java``)
+has no feature surface; north-star scope from BASELINE.json (the
+"large-scale training-data pipeline" tier, alongside llm/classifier's
+trainer which consumes exactly these encodings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.sources.tables import load
+
+REG = Registry()
+
+TARGET_SMOOTHING = 100.0  # pseudo-observations of the global prior
+
+
+@REG.add(
+    "q_target_encoding",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             SUM(o_totalprice) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT c_mktsegment,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orders,
+             SUM(s) AS s_seg
+      FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+      GROUP BY c_mktsegment
+    ),
+    prior AS (
+      SELECT SUM(s_seg) / SUM(n_orders) AS mu FROM seg
+    )
+    SELECT c_mktsegment,
+           n_orders,
+           ROUND(s_seg / n_orders, 6) AS seg_mean,
+           ROUND((COALESCE(s_seg, 0.0) + {TARGET_SMOOTHING} * mu)
+                 / (n_orders + {TARGET_SMOOTHING}), 6) AS encoded
+    FROM seg, prior
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of ``c_mktsegment`` against order
+    value: encoded(seg) = (Σ target + m·prior) / (n + m) with
+    m = {TARGET_SMOOTHING} pseudo-observations of the global mean — the
+    leakage-resistant categorical encoding (empirical-Bayes shrinkage:
+    rare categories collapse to the prior, large ones keep their mean)
+    every tabular feature pipeline ships. Segments with zero orders
+    encode exactly to the prior rather than NULL.
+
+    Scale shape: the fact collapses FIRST to per-customer (n, Σ)
+    partials — one map-side-combined shuffle on o_custkey, the fact's
+    natural key — then joins the customer dim and folds to O(segments);
+    the prior is a second fold over those O(segments) rows (no second
+    fact pass) broadcast back via a 1-row cross join. Sum-of-doubles
+    determinism: per-segment sums aggregate ≤ |customers| partials;
+    the round(6) absorbs the ulp-level association differences per the
+    contract rules."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_totalprice").alias("s"),
+    )
+    seg = (
+        customer.join(
+            per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.sum("s").alias("s_seg"),
+        )
+    )
+    prior = seg.agg(
+        (F.sum("s_seg") / F.sum("n_orders")).alias("mu")
+    )
+    m = F.lit(TARGET_SMOOTHING)
+    return seg.crossJoin(F.broadcast(prior)).select(
+        "c_mktsegment",
+        "n_orders",
+        F.round(F.col("s_seg") / F.col("n_orders"), 6).alias("seg_mean"),
+        F.round(
+            (F.coalesce(F.col("s_seg"), F.lit(0.0)) + m * F.col("mu"))
+            / (F.col("n_orders") + m),
+            6,
+        ).alias("encoded"),
+    )
+
+
+FEATURE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@REG.add(
+    "q_feature_scale",
+    """
+    WITH stats AS (
+      SELECT """
+    + ", ".join(
+        f"AVG({c}) AS mu_{c}, STDDEV_POP({c}) AS sd_{c}, "
+        f"MIN({c}) AS lo_{c}, MAX({c}) AS hi_{c}"
+        for c in FEATURE_COLS
+    )
+    + """
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+    """
+    + ", ".join(
+        f"ROUND(AVG(({c} - mu_{c}) / sd_{c}), 6) AS z_mean_{c}, "
+        f"ROUND(MIN(({c} - lo_{c}) / (hi_{c} - lo_{c})), 6) AS mm_min_{c}, "
+        f"ROUND(MAX(({c} - lo_{c}) / (hi_{c} - lo_{c})), 6) AS mm_max_{c}"
+        for c in FEATURE_COLS
+    )
+    + """
+    FROM lineitem, stats
+    GROUP BY l_returnflag
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global feature scaling of the lineitem numerics — z-score
+    ((x−μ)/σ) and min-max ((x−lo)/(hi−lo)) — verified through a
+    per-returnflag digest of the SCALED columns (slice z-means shift
+    off 0 exactly as the slice differs from the population; min-max
+    stays inside [0,1]), so the contract checks the whole per-row
+    transformation without shipping the per-row frame.
+
+    Scale shape: the normalization constants are ONE map-side-combined
+    global aggregate (O(1) rows) cross-joined back onto the scan as a
+    broadcast — the scaled columns are pure scan-level expressions
+    (whole-stage codegen, no window, no shuffle of scaled rows) — and
+    the digest is a second O(flags) aggregate. At 100 TB: two fact
+    passes, both narrow projections, zero wide shuffles. Per-row z/mm
+    values are single IEEE ops (bit-stable); the digest means round(6)
+    per the sum-association rule."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", *FEATURE_COLS
+    )
+    stats = li.agg(
+        *[
+            agg
+            for c in FEATURE_COLS
+            for agg in (
+                F.avg(c).alias(f"mu_{c}"),
+                F.stddev_pop(c).alias(f"sd_{c}"),
+                F.min(c).alias(f"lo_{c}"),
+                F.max(c).alias(f"hi_{c}"),
+            )
+        ]
+    )
+    scaled = li.crossJoin(F.broadcast(stats))
+    digest_aggs = [F.count("*").cast("long").alias("n")]
+    for c in FEATURE_COLS:
+        z = (F.col(c) - F.col(f"mu_{c}")) / F.col(f"sd_{c}")
+        mm = (F.col(c) - F.col(f"lo_{c}")) / (
+            F.col(f"hi_{c}") - F.col(f"lo_{c}")
+        )
+        digest_aggs += [
+            F.round(F.avg(z), 6).alias(f"z_mean_{c}"),
+            F.round(F.min(mm), 6).alias(f"mm_min_{c}"),
+            F.round(F.max(mm), 6).alias(f"mm_max_{c}"),
+        ]
+    return scaled.groupBy("l_returnflag").agg(*digest_aggs)

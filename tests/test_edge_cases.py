@@ -257,6 +257,8 @@ ROUND12_EMPTY_EXPECT = {
     "q_ks_test": 0,
     "q_tpch_q4_shape": 0,
     "q_tpch_q20_shape": 0,
+    "q_target_encoding": 0,
+    "q_feature_scale": 0,
 }
 
 

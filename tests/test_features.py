@@ -1,0 +1,79 @@
+"""Feature-prep operators: closed-form recomputes (the statistics-tier
+contract) plus the scan-expression plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import __spark_entry__ as entry_mod
+from reactor_window_like_flink_spark.llm.features import (
+    FEATURE_COLS,
+    TARGET_SMOOTHING,
+)
+from reactor_window_like_flink_spark.plans import formatted_plan, has_node
+from reactor_window_like_flink_spark.sources.tables import load
+
+
+def test_target_encoding_closed_form(spark, sf_dir):
+    """Every segment's encoding recomputes from the raw collected rows;
+    shrinkage is monotone — the encoding sits strictly between the
+    segment mean and the prior for every non-degenerate segment."""
+    qs = entry_mod.queries()
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    seg_n: dict[str, int] = {s: 0 for s in set(cust.values())}
+    seg_s: dict[str, float] = {s: 0.0 for s in set(cust.values())}
+    for r in orders:
+        s = cust[r["o_custkey"]]
+        seg_n[s] += 1
+        seg_s[s] += r["o_totalprice"]
+    mu = sum(seg_s.values()) / sum(seg_n.values())
+    rows = {
+        r["c_mktsegment"]: r
+        for r in qs["q_target_encoding"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(seg_n)
+    for s, r in rows.items():
+        assert r["n_orders"] == seg_n[s]
+        want = (seg_s[s] + TARGET_SMOOTHING * mu) / (
+            seg_n[s] + TARGET_SMOOTHING
+        )
+        assert abs(r["encoded"] - want) <= 1e-4
+        if seg_n[s] > 0:
+            lo, hi = sorted((seg_s[s] / seg_n[s], mu))
+            assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6
+
+
+def test_feature_scale_digest_properties(spark, sf_dir):
+    """The scaled-column digest obeys the scaling invariants: min-max
+    stays in [0,1] and covers it across slices, and the n-weighted
+    z-means cancel to 0 (the population z-mean)."""
+    qs = entry_mod.queries()
+    rows = qs["q_feature_scale"](spark, sf_dir).collect()
+    assert rows
+    n_tot = sum(r["n"] for r in rows)
+    for c in FEATURE_COLS:
+        lo = min(r[f"mm_min_{c}"] for r in rows)
+        hi = max(r[f"mm_max_{c}"] for r in rows)
+        assert 0.0 <= lo and hi <= 1.0
+        assert lo == 0.0 and hi == 1.0  # global extremes exist somewhere
+        weighted = sum(r["n"] * r[f"z_mean_{c}"] for r in rows) / n_tot
+        assert math.isclose(weighted, 0.0, abs_tol=1e-4)
+
+
+def test_feature_scale_is_broadcast_scan_expression(spark, sf_dir):
+    """The normalization constants must attach as a broadcast (1-row
+    nested-loop attach is fine), with NO window and NO Python eval —
+    the scaled columns stay whole-stage-codegen scan expressions."""
+    qs = entry_mod.queries()
+    df = qs["q_feature_scale"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert not has_node(df, "BatchEvalPython")
+    assert not has_node(df, "ArrowEvalPython")
+    assert "Broadcast" in plan
