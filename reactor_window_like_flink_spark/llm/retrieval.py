@@ -650,6 +650,24 @@ def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats aggregate and the scoring projection), zero hash exchanges —
     at 100 TB this is a scan-speed pass, vs. the posting-list join a
     pre-built ``q_inverted_index`` would serve for ad-hoc queries."""
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, never a global sort/window over all matching docs), then
+    # the rank window runs over the K-row result only.
+    top = (
+        _bm25_query_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_QUERY_TOP_K)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _bm25_query_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scored-but-unranked BM25 frame for the fixed query: every
+    matching (n_hits > 0) document with its rounded score — shared by
+    ``q_bm25_query`` (rank + top-k) and ``q_rrf_fusion`` (lexical arm).
+    Plan shape as documented on ``q_bm25_query``: constant-term tf
+    columns, one broadcast stats row, zero joins/exchanges."""
     docs = load(spark, sf_dir, "documents")
     toks = _tokens()
 
@@ -695,10 +713,7 @@ def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hits = sum(
         F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in range(nterms)
     )
-    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
-    # heaps, never a global sort/window over all matching docs), then
-    # the rank window runs over the K-row result only.
-    top = (
+    return (
         per_doc.crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -706,11 +721,7 @@ def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(s, 4).alias("bm25"),
         )
         .filter(F.col("n_hits") > 0)
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(BM25_QUERY_TOP_K)
     )
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w))
 
 
 # -------------------------------------------------- count-min sketch rollup
@@ -1035,3 +1046,167 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ------------------------------------------------ hybrid retrieval fusion
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack 2009)
+RRF_ARM_K = 20  # per-arm candidate list length
+RRF_TOP_K = 10
+
+_RRF_BM25_CTES = f"""
+    per_doc AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(string_split(lower(text), ' '), "
+                 f"x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+                 for i, t in enumerate(BM25_QUERY_TERMS)
+             )}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS df_{i}"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )}
+      FROM per_doc
+    ),
+    lex AS (
+      SELECT d.doc_id,
+             ROUND({" + ".join(
+                 f"(ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+                 f" * (d.tf_{i} * ({BM25_K1} + 1.0))"
+                 f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B}"
+                 f"      + {BM25_B} * d.dl / s.avgdl)))"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )}, 4) AS bm25
+      FROM per_doc d, stats s
+      WHERE {" + ".join(
+                 f"CASE WHEN d.tf_{i} > 0 THEN 1 ELSE 0 END"
+                 for i in range(len(BM25_QUERY_TERMS))
+             )} > 0
+    )
+"""
+
+
+@REG.add(
+    "q_rrf_fusion",
+    f"""
+    WITH {_RRF_BM25_CTES},
+    lex_rank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS r_lex
+      FROM lex WHERE doc_id <> {{probe}}
+      ORDER BY bm25 DESC, doc_id LIMIT {RRF_ARM_K}
+    ),
+    q AS (
+      SELECT embedding AS qe,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+               AS qn
+      FROM embeddings WHERE vec_id = {{probe}}
+    ),
+    sem AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, len(e.embedding)),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+                * q.qn), 4) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> {{probe}}
+    ),
+    sem_rank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+               AS r_sem
+      FROM sem ORDER BY cosine DESC, doc_id LIMIT {RRF_ARM_K}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+             COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + s.r_sem), 0.0) AS rrf
+      FROM lex_rank l FULL OUTER JOIN sem_rank s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, r_lex, r_sem, ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP_K}
+    """.replace("{probe}", "0"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25,
+    fixed query terms) and semantic (exact cosine vs the vec_id=0 probe
+    embedding, docs keyed by vec_id==doc_id) top-{RRF_ARM_K} lists —
+    rrf(d) = Σ_arms 1/({RRF_K} + rank_arm(d)) (Cormack et al. 2009),
+    the standard way a RAG candidate generator merges keyword and
+    embedding recall without score calibration. A document missing
+    from an arm contributes 0 (NULL rank survives to the output so the
+    provenance is visible).
+
+    Scale shape: each arm is its own already-scale-shaped pass —
+    lexical: the q_bm25_query zero-join scan; semantic: the
+    q_similarity_cosine broadcast-probe scan — each reduced by
+    TakeOrderedAndProject to {RRF_ARM_K} rows BEFORE any window, so the
+    rank windows and the full-outer fusion join run on constant-size
+    frames. At 100 TB the fusion cost is the two scans; everything
+    after is O(arm-K). Rank ties break on doc_id; the fused order
+    ties-break on doc_id — fully deterministic."""
+    from reactor_window_like_flink_spark.llm.similarity import (
+        QUERY_VEC_ID,
+        _dot,
+        _norm,
+    )
+
+    lex_top = (
+        _bm25_query_scored(spark, sf_dir)
+        .filter(F.col("doc_id") != QUERY_VEC_ID)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_ARM_K)
+    )
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int")
+        .alias("r_lex"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+        .withColumn("qn", _norm("qe"))
+    )
+    sem_top = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot("embedding", "qe") / (_norm("embedding") * F.col("qn")),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_ARM_K)
+    )
+    sem_rank = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .cast("int")
+        .alias("r_sem"),
+    )
+    fused = lex_rank.join(sem_rank, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "r_lex", "r_sem", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOP_K)
+    )

@@ -259,6 +259,7 @@ ROUND12_EMPTY_EXPECT = {
     "q_tpch_q20_shape": 0,
     "q_target_encoding": 0,
     "q_feature_scale": 0,
+    "q_rrf_fusion": 0,
 }
 
 

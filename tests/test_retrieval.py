@@ -774,3 +774,47 @@ def test_cms_rollup_one_sided_and_merge_property(spark, sf_dir):
     a = {(r["d"], r["bucket"]): r["cnt"] for r in per_source_merged.collect()}
     b = {(r["d"], r["bucket"]): r["cnt"] for r in direct.collect()}
     assert a == b
+
+
+def test_rrf_fusion_consistent_with_arm_keys(spark, sf_dir):
+    """The fused ranking recomputes from the two arm keys' own outputs:
+    every fused row's per-arm rank matches the arm's independent top
+    list, and rrf equals the closed-form reciprocal sum."""
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.llm.retrieval import (
+        RRF_ARM_K,
+        RRF_K,
+        RRF_TOP_K,
+    )
+    from reactor_window_like_flink_spark.llm.similarity import QUERY_VEC_ID
+
+    qs = entry_mod.queries()
+    fused = qs["q_rrf_fusion"](spark, sf_dir).collect()
+    assert 0 < len(fused) <= RRF_TOP_K
+
+    # independent arm rankings (probe doc excluded, as in the fusion)
+    bm25 = [
+        r
+        for r in qs["q_bm25_query"](spark, sf_dir).collect()
+        if r["doc_id"] != QUERY_VEC_ID
+    ]
+    lex_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm25)}
+    cos = qs["q_similarity_cosine"](spark, sf_dir).collect()
+    sem_rank = {r["vec_id"]: i + 1 for i, r in enumerate(cos)}
+
+    for row in fused:
+        if row["r_lex"] is not None and row["doc_id"] in lex_rank:
+            assert row["r_lex"] == lex_rank[row["doc_id"]]
+        if row["r_sem"] is not None and row["doc_id"] in sem_rank:
+            assert row["r_sem"] == sem_rank[row["doc_id"]]
+        want = 0.0
+        if row["r_lex"] is not None:
+            assert 1 <= row["r_lex"] <= RRF_ARM_K
+            want += 1.0 / (RRF_K + row["r_lex"])
+        if row["r_sem"] is not None:
+            assert 1 <= row["r_sem"] <= RRF_ARM_K
+            want += 1.0 / (RRF_K + row["r_sem"])
+        assert abs(row["rrf"] - want) <= 1e-6
+    # fused order is by rrf desc with doc_id tie-break
+    keys = [(-r["rrf"], r["doc_id"]) for r in fused]
+    assert keys == sorted(keys)
