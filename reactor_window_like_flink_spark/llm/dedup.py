@@ -1271,3 +1271,53 @@ def prefix_jaccard_join(
     return scored.filter(jacc >= t).select(
         "doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")
     )
+
+
+# The C4/CCNet-style canonical form: case-fold, strip non-alphanumerics,
+# collapse runs of spaces, trim — catches the near-copies that differ
+# only in punctuation/casing/whitespace, which exact dedup (above) keeps.
+_CANON_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ''), ' +', ' '))"
+)
+_CANON_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@REG.add(
+    "q_dedup_canonical",
+    f"""
+    SELECT min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY md5({_CANON_DUCK})
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup: exact dedup after the C4/CCNet text
+    normalization (case-fold → strip punctuation → collapse whitespace
+    → trim), so copies that differ only in formatting — the dominant
+    web-duplicate mode: smart quotes, trailing punctuation, double
+    spaces — collapse into one group where ``q_dedup_exact`` (raw-text
+    md5) keeps them apart. Between exact and MinHash in the dedup
+    ladder: catches formatting variants at exact-dedup COST (no
+    shingles, no bands, no candidate join).
+
+    Scale shape: identical to q_dedup_exact — the canonical form is a
+    scan-level regex expression (Java and RE2 agree on these two
+    character-class patterns) feeding a hash-groupBy on the 16-byte
+    md5; text never shuffles. At 100 TB: one map-side-combined
+    exchange of (digest, id, len) triples."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.expr(_CANON_SPARK)).alias("k"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.min(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .drop("k")
+    )

@@ -727,3 +727,62 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cramers_v"),
     )
+
+
+@REG.add(
+    "q_gini_source",
+    """
+    WITH w AS (
+      SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS wt,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT wt, chars,
+             ROW_NUMBER() OVER (ORDER BY wt, source) AS i
+      FROM w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CASE WHEN count(*) = 0 OR SUM(wt) = 0 THEN NULL
+             ELSE ROUND(2.0 * SUM(i * wt) / (count(*) * SUM(wt))
+                        - (count(*) + 1.0) / count(*), 6) END AS gini
+    FROM r
+    """,
+)
+def q_gini_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus volume (chars) across sources — the
+    concentration readout a curation team tracks next to the mixing
+    weights (q_domain_mix): G = 0 means every source contributes
+    equally, G → 1 means one domain dominates the corpus (and the
+    trained model). Computed by the sorted-rank identity
+    G = 2·Σᵢ i·wᵢ / (n·Σw) − (n+1)/n over weights sorted ascending
+    (ties ordered by source — rank·weight sums are tie-order-invariant,
+    the tiebreak just pins both engines to one plan).
+
+    Scale shape: the corpus collapses to ONE map-side-combined
+    O(sources) aggregate; the rank window and both folds run over
+    those O(sources) rows — at 100 TB this is a scan plus a
+    few-hundred-row window. Integral char sums are exact, so G is
+    bit-stable before the round; a zero-volume corpus emits NULL."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("wt"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    r = w.select(
+        "wt",
+        "chars",
+        F.row_number().over(Window.orderBy("wt", "source")).alias("i"),
+    )
+    n = F.count("*")
+    gini = 2.0 * F.sum(F.col("i") * F.col("wt")) / (n * F.sum("wt")) - (
+        n + 1.0
+    ) / n
+    return r.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.when((n == 0) | (F.sum("wt") == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(gini, 6))
+        .alias("gini"),
+    )

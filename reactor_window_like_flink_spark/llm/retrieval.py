@@ -1210,3 +1210,102 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(RRF_TOP_K)
     )
+
+
+# ------------------------------------------ distributional term similarity
+
+TERM_JACCARD_MIN_COMMON = 5  # co-document floor (the PMI_MIN_PAIR analog)
+TERM_JACCARD_TOP_K = 100
+
+
+@REG.add(
+    "q_term_jaccard",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+      HAVING count(*) >= {TERM_JACCARD_MIN_COMMON}
+    )
+    SELECT term_a, term_b, common, da.df AS df_a, db.df AS df_b,
+           ROUND(common * 1.0 / (da.df + db.df - common), 6) AS jaccard
+    FROM pairs
+    JOIN df da ON term_a = da.term
+    JOIN df db ON term_b = db.term
+    ORDER BY jaccard DESC, term_a, term_b
+    LIMIT {TERM_JACCARD_TOP_K}
+    """,
+)
+def q_term_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional term similarity: Jaccard overlap of two terms'
+    DOCUMENT sets, J = |D_a ∩ D_b| / (df_a + df_b − |D_a ∩ D_b|), for
+    pairs co-occurring in ≥ {TERM_JACCARD_MIN_COMMON} documents — the
+    document-level companion to ``q_bigram_pmi`` (PMI finds adjacent
+    collocations; this finds terms used in the same DOCUMENTS — the
+    related-term / query-expansion signal), and the transpose of
+    ``q_dedup_ngram_jaccard`` (docs similar by shared terms ↔ terms
+    similar by shared docs).
+
+    Scale shape: per-doc DISTINCT terms expand IN-ROW to ordered pairs
+    (the _basket_pairs device — one shuffle keyed on the pair, volume
+    Σ C(distinct-terms-per-doc, 2), bounded by doc length, never a
+    vocab×vocab or wedge self-join); df is a re-aggregate of the same
+    (doc, term) frame; the pair⋈df joins key on single terms (the df
+    side is the vocabulary — broadcasts under AQE). Top-k through
+    TakeOrderedAndProject with full (jaccard, term_a, term_b)
+    tie-break. Production corpora stopword-prune and cap per-doc
+    distinct terms before the expansion; the intersection count is
+    integer-exact so jaccard is a single IEEE division."""
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("term"))
+        # feeds the pair expansion AND df; materialized so the text
+        # scan + explode runs once (the q_bm25_topterms lesson)
+        .localCheckpoint()
+    )
+    df = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # in-row ordered-pair expansion from each doc's sorted term array
+    pairs = (
+        dt.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("term")).alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) ->"
+                    " transform(slice(ts, i + 2, size(ts) - i - 1),"
+                    " y -> struct(x AS term_a, y AS term_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= TERM_JACCARD_MIN_COMMON)
+    )
+    da = df.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(da, "term_a")
+        .join(db, "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "common",
+            "df_a",
+            "df_b",
+            F.round(
+                F.col("common")
+                * 1.0
+                / (F.col("df_a") + F.col("df_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("term_a"), F.asc("term_b"))
+        .limit(TERM_JACCARD_TOP_K)
+    )

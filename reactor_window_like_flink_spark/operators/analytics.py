@@ -2292,3 +2292,85 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ks_stat"),
     )
+
+
+# ------------------------------------------------- time-series diagnostics
+
+AUTOCORR_LAGS = (1, 7)  # day-over-day persistence and weekly seasonality
+
+
+@REG.add(
+    "q_autocorr",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, cnt,
+             AVG(cnt) OVER (PARTITION BY event_type) AS mu,
+             {", ".join(
+                 f"LAG(cnt, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+                 f" AS x{k}"
+                 for k in AUTOCORR_LAGS
+             )}
+      FROM d
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           {", ".join(
+               f"CASE WHEN SUM((cnt - mu) * (cnt - mu)) = 0 THEN NULL"
+               f" ELSE ROUND(SUM(CASE WHEN x{k} IS NOT NULL THEN"
+               f" (cnt - mu) * (x{k} - mu) ELSE 0 END)"
+               f" / SUM((cnt - mu) * (cnt - mu)), 6) END AS r_lag{k}"
+               for k in AUTOCORR_LAGS
+           )}
+    FROM lagged
+    GROUP BY event_type
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type lag-{AUTOCORR_LAGS[0]} and lag-{AUTOCORR_LAGS[1]}
+    autocorrelation of the daily event-count series (the standard ACF
+    estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² over observed
+    days) — the diagnostic that says whether a metric has day-over-day
+    persistence and weekly seasonality BEFORE anyone fits the Holt /
+    seasonal models (q_holt_trend, q_dow_seasonal_anomaly) that assume
+    them. Lags index the day-ordered observed series; an all-constant
+    series (zero variance) emits NULL, not a 0/0.
+
+    Scale shape: events collapse to the same ONE map-side-combined
+    O(types × days) daily aggregate as the smoother family; the lag
+    windows and both fold sums run per type over those O(days) rows —
+    raw events are never windowed. The mean enters as a per-type
+    window aggregate over the SAME tiny frame (no second fact pass);
+    products of day-count deviations sum exactly enough that round(6)
+    absorbs association differences."""
+    events = load(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "cnt",
+        F.avg("cnt").over(wt).alias("mu"),
+        *[F.lag("cnt", k).over(wo).alias(f"x{k}") for k in AUTOCORR_LAGS],
+    )
+    dev = F.col("cnt") - F.col("mu")
+    var = F.sum(dev * dev)
+    aggs = [F.count("*").cast("long").alias("n_days")]
+    for k in AUTOCORR_LAGS:
+        num = F.sum(
+            F.when(
+                F.col(f"x{k}").isNotNull(),
+                dev * (F.col(f"x{k}") - F.col("mu")),
+            ).otherwise(0.0)
+        )
+        aggs.append(
+            F.when(var == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(num / var, 6))
+            .alias(f"r_lag{k}")
+        )
+    return lagged.groupBy("event_type").agg(*aggs)

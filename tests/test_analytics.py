@@ -795,3 +795,44 @@ def test_mannwhitney_and_ks_closed_form(spark, sf_dir):
     assert row["ks_stat"] == round(d * math.sqrt(n_a * n_b / n), 4)
     # the hash split is balanced enough to be a real test
     assert min(n_a, n_b) > 0.4 * n
+
+
+def test_autocorr_closed_form(spark, sf_dir):
+    """Every type's ACF recomputes from the collected daily counts with
+    the textbook estimator."""
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        AUTOCORR_LAGS,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list[tuple]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+    rows = {
+        r["event_type"]: r
+        for r in entry_mod.queries()["q_autocorr"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(series)
+    for et, pts in series.items():
+        xs = [float(c) for _, c in sorted(pts)]
+        mu = sum(xs) / len(xs)
+        var = sum((x - mu) ** 2 for x in xs)
+        assert rows[et]["n_days"] == len(xs)
+        for k in AUTOCORR_LAGS:
+            num = sum(
+                (xs[t] - mu) * (xs[t - k] - mu) for t in range(k, len(xs))
+            )
+            want = None if var == 0 else round(num / var, 6)
+            got = rows[et][f"r_lag{k}"]
+            if want is None:
+                assert got is None
+            else:
+                assert abs(got - want) <= 1e-6

@@ -467,3 +467,32 @@ def test_embedding_auto_emits_achieved_recall_audit_column(spark, sf_dir):
     want2 = round(dd.lsh_recall(dd.EMB_COSINE_THRESHOLD, *plan2), 4)
     got2 = df2.select("achieved_recall").distinct().collect()
     assert {r["achieved_recall"] for r in got2} <= {want2}
+
+
+def test_dedup_canonical_groups_formatting_variants(spark, tmp_path):
+    """Punctuation/case/whitespace variants collapse under the canonical
+    form but stay distinct under raw exact dedup; genuinely different
+    texts stay distinct under both."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    docs = [
+        (0, "Hello, World!", "en", "s0", 13),
+        (1, "hello   world", "en", "s0", 13),
+        (2, "HELLO WORLD.", "en", "s0", 12),
+        (3, "goodbye world", "en", "s0", 13),
+        (4, "goodbye world", "en", "s0", 13),  # raw exact dup of 3
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "canon")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    qs = entry_mod.queries()
+    canon = {r["keep_id"]: r["n_copies"] for r in qs["q_dedup_canonical"](spark, d).collect()}
+    exact = {r["keep_id"]: r["n_copies"] for r in qs["q_dedup_exact"](spark, d).collect()}
+    assert canon == {0: 3, 3: 2}
+    assert exact == {0: 1, 1: 1, 2: 1, 3: 2}

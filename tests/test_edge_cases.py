@@ -260,6 +260,10 @@ ROUND12_EMPTY_EXPECT = {
     "q_target_encoding": 0,
     "q_feature_scale": 0,
     "q_rrf_fusion": 0,
+    "q_term_jaccard": 0,
+    "q_autocorr": 0,
+    "q_gini_source": 1,
+    "q_dedup_canonical": 0,
 }
 
 

@@ -229,3 +229,45 @@ def test_chi2_contingency_matches_closed_form(spark, sf_dir):
     assert abs(row["chi2"] - round(chi2, 4)) <= 1e-3
     v = (chi2 / (n * min(len(rt) - 1, len(ct) - 1))) ** 0.5
     assert abs(row["cramers_v"] - round(v, 4)) <= 1e-4
+
+
+def test_gini_source_closed_form_and_invariants(spark, sf_dir):
+    """Gini recomputes from the raw per-source char sums, and the
+    estimator hits its anchors: 0 on an equal-weight corpus, → 1 as one
+    source dominates."""
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    qs = entry_mod.queries()
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    w: dict[str, int] = {}
+    for r in docs:
+        w[r["source"]] = w.get(r["source"], 0) + r["n_chars"]
+    ws = sorted(w.values())
+    n, tot = len(ws), sum(ws)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(ws)) / (n * tot) - (
+        n + 1.0
+    ) / n
+    row = qs["q_gini_source"](spark, sf_dir).first()
+    assert row["n_sources"] == n and row["total_chars"] == tot
+    assert abs(row["gini"] - round(gini, 6)) <= 1e-6
+
+    # anchors on planted frames
+    import pyspark.sql.functions as F
+
+    def gini_of(weights):
+        df = spark.createDataFrame(
+            [(f"s{i}", 1, wt) for i, wt in enumerate(weights)],
+            "source string, doc_id int, n_chars long",
+        ).withColumn("text", F.lit("x"))
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        for t in ("documents",):
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"{t}.parquet")
+            )
+        return qs["q_gini_source"](spark, d).first()["gini"]
+
+    assert gini_of([100, 100, 100, 100]) == 0.0
+    assert gini_of([1, 1, 1, 997]) > 0.7

@@ -818,3 +818,31 @@ def test_rrf_fusion_consistent_with_arm_keys(spark, sf_dir):
     # fused order is by rrf desc with doc_id tie-break
     keys = [(-r["rrf"], r["doc_id"]) for r in fused]
     assert keys == sorted(keys)
+
+
+def test_term_jaccard_closed_form(spark, sf_dir):
+    """Every reported pair recomputes from the collected doc-term sets,
+    and the min-common floor plus top-k ordering hold."""
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.llm.retrieval import (
+        TERM_JACCARD_MIN_COMMON,
+        TERM_JACCARD_TOP_K,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    docsets: dict[str, set[int]] = {}
+    for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        for t in set(r["text"].lower().split(" ")):
+            docsets.setdefault(t, set()).add(r["doc_id"])
+    rows = entry_mod.queries()["q_term_jaccard"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= TERM_JACCARD_TOP_K
+    for r in rows:
+        common = len(docsets[r["term_a"]] & docsets[r["term_b"]])
+        assert r["term_a"] < r["term_b"]
+        assert r["common"] == common >= TERM_JACCARD_MIN_COMMON
+        assert r["df_a"] == len(docsets[r["term_a"]])
+        assert r["df_b"] == len(docsets[r["term_b"]])
+        want = common / (r["df_a"] + r["df_b"] - common)
+        assert abs(r["jaccard"] - round(want, 6)) <= 1e-6
+    keys = [(-r["jaccard"], r["term_a"], r["term_b"]) for r in rows]
+    assert keys == sorted(keys)
