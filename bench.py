@@ -140,6 +140,19 @@ HEADLINE = [
     "q_sample_k_per_group",
     "q_abtest_ztest",
     "q_anova_f",
+    "q_mannwhitney_u",
+    "q_ks_test",
+    "q_tpch_q4_shape",
+    "q_tpch_q20_shape",
+    "q_target_encoding",
+    "q_feature_scale",
+    "q_rrf_fusion",
+    "q_term_jaccard",
+    "q_autocorr",
+    "q_gini_source",
+    "q_dedup_canonical",
+    "q_robust_scale",
+    "q_bootstrap_ci",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

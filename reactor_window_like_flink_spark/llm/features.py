@@ -172,3 +172,78 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(mm), 6).alias(f"mm_max_{c}"),
         ]
     return scaled.groupBy("l_returnflag").agg(*digest_aggs)
+
+
+ROBUST_OUT_Z = 3.0  # |robust z| beyond this counts as an outlier
+
+
+@REG.add(
+    "q_robust_scale",
+    """
+    WITH stats AS (
+      SELECT """
+    + ", ".join(
+        f"quantile_cont({c}, 0.5) AS med_{c}, "
+        f"quantile_cont({c}, 0.75) - quantile_cont({c}, 0.25) AS iqr_{c}"
+        for c in FEATURE_COLS
+    )
+    + """
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+    """
+    + ", ".join(
+        f"ROUND(AVG(({c} - med_{c}) / iqr_{c}), 6) AS r_mean_{c}, "
+        f"CAST(sum(CASE WHEN ABS(({c} - med_{c}) / iqr_{c}) > 3.0"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_out_{c}"
+        for c in FEATURE_COLS
+    )
+    + """
+    FROM lineitem, stats
+    GROUP BY l_returnflag
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling of the lineitem numerics — (x − median) / IQR —
+    the scaler a pipeline reaches for when q_feature_scale's mean/σ
+    is dragged by heavy tails, digest-verified per returnflag (robust-z
+    slice means plus the count of |z| > {ROBUST_OUT_Z} outliers — an
+    integer, so that column is exact, not rounded). Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation convention, making median/IQR bit-identical across
+    engines (verified) and every per-row comparison deterministic.
+
+    Scale shape: same aggregate-then-broadcast skeleton as
+    q_feature_scale, except the constants aggregate is an EXACT
+    percentile — fine to O(memory) inputs; at 100 TB swap in
+    ``approx_percentile`` (the q_agg_quantile_approx twin) or the
+    mergeable KLL sketch (q_quantile_rollup_kll) for the constants and
+    keep the identical scan projection."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", *FEATURE_COLS
+    )
+    stats = li.agg(
+        *[
+            agg
+            for c in FEATURE_COLS
+            for agg in (
+                F.expr(f"percentile({c}, 0.5)").alias(f"med_{c}"),
+                (
+                    F.expr(f"percentile({c}, 0.75)")
+                    - F.expr(f"percentile({c}, 0.25)")
+                ).alias(f"iqr_{c}"),
+            )
+        ]
+    )
+    scaled = li.crossJoin(F.broadcast(stats))
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in FEATURE_COLS:
+        rz = (F.col(c) - F.col(f"med_{c}")) / F.col(f"iqr_{c}")
+        aggs += [
+            F.round(F.avg(rz), 6).alias(f"r_mean_{c}"),
+            F.sum(F.when(F.abs(rz) > ROBUST_OUT_Z, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_out_{c}"),
+        ]
+    return scaled.groupBy("l_returnflag").agg(*aggs)

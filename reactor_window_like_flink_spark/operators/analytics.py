@@ -2374,3 +2374,115 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"r_lag{k}")
         )
     return lagged.groupBy("event_type").agg(*aggs)
+
+
+# ------------------------------------------------- distributed bootstrap
+
+BOOT_B = 100  # replicates
+BOOT_LO_RANK = 3  # ~2.5th percentile order statistic of B=100 means
+BOOT_HI_RANK = 98  # ~97.5th
+# Poisson(1) inverse-CDF ladder (the distributed bootstrap device: each
+# row's replicate-b resample weight is Poisson(1), drawn from the
+# hash-uniform — Kleiner et al.'s scalable bootstrap practice; exact
+# multinomial resampling needs global coordination, Poissonization
+# doesn't). Cumulative probabilities as repr'd doubles so both engines
+# parse bit-identical literals; the tail (k > 8) rounds to weight 9.
+_POISSON_CDF: list[float] = []
+_acc, _term = 0.0, 2.718281828459045**-1
+for _k in range(9):
+    _acc += _term
+    _POISSON_CDF.append(_acc)
+    _term /= _k + 1
+
+
+def _poisson_case(u_expr: str) -> str:
+    """CASE ladder mapping a uniform [0,1) expression to Poisson(1)."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}"
+        for k, c in enumerate(_POISSON_CDF)
+    )
+    return f"(CASE {whens} ELSE 9 END)"
+
+
+_BOOT_U_SPARK = (
+    "(conv(substring(md5(concat(cast(event_id AS STRING), '|',"
+    " cast(b AS STRING))), 1, 8), 16, 10) / 4294967296.0)"
+)
+_BOOT_U_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|'"
+    " || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
+)
+
+
+@REG.add(
+    "q_bootstrap_ci",
+    f"""
+    WITH rep AS (
+      SELECT e.event_id, e.value, b.b
+      FROM events e, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+    ),
+    means AS (
+      SELECT b,
+             ROUND(SUM({_poisson_case(_BOOT_U_DUCK)} * value)
+                   / SUM({_poisson_case(_BOOT_U_DUCK)}), 6) AS m
+      FROM rep GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM means
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             ROUND(AVG(value), 6) AS est_mean
+      FROM events
+    )
+    SELECT n_events, CAST({BOOT_B} AS BIGINT) AS boot_b, est_mean,
+           (SELECT m FROM ranked WHERE r = {BOOT_LO_RANK}) AS ci_lo,
+           (SELECT m FROM ranked WHERE r = {BOOT_HI_RANK}) AS ci_hi
+    FROM base
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI for mean(events.value) via the
+    POISSONIZED bootstrap: replicate b reweights each row by a
+    Poisson(1) count drawn from md5(event_id|b) — the distributed
+    bootstrap (Kleiner et al., JRSS-B 2014 lineage): i.i.d.-per-row
+    weights need no global coordination, so the resample is one scan
+    expression, fully deterministic, identical at any cluster size.
+    CI bounds are the {BOOT_LO_RANK}rd / {BOOT_HI_RANK}th order
+    statistics of the {BOOT_B} replicate means (ties broken by
+    replicate id). Completes the statistics tier with the
+    assumption-free interval the z/F/U tests' normal approximations
+    can't give.
+
+    Scale shape: the replicate fan-out is an in-row constant-array
+    explode (rows × {BOOT_B}, no join, no data-dependent shuffle);
+    replicate means are ONE map-side-combined aggregate keyed on the
+    {BOOT_B}-value b — the shuffle carries B×tasks partial rows; the
+    rank window runs over {BOOT_B} rows. Weighted sums round(6) before
+    ranking so both engines rank identical values; Σw is integer-exact."""
+    events = load(spark, sf_dir, "events")
+    rep = events.select(
+        "event_id", "value", F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b")
+    )
+    w = F.expr(_poisson_case(_BOOT_U_SPARK))
+    means = rep.groupBy("b").agg(
+        F.round(F.sum(w * F.col("value")) / F.sum(w), 6).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("r")
+    )
+    # conditional aggregates, not filters: they stay 1-row (NULL) on an
+    # empty corpus, matching the oracle's scalar subqueries
+    ci = ranked.agg(
+        F.min(F.when(F.col("r") == BOOT_LO_RANK, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == BOOT_HI_RANK, F.col("m"))).alias("ci_hi"),
+    )
+    base = events.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("est_mean"),
+    ).select(
+        "n_events",
+        F.lit(BOOT_B).cast("long").alias("boot_b"),
+        "est_mean",
+    )
+    return base.crossJoin(F.broadcast(ci))

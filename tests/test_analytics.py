@@ -836,3 +836,45 @@ def test_autocorr_closed_form(spark, sf_dir):
                 assert got is None
             else:
                 assert abs(got - want) <= 1e-6
+
+
+def test_bootstrap_ci_closed_form(spark, sf_dir):
+    """The replicate means, order statistics, and CI bounds recompute
+    exactly from the raw values with the same hash→Poisson ladder."""
+    import hashlib
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        _POISSON_CDF,
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select("event_id", "value").collect()
+
+    def pois(eid, b):
+        u = int(
+            hashlib.md5(f"{eid}|{b}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        for k, c in enumerate(_POISSON_CDF):
+            if u < c:
+                return k
+        return 9
+
+    means = []
+    for b in range(BOOT_B):
+        sw = swx = 0.0
+        for r in events:
+            w = pois(r["event_id"], b)
+            sw += w
+            swx += w * r["value"]
+        means.append((round(swx / sw, 6), b))
+    means.sort()
+    row = entry_mod.queries()["q_bootstrap_ci"](spark, sf_dir).first()
+    assert row["n_events"] == len(events) and row["boot_b"] == BOOT_B
+    assert row["ci_lo"] == means[BOOT_LO_RANK - 1][0]
+    assert row["ci_hi"] == means[BOOT_HI_RANK - 1][0]
+    # the interval is non-degenerate and brackets the point estimate
+    assert row["ci_lo"] < row["est_mean"] < row["ci_hi"]

@@ -264,6 +264,8 @@ ROUND12_EMPTY_EXPECT = {
     "q_autocorr": 0,
     "q_gini_source": 1,
     "q_dedup_canonical": 0,
+    "q_robust_scale": 0,
+    "q_bootstrap_ci": 1,
 }
 
 

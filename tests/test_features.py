@@ -77,3 +77,33 @@ def test_feature_scale_is_broadcast_scan_expression(spark, sf_dir):
     assert not has_node(df, "BatchEvalPython")
     assert not has_node(df, "ArrowEvalPython")
     assert "Broadcast" in plan
+
+
+def test_robust_scale_closed_form(spark, sf_dir):
+    """Median/IQR and the per-slice outlier counts recompute from the
+    collected raw columns (numpy linear-interpolation percentiles match
+    Spark percentile / DuckDB quantile_cont)."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.llm.features import ROBUST_OUT_Z
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", *FEATURE_COLS
+    ).collect()
+    rows = {
+        r["l_returnflag"]: r
+        for r in entry_mod.queries()["q_robust_scale"](spark, sf_dir).collect()
+    }
+    for c in FEATURE_COLS:
+        xs = np.array([r[c] for r in li], dtype="float64")
+        med = np.percentile(xs, 50, method="linear")
+        iqr = np.percentile(xs, 75, method="linear") - np.percentile(
+            xs, 25, method="linear"
+        )
+        for flag in rows:
+            sl = np.array([r[c] for r in li if r["l_returnflag"] == flag])
+            rz = (sl - med) / iqr
+            assert rows[flag][f"n_out_{c}"] == int((np.abs(rz) > ROBUST_OUT_Z).sum())
+            assert abs(rows[flag][f"r_mean_{c}"] - round(float(rz.mean()), 6)) <= 1e-4

@@ -238,6 +238,11 @@ GENERAL_KEYS = (
     "q_communities_lpa",
     "q_quantile_rollup_kll",
     "q_classifier_train",
+    "q_mannwhitney_u",
+    "q_term_jaccard",
+    "q_rrf_fusion",
+    "q_feature_scale",
+    "q_tpch_q20_shape",
     "q_embed_pca",
 )
 
