@@ -153,6 +153,10 @@ HEADLINE = [
     "q_dedup_canonical",
     "q_robust_scale",
     "q_bootstrap_ci",
+    "q_tpch_q15_shape",
+    "q_tpch_q2_shape",
+    "q_target_encoding_oof",
+    "q_cluster_profile",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from reactor_window_like_flink_spark.contract import Registry
@@ -161,4 +162,124 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(f"transform(pca, x -> round(x, 6))").alias("pca"),
         F.lit(round(float(ratio.sum()), 6)).alias("var_ratio"),
+    )
+
+
+
+def _arr_norm(col: str) -> "F.Column":
+    """Index-order L2 norm of an array column (the llm/similarity._norm
+    device): JVM fold, doubles, deterministic across engines."""
+    return F.sqrt(
+        F.aggregate(
+            F.expr(
+                f"transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _arr_dot(col_a: str, col_b: str) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(
+            col_a, col_b, lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@REG.add(
+    "q_cluster_profile",
+    """
+    WITH comp0 AS (
+      SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS c FROM comp0
+    ),
+    cent AS (
+      SELECT label, i, ROUND(AVG(c), 6) AS m FROM comp GROUP BY label, i
+    ),
+    carr AS (
+      SELECT label, list(m ORDER BY i) AS centroid,
+             ROUND(sqrt(list_reduce(list_prepend(0.0,
+               list_transform(list(m ORDER BY i), x -> x * x)),
+               (a, b) -> a + b)), 6) AS centroid_norm
+      FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label, c.centroid_norm,
+             list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, len(e.embedding)),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),
+               (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(c.centroid, x -> x * x)),
+                    (a, b) -> a + b))) AS cos
+      FROM embeddings e JOIN carr c USING (label)
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           centroid_norm,
+           ROUND(AVG(cos), 4) AS mean_cos,
+           ROUND(MIN(cos), 4) AS min_cos
+    FROM scored
+    GROUP BY label, centroid_norm
+    """,
+)
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster profile of the embedding corpus: size, centroid
+    norm, and the mean/min cosine of members to their label centroid —
+    the cohesion audit a curation team reads before trusting labels as
+    topics (a low mean-cos label is a grab-bag; a tiny centroid norm
+    means members cancel — no common direction), and the quality gate
+    for cluster-balanced sampling (q_sample_cluster_balanced) and
+    SemDeDup cluster pruning.
+
+    Scale shape: centroids via per-(label, dim) component aggregation —
+    posexplode is an in-row fan-out (rows × dim, no join) and the
+    aggregate map-side combines to O(labels × dim); the assembled
+    O(labels) centroid table broadcasts back onto ONE scoring scan
+    (per-row cosine = fixed-order JVM fold). At 100 TB: two narrow
+    passes over the vectors, shuffles bounded by labels × dim.
+    Determinism: centroid components round(6) BEFORE scoring in both
+    engines; all folds run in index order; min is order-free."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("i", "c")
+    )
+    cent = comp.groupBy("label", "i").agg(
+        F.round(F.avg(F.col("c").cast("double")), 6).alias("m")
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm")
+        )
+        .select(
+            "label",
+            F.expr("transform(sm, s -> s.m)").alias("centroid"),
+        )
+        .withColumn("centroid_norm", F.round(_arr_norm("centroid"), 6))
+        .drop("sm")
+    )
+    scored = emb.join(F.broadcast(carr), "label").select(
+        "label",
+        "centroid_norm",
+        (
+            _arr_dot("embedding", "centroid")
+            / (_arr_norm("embedding") * _arr_norm("centroid"))
+        ).alias("cos"),
+    )
+    return scored.groupBy("label", "centroid_norm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("cos"), 4).alias("mean_cos"),
+        F.round(F.min("cos"), 4).alias("min_cos"),
     )

@@ -12,7 +12,7 @@ trainer which consumes exactly these encodings).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
@@ -247,3 +247,95 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"n_out_{c}"),
         ]
     return scaled.groupBy("l_returnflag").agg(*aggs)
+
+
+OOF_FOLDS = 5
+
+
+@REG.add(
+    "q_target_encoding_oof",
+    f"""
+    WITH per AS (
+      SELECT c_mktsegment,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {OOF_FOLDS} AS fold,
+             CAST(count(*) AS BIGINT) AS n_f,
+             SUM(o_totalprice) AS s_f
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT c_mktsegment, fold, n_f, s_f,
+             SUM(n_f) OVER (PARTITION BY c_mktsegment) AS n_seg,
+             SUM(s_f) OVER (PARTITION BY c_mktsegment) AS s_seg,
+             SUM(n_f) OVER (PARTITION BY fold) AS n_fold,
+             SUM(s_f) OVER (PARTITION BY fold) AS s_fold,
+             SUM(n_f) OVER () AS n_all,
+             SUM(s_f) OVER () AS s_all
+      FROM per
+    )
+    SELECT c_mktsegment, CAST(fold AS INT) AS fold,
+           CAST(n_seg - n_f AS BIGINT) AS n_oof,
+           ROUND(((s_seg - s_f)
+                  + {TARGET_SMOOTHING} * (s_all - s_fold)
+                    / (n_all - n_fold))
+                 / ((n_seg - n_f) + {TARGET_SMOOTHING}), 6) AS encoded_oof
+    FROM w
+    """,
+)
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD target encoding — the leakage-PROOF form of
+    q_target_encoding: each (segment, fold) cell is encoded from the
+    OTHER {OOF_FOLDS - 1} folds only (segment totals minus the cell's
+    own fold; the shrinkage prior is likewise the out-of-fold global
+    mean), so a row's own target never leaks into its own feature —
+    the k-fold trick every gradient-boosting pipeline applies to mean
+    encodings. Folds are md5(o_orderkey) % {OOF_FOLDS} (the RNG-free
+    assignment device). Only observed (segment, fold) cells are
+    emitted.
+
+    Scale shape: ONE fact-side map-side-combined aggregate to the
+    O(segments × folds) cell frame; every total (segment, fold,
+    global) is a window over THAT tiny frame — the 100 TB fact is
+    scanned once and never re-joined. Leave-one-out arithmetic is
+    subtraction of already-reduced doubles; round(6) per the contract
+    sum rule."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % OOF_FOLDS
+    )
+    per = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .withColumn("fold", fold)
+        .groupBy("c_mktsegment", "fold")
+        .agg(
+            F.count("*").cast("long").alias("n_f"),
+            F.sum("o_totalprice").alias("s_f"),
+        )
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    w_fold = Window.partitionBy("fold")
+    w_all = Window.partitionBy()
+    m = F.lit(TARGET_SMOOTHING)
+    prior_oof = (F.sum("s_f").over(w_all) - F.sum("s_f").over(w_fold)) / (
+        F.sum("n_f").over(w_all) - F.sum("n_f").over(w_fold)
+    )
+    enc = (
+        (F.sum("s_f").over(w_seg) - F.col("s_f")) + m * prior_oof
+    ) / ((F.sum("n_f").over(w_seg) - F.col("n_f")) + m)
+    return per.select(
+        "c_mktsegment",
+        F.col("fold").cast("int").alias("fold"),
+        (F.sum("n_f").over(w_seg) - F.col("n_f"))
+        .cast("long")
+        .alias("n_oof"),
+        F.round(enc, 6).alias("encoded_oof"),
+    )

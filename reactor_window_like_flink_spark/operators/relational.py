@@ -2360,3 +2360,134 @@ def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_name
         """
     )
+
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+@REG.add(
+    "q_tpch_q15_shape",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+        AND l_shipdate < TIMESTAMP '{Q15_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): suppliers whose quarterly revenue
+    EQUALS the maximum quarterly revenue — the aggregate-of-an-aggregate
+    scalar subquery (Q15's revenue view + MAX self-reference), a third
+    decorrelation flavor beside Q17's correlated AVG and Q22's pushed
+    scalar: the subquery aggregates the SAME derived relation the outer
+    query consumes, so a naive plan computes the revenue view twice.
+
+    Single-pass discipline: the revenue aggregate is materialized ONCE
+    (localCheckpoint — the q_tpch_q17_shape rule: materialize a shared
+    AGGREGATE consumed by divergent branches); the MAX folds those
+    O(suppliers) rows into a 1-row broadcast and the winners join the
+    supplier dim broadcast-side. Revenue is rounded to cents BEFORE the
+    max/equality, so the tie semantics (all max-revenue suppliers
+    return, per the real Q15) are engine-identical. At 100 TB: one
+    pruned fact scan, one O(suppliers) frame, two broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .localCheckpoint()  # feeds MAX and the winner join — one build
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(supplier),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q2_TYPE = "PROMO"
+
+
+@REG.add(
+    "q_tpch_q2_shape",
+    f"""
+    WITH sl AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_type = '{Q2_TYPE}')
+    )
+    SELECT l_partkey AS partkey, l_suppkey AS cheapest_supp,
+           ROUND(l_extendedprice, 2) AS price
+    FROM sl l1
+    WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM sl l2
+                             WHERE l2.l_partkey = l1.l_partkey)
+    ORDER BY partkey, cheapest_supp
+    """,
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every part of one
+    type, the supplier(s) whose line price EQUALS that part's minimum —
+    the correlated scalar-MIN subquery (Q2's min supplycost recast onto
+    this schema, which has no partsupp). Completes the correlated-
+    subquery battery: Q17 correlated AVG (inequality cut), Q21
+    EXISTS/NOT EXISTS, Q4 outer-column residual, Q20 nested IN, Q15
+    aggregate-of-aggregate — this is the equality-join-back flavor
+    whose decorrelated form is the classic min-join (aggregate then
+    equi-join on (key, min)).
+
+    Single-pass discipline (the Q17 rule): the type slice is cut ONCE
+    (broadcast semi-join against the filtered part dim — the type is a
+    part attribute so the slice holds every line of each selected
+    part) and localCheckpoint'd; the correlated MIN decorrelates into
+    a per-part aggregate hash-joined back over THAT slice — zero
+    parquet scans in the registered plan. The equality compares
+    UNROUNDED stored values against their own MIN (no arithmetic), so
+    tie groups are engine-identical; ties are all returned, per Q2."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q2_TYPE)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sliced = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).drop("p_partkey").localCheckpoint()
+    sliced.createOrReplaceTempView("q2_slice")
+    return spark.sql(
+        """
+        SELECT l_partkey AS partkey, l_suppkey AS cheapest_supp,
+               ROUND(l_extendedprice, 2) AS price
+        FROM q2_slice l1
+        WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                                 FROM q2_slice l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+        ORDER BY partkey, cheapest_supp
+        """
+    )

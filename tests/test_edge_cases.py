@@ -266,6 +266,10 @@ ROUND12_EMPTY_EXPECT = {
     "q_dedup_canonical": 0,
     "q_robust_scale": 0,
     "q_bootstrap_ci": 1,
+    "q_tpch_q15_shape": 0,
+    "q_tpch_q2_shape": 0,
+    "q_target_encoding_oof": 0,
+    "q_cluster_profile": 0,
 }
 
 

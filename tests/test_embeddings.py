@@ -88,3 +88,38 @@ def test_pca_empty_embeddings(spark, tmp_path):
         entry_mod.queries()["q_embed_pca"](spark, str(tmp_path)).collect()
         == []
     )
+
+
+def test_cluster_profile_numpy_reference(spark, sf_dir):
+    """Sizes, centroid norms, and cohesion stats recompute from the raw
+    vectors with numpy (centroid components rounded to 6 first, as the
+    operator defines)."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    vecs: dict[int, list] = {}
+    for r in load(spark, sf_dir, "embeddings").collect():
+        vecs.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype="float64")
+        )
+    rows = {
+        r["label"]: r
+        for r in entry_mod.queries()["q_cluster_profile"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(vecs)
+    for lab, vs in vecs.items():
+        cent = np.round(np.mean(np.stack(vs), axis=0), 6)
+        cn = np.sqrt((cent * cent).sum())
+        cos = [
+            float(v @ cent / (np.linalg.norm(v) * cn)) for v in vs
+        ]
+        r = rows[lab]
+        assert r["n"] == len(vs)
+        assert abs(r["centroid_norm"] - round(float(cn), 6)) <= 1e-6
+        assert abs(r["mean_cos"] - round(float(np.mean(cos)), 4)) <= 1e-3
+        assert abs(r["min_cos"] - round(min(cos), 4)) <= 1e-3
+        # members share at least a weak common direction (the fixture's
+        # labels are noisy; the profile's JOB is to expose how noisy)
+        assert r["mean_cos"] > 0.0

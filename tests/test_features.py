@@ -107,3 +107,57 @@ def test_robust_scale_closed_form(spark, sf_dir):
             rz = (sl - med) / iqr
             assert rows[flag][f"n_out_{c}"] == int((np.abs(rz) > ROBUST_OUT_Z).sum())
             assert abs(rows[flag][f"r_mean_{c}"] - round(float(rz.mean()), 6)) <= 1e-4
+
+
+def test_target_encoding_oof_excludes_own_fold(spark, sf_dir):
+    """Every (segment, fold) encoding recomputes from the OTHER folds
+    only — the leakage-proof contract — including the out-of-fold
+    prior."""
+    import hashlib
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.llm.features import (
+        OOF_FOLDS,
+        TARGET_SMOOTHING,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).collect()
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    cells: dict[tuple, list[float]] = {}
+    for r in orders:
+        f = int(
+            hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:8], 16
+        ) % OOF_FOLDS
+        cells.setdefault((seg_of[r["o_custkey"]], f), []).append(
+            r["o_totalprice"]
+        )
+    rows = {
+        (r["c_mktsegment"], r["fold"]): r
+        for r in entry_mod.queries()["q_target_encoding_oof"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(cells)
+    for (seg, f), r in rows.items():
+        oth = [
+            (sum(v), len(v))
+            for (s2, f2), v in cells.items()
+            if s2 == seg and f2 != f
+        ]
+        s_oof = sum(s for s, _ in oth)
+        n_oof = sum(n for _, n in oth)
+        pr = [
+            (sum(v), len(v)) for (_, f2), v in cells.items() if f2 != f
+        ]
+        prior = sum(s for s, _ in pr) / sum(n for _, n in pr)
+        want = (s_oof + TARGET_SMOOTHING * prior) / (
+            n_oof + TARGET_SMOOTHING
+        )
+        assert r["n_oof"] == n_oof
+        assert abs(r["encoded_oof"] - want) <= 1e-4

@@ -415,3 +415,32 @@ def test_q20_nested_in_plans_two_semi_joins_one_fact_scan(q):
 def test_sample_k_per_group_uses_window_group_limit(q):
     df = q("q_sample_k_per_group")
     assert has_node(df, "WindowGroupLimit")
+
+
+def test_q15_single_revenue_build_and_broadcast_max(q):
+    """The revenue view must be built ONCE (registered plan reads the
+    materialized aggregate — zero lineitem parquet scans) with the MAX
+    attached as a 1-row broadcast and the dim joined broadcast-hash."""
+    df = q("q_tpch_q15_shape")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    scans = re.findall(r"Scan parquet[^\n]*", plan)
+    assert not any("lineitem" in s for s in scans)
+    assert has_node(df, "BroadcastHashJoin")
+
+
+def test_q2_correlated_min_decorrelates_over_checkpointed_slice(q):
+    """The correlated scalar-MIN must decorrelate into a per-part
+    aggregate hash-joined back over the checkpointed type slice: zero
+    parquet scans, join keyed on l_partkey, no nested-loop fallback."""
+    df = q("q_tpch_q2_shape")
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.lower().count("scan parquet") == 0
+    # decorrelated form: hash join keyed on (part key, normalized min
+    # price) — the classic min-join
+    assert any(
+        any("l_partkey" in k for k in keys) for keys in _join_key_lists(df)
+    )
+    assert has_node(df, "BroadcastHashJoin")
