@@ -2459,14 +2459,25 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate means are ONE map-side-combined aggregate keyed on the
     {BOOT_B}-value b — the shuffle carries B×tasks partial rows; the
     rank window runs over {BOOT_B} rows. Weighted sums round(6) before
-    ranking so both engines rank identical values; Σw is integer-exact."""
+    ranking so both engines rank identical values; Σw is integer-exact.
+    Wall cost is hash-throughput-bound BY DESIGN (rows × B md5 draws —
+    the price of engine-neutral determinism); the cheaper production
+    mixer is one md5 per ROW as the seed plus a counter-based xor-mix
+    per replicate, trading the oracle twin for ~100× fewer digests."""
     events = load(spark, sf_dir, "events")
     rep = events.select(
         "event_id", "value", F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b")
     )
-    w = F.expr(_poisson_case(_BOOT_U_SPARK))
+    # materialize the weight ONCE per exploded row: the md5+ladder is the
+    # dominant cost and Spark does not CSE it across the two aggregate
+    # expressions (measured ~2x at sf0.1)
+    rep = rep.select(
+        "b", "value", F.expr(_poisson_case(_BOOT_U_SPARK)).alias("w")
+    )
     means = rep.groupBy("b").agg(
-        F.round(F.sum(w * F.col("value")) / F.sum(w), 6).alias("m")
+        F.round(
+            F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
+        ).alias("m")
     )
     ranked = means.select(
         "m", F.row_number().over(Window.orderBy("m", "b")).alias("r")
