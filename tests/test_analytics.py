@@ -878,3 +878,22 @@ def test_bootstrap_ci_closed_form(spark, sf_dir):
     assert row["ci_hi"] == means[BOOT_HI_RANK - 1][0]
     # the interval is non-degenerate and brackets the point estimate
     assert row["ci_lo"] < row["est_mean"] < row["ci_hi"]
+
+
+def test_bootstrap_fast_twin_agrees_with_exact(spark, sf_dir):
+    """The counter-mixer twin must produce a statistically equivalent
+    interval: same point estimate, overlapping CIs of comparable width,
+    and its Poisson weights must average ~1 (the mixer is uniform
+    enough for the ladder)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    a = qs["q_bootstrap_ci"](spark, sf_dir).first()
+    b = qs["q_bootstrap_ci_fast"](spark, sf_dir).first()
+    assert a["est_mean"] == b["est_mean"]
+    assert a["n_events"] == b["n_events"]
+    # overlap
+    assert max(a["ci_lo"], b["ci_lo"]) < min(a["ci_hi"], b["ci_hi"])
+    wa, wb = a["ci_hi"] - a["ci_lo"], b["ci_hi"] - b["ci_lo"]
+    assert 0.5 <= wb / wa <= 2.0
+    assert b["ci_lo"] < b["est_mean"] < b["ci_hi"]

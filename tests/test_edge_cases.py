@@ -270,6 +270,8 @@ ROUND12_EMPTY_EXPECT = {
     "q_tpch_q2_shape": 0,
     "q_target_encoding_oof": 0,
     "q_cluster_profile": 0,
+    "q_tpch_q13_shape": 0,
+    "q_bootstrap_ci_fast": 1,
 }
 
 
