@@ -343,3 +343,68 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_oof"),
         F.round(enc, 6).alias("encoded_oof"),
     )
+
+
+def encoding_ingest_sink(spark: SparkSession, ledger_dir: str):
+    """Continuous target encoding as a ``foreachBatch`` sink — the
+    streaming twin of ``q_target_encoding`` (the feature tier's entry
+    in the everything-has-a-streaming-twin story: indexes, quantiles,
+    smoothers, and now encodings). Each micro-batch of (category,
+    target) rows collapses to per-category (n, Σ) sufficient-statistic
+    partials that land in the ledger's own ``batch_id=N`` partition as
+    a dynamic-partition OVERWRITE — crash-replay re-runs the batch and
+    rewrites IDENTICAL partials (the aggregate is a pure function of
+    the batch), so the sink is exactly-once without reading the ledger
+    at all: sufficient statistics compose additively across batches,
+    which is the whole reason encodings stream this cheaply.
+
+    Scale posture: the shuffle per batch is one map-side-combined
+    O(categories) aggregate; the ledger grows one KiB-scale partition
+    per batch and ``current_encoding`` folds it lazily at read time —
+    the serving join never touches raw events."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("category").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("target").cast("double")).alias("s"),
+        )
+        (
+            agg.withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(ledger_dir)
+        )
+
+    return write
+
+
+def current_encoding(
+    spark: SparkSession,
+    ledger_dir: str,
+    smoothing: float = TARGET_SMOOTHING,
+) -> DataFrame:
+    """The encoding SERVED from the streaming ledger: fold every
+    batch's per-category partials to totals, compute the global prior
+    from the same O(categories) frame, and emit the identical
+    (category, n, seg_mean, encoded) formula as ``q_target_encoding``
+    — so a batch recompute and the streamed ledger agree exactly
+    (pytest-pinned)."""
+    ledger = spark.read.parquet(ledger_dir)
+    seg = ledger.groupBy("category").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+    )
+    prior = seg.agg((F.sum("s") / F.sum("n")).alias("mu"))
+    m = F.lit(smoothing)
+    return seg.crossJoin(F.broadcast(prior)).select(
+        "category",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("seg_mean"),
+        F.round(
+            (F.coalesce(F.col("s"), F.lit(0.0)) + m * F.col("mu"))
+            / (F.col("n") + m),
+            6,
+        ).alias("encoded"),
+    )

@@ -161,3 +161,47 @@ def test_target_encoding_oof_excludes_own_fold(spark, sf_dir):
         )
         assert r["n_oof"] == n_oof
         assert abs(r["encoded_oof"] - want) <= 1e-4
+
+
+def test_encoding_ingest_sink_stream_equals_batch_and_replays(spark, tmp_path):
+    """The streamed ledger serves the SAME encoding a batch recompute
+    over the union gives, and crash-replay of a batch rewrites
+    identical partials (sufficient statistics are pure per-batch)."""
+    from reactor_window_like_flink_spark.llm.features import (
+        TARGET_SMOOTHING,
+        current_encoding,
+        encoding_ingest_sink,
+    )
+
+    ledger = str(tmp_path / "enc_ledger")
+    sink = encoding_ingest_sink(spark, ledger)
+    schema = "category string, target double"
+    batches = [
+        [("a", 10.0), ("a", 20.0), ("b", 100.0)],
+        [("b", 50.0), ("c", 7.0)],
+        [("a", 30.0), ("c", 9.0), ("c", 2.0)],
+    ]
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, schema), i)
+
+    got = {r["category"]: r for r in current_encoding(spark, ledger).collect()}
+    flat: dict[str, list[float]] = {}
+    for rows in batches:
+        for c, t in rows:
+            flat.setdefault(c, []).append(t)
+    mu = sum(sum(v) for v in flat.values()) / sum(len(v) for v in flat.values())
+    for c, vals in flat.items():
+        want = (sum(vals) + TARGET_SMOOTHING * mu) / (
+            len(vals) + TARGET_SMOOTHING
+        )
+        assert got[c]["n"] == len(vals)
+        assert abs(got[c]["encoded"] - round(want, 6)) <= 1e-6
+
+    # crash replay: batch 2 re-runs with the same id -> identical ledger
+    sink(spark.createDataFrame(batches[2], schema), 2)
+    again = {
+        r["category"]: r for r in current_encoding(spark, ledger).collect()
+    }
+    assert {c: (r["n"], r["encoded"]) for c, r in got.items()} == {
+        c: (r["n"], r["encoded"]) for c, r in again.items()
+    }
