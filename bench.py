@@ -159,6 +159,7 @@ HEADLINE = [
     "q_cluster_profile",
     "q_tpch_q13_shape",
     "q_bootstrap_ci_fast",
+    "q_cuped_adjust",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

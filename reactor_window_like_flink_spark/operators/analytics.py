@@ -2624,3 +2624,111 @@ def q_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_mean",
     )
     return base.crossJoin(F.broadcast(ci))
+
+
+CUPED_SPLIT = "2024-01-16"  # pre-period covariate | post-period metric
+
+
+@REG.add(
+    "q_cuped_adjust",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_ABTEST_ARM_SQL} AS grp,
+             SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                      THEN value ELSE 0 END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                      THEN value ELSE 0 END) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM u
+    ),
+    t AS (
+      SELECT n, sx / n AS mx,
+             CASE WHEN (sxx - sx * sx / n) = 0 THEN 0.0
+                  ELSE (sxy - sx * sy / n) / (sxx - sx * sx / n) END
+               AS theta,
+             CASE WHEN (sxx - sx * sx / n) <= 0
+                    OR (syy - sy * sy / n) <= 0 THEN NULL
+                  ELSE (sxy - sx * sy / n)
+                       / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+               END AS rho
+      FROM s
+    )
+    SELECT grp AS arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y), 6) AS mean_y,
+           ROUND(AVG(y) - t.theta * (AVG(x) - t.mx), 6) AS mean_y_adj,
+           ROUND(t.theta, 6) AS theta,
+           ROUND(t.rho, 6) AS rho
+    FROM u, t
+    GROUP BY grp, t.theta, t.mx, t.rho
+    """,
+)
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) for the A/B
+    arms: each user's post-period metric y is adjusted by their
+    PRE-period covariate x — y_adj = y − θ(x − x̄), θ = cov(x,y)/var(x)
+    pooled across arms — removing the user-level variance the
+    randomization already balanced, which is how experimentation
+    platforms cut test duration 30-50%%. Emits per-arm raw and adjusted
+    means plus the pooled θ and the x,y correlation ρ (the variance
+    reduction is ρ²). Degenerate covariates (zero variance) fall back
+    to θ=0 / ρ=NULL identically in both engines.
+
+    Scale shape: ONE per-user map-side-combined aggregate (conditional
+    period sums — the q_abtest_ztest shuffle), a 1-row sufficient-
+    statistics fold (n, Σx, Σy, Σxy, Σx², Σy²) broadcast back, then an
+    O(arms) aggregate. Covariances come from sufficient statistics, so
+    the 100 TB fact is read once; round(6) absorbs sum-association
+    ulps per the contract rule."""
+    events = load(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    u = events.groupBy(
+        "user_id", _abtest_arm().alias("grp")
+    ).agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0))
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0))
+        .alias("y"),
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    t = s.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        F.when(varx == 0, F.lit(0.0)).otherwise(cov / varx).alias("theta"),
+        F.when(
+            (varx <= 0) | (vary <= 0), F.lit(None).cast("double")
+        ).otherwise(cov / F.sqrt(varx * vary)).alias("rho"),
+    )
+    return (
+        u.crossJoin(F.broadcast(t))
+        .groupBy(F.col("grp").alias("arm"), "theta", "mx", "rho")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_y"),
+            F.round(
+                F.avg("y") - F.col("theta") * (F.avg("x") - F.col("mx")), 6
+            ).alias("mean_y_adj"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "mean_y",
+            "mean_y_adj",
+            F.round("theta", 6).alias("theta"),
+            F.round("rho", 6).alias("rho"),
+        )
+    )

@@ -897,3 +897,66 @@ def test_bootstrap_fast_twin_agrees_with_exact(spark, sf_dir):
     wa, wb = a["ci_hi"] - a["ci_lo"], b["ci_hi"] - b["ci_lo"]
     assert 0.5 <= wb / wa <= 2.0
     assert b["ci_lo"] < b["est_mean"] < b["ci_hi"]
+
+
+def test_cuped_adjust_closed_form(spark, sf_dir):
+    """θ, ρ, and both per-arm means recompute from the collected
+    per-user period sums; the adjustment must shrink the between-arm
+    gap's dependence on pre-period imbalance (arm-mean identity:
+    Σ n_arm·(adj − raw) = 0 up to rounding when x̄ is the pooled
+    mean)."""
+    import hashlib
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        CUPED_SPLIT,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    split = CUPED_SPLIT
+    per: dict[int, list[float]] = {}
+    for r in load(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    ).collect():
+        x, y = per.setdefault(r["user_id"], [0.0, 0.0])
+        if str(r["ts"]) < split:
+            per[r["user_id"]][0] = x + r["value"]
+        else:
+            per[r["user_id"]][1] = y + r["value"]
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    n = len(per)
+    xs = [v[0] for v in per.values()]
+    ys = [v[1] for v in per.values()]
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum(a * b for a, b in zip(xs, ys)) / n - mx * my
+    varx = sum(a * a for a in xs) / n - mx * mx
+    vary = sum(b * b for b in ys) / n - my * my
+    theta = cov / varx
+    rho = cov / (varx * vary) ** 0.5
+    rows = {
+        r["arm"]: r
+        for r in entry_mod.queries()["q_cuped_adjust"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert abs(rows[0]["theta"] - round(theta, 6)) <= 1e-4
+    assert abs(rows[0]["rho"] - round(rho, 6)) <= 1e-4
+    tot_raw = tot_adj = 0.0
+    for a in (0, 1):
+        ua = [v for uid, v in per.items() if arm(uid) == a]
+        m_y = sum(v[1] for v in ua) / len(ua)
+        m_x = sum(v[0] for v in ua) / len(ua)
+        adj = m_y - theta * (m_x - mx)
+        assert rows[a]["n_users"] == len(ua)
+        assert abs(rows[a]["mean_y"] - round(m_y, 6)) <= 1e-4
+        assert abs(rows[a]["mean_y_adj"] - round(adj, 6)) <= 1e-4
+        tot_raw += len(ua) * rows[a]["mean_y"]
+        tot_adj += len(ua) * rows[a]["mean_y_adj"]
+    # adjustment is mean-preserving over the pooled population
+    assert abs(tot_raw - tot_adj) / abs(tot_raw) < 1e-3
+    # the covariate is non-degenerate (rho defined and nonzero; the
+    # random fixture only correlates through per-user event volume, so
+    # the magnitude is small — the recompute above is the real check)
+    assert rows[0]["rho"] is not None and rows[0]["rho"] != 0.0

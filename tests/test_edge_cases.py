@@ -272,6 +272,7 @@ ROUND12_EMPTY_EXPECT = {
     "q_cluster_profile": 0,
     "q_tpch_q13_shape": 0,
     "q_bootstrap_ci_fast": 1,
+    "q_cuped_adjust": 0,
 }
 
 
