@@ -160,6 +160,10 @@ HEADLINE = [
     "q_tpch_q13_shape",
     "q_bootstrap_ci_fast",
     "q_cuped_adjust",
+    "q_degree_assortativity",
+    "q_fdr_bh",
+    "q_seasonal_decompose",
+    "q_tpch_q16_shape",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -2732,3 +2732,328 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rho", 6).alias("rho"),
         )
     )
+
+
+@REG.add(
+    "q_degree_assortativity",
+    """
+    WITH bp AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS item FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.item AS u, b.item AS v
+      FROM bp a JOIN bp b ON a.k = b.k AND a.item < b.item
+    ),
+    adj AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT node, CAST(count(*) AS DOUBLE) AS d
+            FROM adj GROUP BY node),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj JOIN deg du ON adj.node = du.node
+               JOIN deg dv ON adj.nbr = dv.node
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM ends
+    )
+    SELECT n / 2 AS n_edges,
+           ROUND(sx / n, 6) AS mean_end_degree,
+           CASE WHEN n = 0 OR (sxx - sx * sx / n) = 0 THEN NULL
+             ELSE ROUND((sxy - sx * sx / n) / (sxx - sx * sx / n), 6)
+             END AS assortativity
+    FROM s
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over all edge ends — do
+    hubs attach to hubs (r > 0, social-network-like) or to leaves
+    (r < 0, hub-and-spoke)? The structural prior that decides whether
+    the degree-ordered tricks (q_triangle_count's orientation, hub
+    taming in the dedup joins) will pay off on a given graph. The
+    symmetric (both-orientations) form makes x and y share marginals,
+    so r = (Σxy − (Σx)²/n) / (Σx² − (Σx)²/n) from ONE sufficient-
+    statistics fold. Zero-variance (regular) graphs emit NULL.
+
+    Scale shape: the _basket_pairs in-row expansion builds edges with
+    one basket-keyed shuffle; degrees are a re-aggregate of the
+    adjacency; the ends join keys on the node (the degree side is
+    O(nodes) — broadcasts under AQE); the statistic folds to one row.
+    Integral degrees sum exactly; round(6) on the final ratios."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        _basket_pairs(
+            li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+        )
+        .toDF("u", "v")
+        .distinct()  # _basket_pairs dedups per basket, not globally
+    )
+    adj = edges.selectExpr("u AS node", "v AS nbr").unionAll(
+        edges.selectExpr("v AS node", "u AS nbr")
+    )
+    deg = adj.groupBy("node").agg(
+        F.count("*").cast("double").alias("d")
+    )
+    du = deg.select(F.col("node").alias("node"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("nbr"), F.col("d").alias("y"))
+    ends = adj.join(du, "node").join(dv, "nbr")
+    s = ends.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sx") / F.col("n")
+    return s.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_end_degree"),
+        F.when((F.col("n") == 0) | (varx == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(cov / varx, 6))
+        .alias("assortativity"),
+    )
+
+
+FDR_Q = 0.10  # Benjamini-Hochberg false-discovery-rate level
+
+# Abramowitz & Stegun 7.1.26 erfc polynomial — the same five literals
+# in both engines, so the two-sided normal p-value is identical double
+# arithmetic up to exp()'s final ulp (absorbed by the round-6 that both
+# engines apply BEFORE any BH comparison or ordering).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _two_sided_p(z_expr: str) -> str:
+    """SQL for p = 2(1-Phi(|z|)) = (Σ aᵢtⁱ)·exp(-z²/2), t=1/(1+p|z|/√2).
+    Engine-neutral: abs/exp/sqrt plus literal arithmetic only."""
+    x = f"(abs({z_expr}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = " + ".join(f"({a!r} * power({t}, {i + 1}))" for i, a in enumerate(_AS_A))
+    return f"(({poly}) * exp(-({z_expr}) * ({z_expr}) / 2.0))"
+
+
+@REG.add(
+    "q_fdr_bh",
+    f"""
+    WITH u AS (
+      SELECT event_type, user_id, {_ABTEST_ARM_SQL} AS grp,
+             MAX(CASE WHEN value > {{conv}} THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      FROM u GROUP BY 1
+    ),
+    z AS (
+      SELECT event_type, n_a, n_b,
+             CASE WHEN n_a = 0 OR n_b = 0
+                    OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b)
+               THEN NULL
+               ELSE (c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                    / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                           * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                           * (1.0 / n_a + 1.0 / n_b)) END AS zz
+      FROM t
+    ),
+    p AS (
+      SELECT event_type, n_a, n_b, zz,
+             CASE WHEN zz IS NULL THEN NULL
+               ELSE ROUND({_two_sided_p("zz")}, 6) END AS pv
+      FROM z
+    ),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pv ASC NULLS LAST,
+                                        event_type) AS INT) AS rnk,
+             CAST(COUNT(pv) OVER () AS BIGINT) AS m
+      FROM p
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(zz, 4) AS z_stat, pv AS p_value, rnk AS rank,
+           CAST(MAX(CASE WHEN pv IS NOT NULL
+                          AND pv <= rnk * {FDR_Q} / m THEN 1 ELSE 0 END)
+                OVER (ORDER BY rnk DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INT) AS significant
+    FROM r
+    """.replace("{conv}", str(ABTEST_CONV_VALUE)),
+)
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control for the experimentation tier: one
+    two-proportion z-test PER event_type (the per-metric readout a real
+    experiment scores) with Benjamini-Hochberg FDR correction at
+    q={FDR_Q} — rank the two-sided p-values ascending, find the largest
+    k with p_(k) ≤ k·q/m, flag ranks ≤ k (the suffix-max window form of
+    the step-up rule). Running m uncorrected z-tests is how dashboards
+    mint false winners; BH is the standard fix. Degenerate metrics
+    (empty arm, zero/full conversion) carry NULL z/p, rank after every
+    real test (NULLS LAST pinned in both engines), count toward
+    neither m nor the flags.
+
+    Scale shape: one (type, user)-keyed map-side-combined aggregate
+    over the fact, then O(types) rows through the closed-form z, the
+    erfc polynomial (identical literals both engines; p rounded BEFORE
+    every BH comparison), and two O(types) windows. At 100 TB: one
+    fact pass, everything after is metric-count-sized."""
+    events = load(spark, sf_dir, "events")
+    u = events.groupBy(
+        "event_type", "user_id", _abtest_arm().alias("grp")
+    ).agg(
+        F.max(
+            F.when(F.col("value") > ABTEST_CONV_VALUE, 1).otherwise(0)
+        ).alias("conv")
+    )
+    t = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0)).cast("long").alias("c_b"),
+    )
+    n_a, n_b, c_a, c_b = (F.col(c) for c in ("n_a", "n_b", "c_a", "c_b"))
+    pool = (c_a + c_b) * 1.0 / (n_a + n_b)
+    z = (c_a * 1.0 / n_a - c_b * 1.0 / n_b) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)
+    )
+    degenerate = (
+        (n_a == 0)
+        | (n_b == 0)
+        | ((c_a + c_b) == 0)
+        | ((c_a + c_b) == (n_a + n_b))
+    )
+    zdf = t.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.when(degenerate, F.lit(None).cast("double")).otherwise(z).alias("zz"),
+    )
+    pdf = zdf.withColumn(
+        "pv",
+        F.when(
+            F.col("zz").isNull(), F.lit(None).cast("double")
+        ).otherwise(F.round(F.expr(_two_sided_p("zz")), 6)),
+    )
+    w_rank = Window.orderBy(F.col("pv").asc_nulls_last(), "event_type")
+    r = pdf.select(
+        "*",
+        F.row_number().over(w_rank).cast("int").alias("rnk"),
+        F.count("pv").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    w_suffix = Window.orderBy(F.desc("rnk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    passes = F.when(
+        F.col("pv").isNotNull()
+        & (F.col("pv") <= F.col("rnk") * FDR_Q / F.col("m")),
+        1,
+    ).otherwise(0)
+    return r.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("zz", 4).alias("z_stat"),
+        F.col("pv").alias("p_value"),
+        F.col("rnk").alias("rank"),
+        F.max(passes).over(w_suffix).cast("int").alias("significant"),
+    )
+
+
+SEASONAL_MA = 3  # centered 7-day moving average: +/- 3 days
+
+
+@REG.add(
+    "q_seasonal_decompose",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, cnt,
+             CASE WHEN COUNT(*) OVER w = {2 * SEASONAL_MA + 1}
+               THEN AVG(cnt) OVER w END AS trend
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {SEASONAL_MA} PRECEDING
+                            AND {SEASONAL_MA} FOLLOWING)
+    ),
+    de AS (
+      SELECT event_type, day, cnt - trend AS det,
+             isodow(day) AS dow
+      FROM tr WHERE trend IS NOT NULL
+    ),
+    sea AS (
+      SELECT event_type, day, det,
+             det - AVG(det) OVER (PARTITION BY event_type, dow) AS rem
+      FROM de
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           ROUND(VAR_POP(det), 4) AS var_detrended,
+           ROUND(VAR_POP(rem), 4) AS var_remainder,
+           CASE WHEN VAR_POP(det) = 0 THEN NULL
+             ELSE ROUND(GREATEST(0.0, 1.0 - VAR_POP(rem) / VAR_POP(det)),
+                        4) END AS seasonal_strength
+    FROM sea
+    GROUP BY event_type
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily volume series per
+    type: trend = centered 7-day moving average (emitted only where the
+    full window exists), seasonal = per-weekday mean of the detrended
+    series, remainder = what's left — reporting Hyndman's seasonal
+    STRENGTH max(0, 1 − Var(remainder)/Var(detrended)) per type, the
+    scalar that says whether q_dow_seasonal_anomaly's weekday model is
+    even warranted for a metric (strength ≈ 0 → no weekly cycle to
+    adjust for; the ACF (q_autocorr) hints, this quantifies).
+
+    Scale shape: the smoother family's ONE O(types × days) daily
+    aggregate, then three window passes over that tiny frame (MA,
+    per-(type,dow) seasonal mean, final variance fold) — raw events
+    are never windowed. ISO weekday is the shared dow convention;
+    var ratios round(4) after the division."""
+    events = load(spark, sf_dir, "events")
+    d = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-SEASONAL_MA, SEASONAL_MA)
+    )
+    tr = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.when(
+            F.count("*").over(w) == 2 * SEASONAL_MA + 1,
+            F.avg("cnt").over(w),
+        ).alias("trend"),
+    )
+    de = tr.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        (F.col("cnt") - F.col("trend")).alias("det"),
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+    )
+    w_dow = Window.partitionBy("event_type", "dow")
+    sea = de.select(
+        "event_type",
+        "det",
+        (F.col("det") - F.avg("det").over(w_dow)).alias("rem"),
+    )
+    vd, vr = F.var_pop("det"), F.var_pop("rem")
+    return sea.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(vd, 4).alias("var_detrended"),
+        F.round(vr, 4).alias("var_remainder"),
+        F.when(vd == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.greatest(F.lit(0.0), 1.0 - vr / vd), 4))
+        .alias("seasonal_strength"),
+    )

@@ -2544,3 +2544,56 @@ def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY custdist DESC, c_count DESC
         """
     )
+
+
+Q16_EXCLUDED_TYPE = "PROMO"
+
+
+@REG.add(
+    "q_tpch_q16_shape",
+    f"""
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_type <> '{Q16_EXCLUDED_TYPE}'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 50
+    """,
+)
+def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, size) for non-excluded part types, with a
+    complained-about supplier blacklist as NOT IN (Q16's
+    'complaints' predicate recast as negative account balance) — the
+    combination Q22 doesn't cover: the null-aware anti join feeding a
+    COUNT(DISTINCT) grouped on DIM attributes, where the distinct
+    dedup (not the join) is the expensive stage.
+
+    Scale shape: the blacklist is O(suppliers) → broadcast null-aware
+    anti join at the fact scan; the part dim filter prunes before its
+    broadcast join; COUNT DISTINCT plans as the two-phase partial
+    dedup aggregate — the shuffle carries (brand, size, suppkey)
+    triples already locally deduped, never raw lines. ORDER BY
+    (cnt DESC, brand, size) is a total order so the LIMIT is
+    deterministic."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    return spark.sql(
+        f"""
+        SELECT p_brand, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM q16_part, q16_lineitem
+        WHERE p_partkey = l_partkey
+          AND p_type <> '{Q16_EXCLUDED_TYPE}'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 50
+        """
+    )

@@ -960,3 +960,167 @@ def test_cuped_adjust_closed_form(spark, sf_dir):
     # random fixture only correlates through per-user event volume, so
     # the magnitude is small — the recompute above is the real check)
     assert rows[0]["rho"] is not None and rows[0]["rho"] != 0.0
+
+
+def test_fdr_bh_closed_form(spark, sf_dir):
+    """Per-type z, the polynomial p, ranks, and the BH step-up flags all
+    recompute from the collected raw events (p compared against the
+    true math.erfc value at the polynomial's stated 1.5e-7 accuracy)."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        ABTEST_CONV_VALUE,
+        FDR_Q,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    conv: dict[tuple, int] = {}
+    for r in load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).collect():
+        k = (r["event_type"], r["user_id"])
+        conv[k] = max(conv.get(k, 0), int(r["value"] > ABTEST_CONV_VALUE))
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    stats: dict[str, list[int]] = {}
+    for (et, uid), c in conv.items():
+        s = stats.setdefault(et, [0, 0, 0, 0])
+        g = arm(uid)
+        s[g] += 1
+        s[2 + g] += c
+    ps = {}
+    for et, (na, nb, ca, cb) in stats.items():
+        if na == 0 or nb == 0 or (ca + cb) in (0, na + nb):
+            ps[et] = (None, None)
+            continue
+        p = (ca + cb) / (na + nb)
+        z = (ca / na - cb / nb) / math.sqrt(
+            p * (1 - p) * (1 / na + 1 / nb)
+        )
+        ps[et] = (z, math.erfc(abs(z) / math.sqrt(2)))
+    rows = {
+        r["event_type"]: r
+        for r in entry_mod.queries()["q_fdr_bh"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(stats)
+    for et, (z, p) in ps.items():
+        got = rows[et]
+        if z is None:
+            assert got["z_stat"] is None and got["p_value"] is None
+        else:
+            assert abs(got["z_stat"] - round(z, 4)) <= 1e-4
+            assert abs(got["p_value"] - p) <= 2e-6  # A&S 7.1.26 bound
+    # BH step-up on the reported (rounded) p-values
+    real = sorted(
+        (r["p_value"], et) for et, r in rows.items() if r["p_value"] is not None
+    )
+    m = len(real)
+    k = 0
+    for i, (p, _) in enumerate(real, start=1):
+        if p <= i * FDR_Q / m:
+            k = i
+    for et, r in rows.items():
+        want = int(
+            r["p_value"] is not None
+            and (r["p_value"], et) in real[:k]
+        )
+        assert r["significant"] == want, et
+
+
+def test_degree_assortativity_closed_form(spark, sf_dir):
+    """r recomputes from the explicit edge list (symmetric endpoint
+    Pearson over both orientations)."""
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    baskets: dict[int, set[int]] = {}
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for items in baskets.values():
+        s = sorted(items)
+        for i, u in enumerate(s):
+            for v in s[i + 1 :]:
+                edges.add((u, v))
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    mx = sum(xs) / n
+    cov = sum(a * b for a, b in zip(xs, ys)) / n - mx * mx
+    var = sum(a * a for a in xs) / n - mx * mx
+    row = entry_mod.queries()["q_degree_assortativity"](spark, sf_dir).first()
+    assert row["n_edges"] == len(edges)
+    assert abs(row["mean_end_degree"] - round(mx, 6)) <= 1e-6
+    assert abs(row["assortativity"] - round(cov / var, 6)) <= 1e-5
+
+
+def test_seasonal_decompose_closed_form(spark, sf_dir):
+    """Strength recomputes from the collected daily counts with the
+    textbook decomposition (7-day centered MA, per-dow seasonal means,
+    population variances)."""
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.operators.analytics import (
+        SEASONAL_MA,
+    )
+    from reactor_window_like_flink_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], float(r["count"])))
+    rows = {
+        r["event_type"]: r
+        for r in entry_mod.queries()["q_seasonal_decompose"](spark, sf_dir).collect()
+    }
+    k = SEASONAL_MA
+    for et, pts in series.items():
+        pts.sort()
+        xs = [c for _, c in pts]
+        days = [d for d, _ in pts]
+        det, dows = [], []
+        for i in range(len(xs)):
+            if i - k < 0 or i + k >= len(xs):
+                continue
+            trend = sum(xs[i - k : i + k + 1]) / (2 * k + 1)
+            det.append(xs[i] - trend)
+            dows.append(days[i].isoweekday())
+        if not det:
+            assert et not in rows
+            continue
+        by_dow: dict[int, list[float]] = {}
+        for d, v in zip(dows, det):
+            by_dow.setdefault(d, []).append(v)
+        rem = [
+            v - sum(by_dow[d]) / len(by_dow[d]) for d, v in zip(dows, det)
+        ]
+
+        def varp(v):
+            m = sum(v) / len(v)
+            return sum((x - m) ** 2 for x in v) / len(v)
+
+        r = rows[et]
+        assert r["n_days"] == len(det)
+        assert abs(r["var_detrended"] - round(varp(det), 4)) <= 1e-3
+        assert abs(r["var_remainder"] - round(varp(rem), 4)) <= 1e-3
+        want = max(0.0, 1.0 - varp(rem) / varp(det))
+        assert abs(r["seasonal_strength"] - round(want, 4)) <= 1e-3
+        # removing the seasonal means can only cut variance
+        assert r["var_remainder"] <= r["var_detrended"] + 1e-9

@@ -273,6 +273,10 @@ ROUND12_EMPTY_EXPECT = {
     "q_tpch_q13_shape": 0,
     "q_bootstrap_ci_fast": 1,
     "q_cuped_adjust": 0,
+    "q_degree_assortativity": 1,
+    "q_fdr_bh": 0,
+    "q_seasonal_decompose": 0,
+    "q_tpch_q16_shape": 0,
 }
 
 

@@ -444,3 +444,15 @@ def test_q2_correlated_min_decorrelates_over_checkpointed_slice(q):
         any("l_partkey" in k for k in keys) for keys in _join_key_lists(df)
     )
     assert has_node(df, "BroadcastHashJoin")
+
+
+def test_q16_anti_join_then_distinct_aggregate(q):
+    """The blacklist NOT IN must stay a hash anti join (null-aware, no
+    BNLJ) and the distinct count must plan as the two-phase partial
+    dedup aggregate (an expand/partial aggregate before the final)."""
+    df = q("q_tpch_q16_shape")
+    plan = formatted_plan(df)
+    assert has_node(df, "LeftAnti")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
