@@ -164,6 +164,8 @@ HEADLINE = [
     "q_fdr_bh",
     "q_seasonal_decompose",
     "q_tpch_q16_shape",
+    "q_mutual_info",
+    "q_tpch_q8_shape",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

@@ -1309,3 +1309,107 @@ def q_term_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("term_a"), F.asc("term_b"))
         .limit(TERM_JACCARD_TOP_K)
     )
+
+
+# ------------------------------------------------ MI feature selection
+
+MI_TOP_K = 30
+
+
+@REG.add(
+    "q_mutual_info",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    n_tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    n_s AS (SELECT source, CAST(count(*) AS DOUBLE) AS ns
+            FROM documents GROUP BY source),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM dt GROUP BY term),
+    ts AS (SELECT term, source, CAST(count(*) AS DOUBLE) AS nts
+           FROM dt GROUP BY term, source),
+    cells AS (
+      SELECT df.term, n_s.source, df.df, n_s.ns, n_tot.n,
+             COALESCE(ts.nts, 0.0) AS nts
+      FROM df CROSS JOIN n_s CROSS JOIN n_tot
+      LEFT JOIN ts ON ts.term = df.term AND ts.source = n_s.source
+    ),
+    mi AS (
+      SELECT term, CAST(MAX(df) AS BIGINT) AS df,
+             SUM(
+               CASE WHEN nts > 0 THEN
+                 (nts / n) * ln((nts / n) / ((df / n) * (ns / n)))
+               ELSE 0.0 END
+               +
+               CASE WHEN (ns - nts) > 0 AND (n - df) > 0 THEN
+                 ((ns - nts) / n)
+                 * ln(((ns - nts) / n) / (((n - df) / n) * (ns / n)))
+               ELSE 0.0 END
+             ) AS mi
+      FROM cells GROUP BY term
+    )
+    SELECT term, df, ROUND(mi, 6) AS mi
+    FROM mi
+    ORDER BY ROUND(mi, 6) DESC, term
+    LIMIT {MI_TOP_K}
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{MI_TOP_K} terms by mutual information between term PRESENCE
+    and document SOURCE — I(T;S) over the 2×|sources| contingency per
+    term, zero cells contributing 0 (lim x·ln x) — the feature-
+    selection readout behind a domain classifier (which terms identify
+    a source; the supervised complement of q_tfidf_topterms' unsupervised
+    weighting) and the leakage check for classifier features.
+
+    Scale shape: one (doc, source, term)-distinct explode (the
+    q_term_jaccard scan), then everything is vocabulary-sized — per-
+    (term, source) counts, per-term df, per-source totals, a
+    vocab × sources cell frame (sources is O(10): the cross join
+    broadcasts), one grouped fold per term, TakeOrderedAndProject.
+    Counts are integral so every cell probability is one division; the
+    per-term sum runs over O(sources) terms and rounds(6) BEFORE the
+    top-k ordering (tie-break on term) so both engines rank identical
+    values."""
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(_tokens())).alias("term"),
+        )
+        .localCheckpoint()
+    )
+    n_tot = docs.agg(F.count("*").cast("double").alias("n"))
+    n_s = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("ns")
+    )
+    df = dt.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    ts = dt.groupBy("term", "source").agg(
+        F.count("*").cast("double").alias("nts")
+    )
+    cells = (
+        df.crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(n_tot))
+        .join(ts, ["term", "source"], "left")
+        .withColumn("nts", F.coalesce(F.col("nts"), F.lit(0.0)))
+    )
+    n, dfc, ns, nts = (F.col(c) for c in ("n", "df", "ns", "nts"))
+    present = F.when(
+        nts > 0, (nts / n) * F.log((nts / n) / ((dfc / n) * (ns / n)))
+    ).otherwise(0.0)
+    absent = F.when(
+        ((ns - nts) > 0) & ((n - dfc) > 0),
+        ((ns - nts) / n)
+        * F.log(((ns - nts) / n) / (((n - dfc) / n) * (ns / n))),
+    ).otherwise(0.0)
+    mi = cells.groupBy("term").agg(
+        F.max("df").cast("long").alias("df"),
+        F.round(F.sum(present + absent), 6).alias("mi"),
+    )
+    return mi.orderBy(F.desc("mi"), F.asc("term")).limit(MI_TOP_K)

@@ -2597,3 +2597,73 @@ def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+Q8_REGIONKEY = 0
+Q8_SHARE_NATION = "NATION_3"
+
+
+@REG.add(
+    "q_tpch_q8_shape",
+    f"""
+    WITH vol AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             l_extendedprice * (1 - l_discount) AS v,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_regionkey = {Q8_REGIONKEY}
+    )
+    SELECT CAST(yr AS INT) AS yr,
+           ROUND(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                          THEN v ELSE 0 END) / SUM(v), 6) AS mkt_share,
+           ROUND(SUM(v), 2) AS total_vol
+    FROM vol GROUP BY yr ORDER BY yr
+    """,
+)
+def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    the revenue supplied into one region's customer market, per order
+    year — the DUAL-ROLE dimension join (nation joined TWICE under
+    different roles: once filtering the customer side, once labeling
+    the supplier side) plus the conditional-share aggregate, a plan
+    shape none of the other TPC-H keys produce (Catalyst must keep the
+    two nation scans' attributes apart through a 6-relation join).
+
+    Scale shape: the region filter prunes the customer-side nation dim
+    BEFORE its broadcast, which cascades — customers of other regions
+    drop at the first dim join, so the fact's expensive
+    orders⋈customer path carries only the selected region; all four
+    dims broadcast; the CASE share folds in the same single aggregate
+    as the denominator (one pass, no self-join of vol). Share =
+    ratio of same-aggregate sums — round(6) after the division."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q8_lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q8_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q8_customer")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q8_supplier")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("q8_nation")
+    return spark.sql(
+        f"""
+        WITH vol AS (
+          SELECT year(o_orderdate) AS yr,
+                 l_extendedprice * (1 - l_discount) AS v,
+                 sn.n_name AS supp_nation
+          FROM q8_lineitem
+          JOIN q8_orders ON l_orderkey = o_orderkey
+          JOIN q8_customer ON o_custkey = c_custkey
+          JOIN q8_nation cn ON c_nationkey = cn.n_nationkey
+          JOIN q8_supplier ON l_suppkey = s_suppkey
+          JOIN q8_nation sn ON s_nationkey = sn.n_nationkey
+          WHERE cn.n_regionkey = {Q8_REGIONKEY}
+        )
+        SELECT CAST(yr AS INT) AS yr,
+               ROUND(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                              THEN v ELSE 0 END) / SUM(v), 6) AS mkt_share,
+               ROUND(SUM(v), 2) AS total_vol
+        FROM vol GROUP BY yr ORDER BY yr
+        """
+    )

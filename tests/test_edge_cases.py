@@ -277,6 +277,8 @@ ROUND12_EMPTY_EXPECT = {
     "q_fdr_bh": 0,
     "q_seasonal_decompose": 0,
     "q_tpch_q16_shape": 0,
+    "q_mutual_info": 0,
+    "q_tpch_q8_shape": 0,
 }
 
 

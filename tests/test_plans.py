@@ -456,3 +456,17 @@ def test_q16_anti_join_then_distinct_aggregate(q):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q8_dual_role_dim_broadcasts_and_one_aggregate(q):
+    """Both nation roles (customer filter, supplier label) must resolve
+    through broadcast joins with the region filter pruning before the
+    fact path, and the share must fold in ONE aggregate (no self-join
+    of the volume frame)."""
+    df = q("q_tpch_q8_shape")
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    # exactly one scan per relation role (lineitem, orders, customer,
+    # supplier, nation x2) — no relation re-scanned for the share
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 6

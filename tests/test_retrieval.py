@@ -846,3 +846,47 @@ def test_term_jaccard_closed_form(spark, sf_dir):
         assert abs(r["jaccard"] - round(want, 6)) <= 1e-6
     keys = [(-r["jaccard"], r["term_a"], r["term_b"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_mutual_info_closed_form(spark, sf_dir):
+    """Every reported term's MI recomputes from the collected doc-term
+    presence table (2 x |sources| contingency, zero cells -> 0)."""
+    import math
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.llm.retrieval import MI_TOP_K
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    n = len(docs)
+    n_s: dict[str, int] = {}
+    present: dict[str, dict[str, int]] = {}
+    df: dict[str, int] = {}
+    for r in docs:
+        n_s[r["source"]] = n_s.get(r["source"], 0) + 1
+        for t in set(r["text"].lower().split(" ")):
+            df[t] = df.get(t, 0) + 1
+            d = present.setdefault(t, {})
+            d[r["source"]] = d.get(r["source"], 0) + 1
+    rows = entry_mod.queries()["q_mutual_info"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= MI_TOP_K
+    for r in rows:
+        t = r["term"]
+        assert r["df"] == df[t]
+        mi = 0.0
+        for s, ns in n_s.items():
+            nts = present[t].get(s, 0)
+            if nts > 0:
+                mi += (nts / n) * math.log(
+                    (nts / n) / ((df[t] / n) * (ns / n))
+                )
+            if (ns - nts) > 0 and (n - df[t]) > 0:
+                mi += ((ns - nts) / n) * math.log(
+                    ((ns - nts) / n) / (((n - df[t]) / n) * (ns / n))
+                )
+        assert abs(r["mi"] - round(mi, 6)) <= 1e-5
+    vals = [(-r["mi"], r["term"]) for r in rows]
+    assert vals == sorted(vals)
+    assert all(r["mi"] >= 0 for r in rows)  # MI is non-negative
