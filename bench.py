@@ -166,6 +166,7 @@ HEADLINE = [
     "q_tpch_q16_shape",
     "q_mutual_info",
     "q_tpch_q8_shape",
+    "q_welch_ttest",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose

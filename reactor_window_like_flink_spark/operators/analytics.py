@@ -3057,3 +3057,109 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.greatest(F.lit(0.0), 1.0 - vr / vd), 4))
         .alias("seasonal_strength"),
     )
+
+
+@REG.add(
+    "q_welch_ttest",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_ABTEST_ARM_SQL} AS grp, SUM(value) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             SUM(y) AS sy, SUM(y * y) AS syy
+      FROM u GROUP BY grp
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN grp = 0 THEN sy END) AS sy_a,
+             MAX(CASE WHEN grp = 1 THEN sy END) AS sy_b,
+             MAX(CASE WHEN grp = 0 THEN syy END) AS syy_a,
+             MAX(CASE WHEN grp = 1 THEN syy END) AS syy_b
+      FROM s
+    ),
+    v AS (
+      SELECT n_a, n_b,
+             sy_a / n_a AS m_a, sy_b / n_b AS m_b,
+             (syy_a - sy_a * sy_a / n_a) / (n_a - 1) / n_a AS va,
+             (syy_b - sy_b * sy_b / n_b) / (n_b - 1) / n_b AS vb
+      FROM w
+      WHERE n_a > 1 AND n_b > 1
+    )
+    SELECT n_a, n_b, ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+           CASE WHEN (va + vb) = 0 THEN NULL
+             ELSE ROUND((m_a - m_b) / sqrt(va + vb), 4) END AS t_stat,
+           CASE WHEN va = 0 AND vb = 0 THEN NULL
+             ELSE ROUND((va + vb) * (va + vb)
+                  / (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 2)
+             END AS df
+    FROM v
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user total value between
+    the hash-randomized arms — the CONTINUOUS-metric A/B readout
+    (q_abtest_ztest: binary conversion; this: revenue-per-user, the
+    metric experiments actually optimize), with the Welch-Satterthwaite
+    effective degrees of freedom. Welch rather than pooled Student
+    because arm variances are never provably equal in production and
+    Welch costs nothing extra from sufficient statistics. Degenerate
+    inputs (an arm with ≤1 user, zero variance) emit no row / NULLs
+    identically in both engines.
+
+    Scale shape: the q_abtest_ztest skeleton exactly — ONE per-user
+    map-side-combined aggregate, an O(2) per-arm fold, a 1-row pivot,
+    closed-form arithmetic. One fact pass at 100 TB."""
+    events = load(spark, sf_dir, "events")
+    u = events.groupBy("user_id", _abtest_arm().alias("grp")).agg(
+        F.sum("value").alias("y")
+    )
+    s = u.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}_{a}")
+            for g, a in ((0, "a"), (1, "b"))
+            for c in ("n", "sy", "syy")
+        ]
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m_a = F.col("sy_a") / n_a
+    m_b = F.col("sy_b") / n_b
+    va = (F.col("syy_a") - F.col("sy_a") * F.col("sy_a") / n_a) / (
+        n_a - 1
+    ) / n_a
+    vb = (F.col("syy_b") - F.col("sy_b") * F.col("sy_b") / n_b) / (
+        n_b - 1
+    ) / n_b
+    v = w.filter((n_a > 1) & (n_b > 1)).select(
+        "n_a", "n_b", m_a.alias("m_a"), m_b.alias("m_b"),
+        va.alias("va"), vb.alias("vb"),
+    )
+    va, vb = F.col("va"), F.col("vb")
+    return v.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.when((va + vb) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(va + vb), 4)
+        )
+        .alias("t_stat"),
+        F.when((va == 0) & (vb == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (va + vb)
+                * (va + vb)
+                / (va * va / (n_a - 1) + vb * vb / (n_b - 1)),
+                2,
+            )
+        )
+        .alias("df"),
+    )

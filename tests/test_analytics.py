@@ -1124,3 +1124,40 @@ def test_seasonal_decompose_closed_form(spark, sf_dir):
         assert abs(r["seasonal_strength"] - round(want, 4)) <= 1e-3
         # removing the seasonal means can only cut variance
         assert r["var_remainder"] <= r["var_detrended"] + 1e-9
+
+
+def test_welch_ttest_closed_form(spark, sf_dir):
+    """t and the Welch-Satterthwaite df recompute from the collected
+    per-user totals."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as entry_mod
+    from reactor_window_like_flink_spark.sources.tables import load
+
+    per: dict[int, float] = {}
+    for r in load(spark, sf_dir, "events").select("user_id", "value").collect():
+        per[r["user_id"]] = per.get(r["user_id"], 0.0) + r["value"]
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    a = [v for u, v in per.items() if arm(u) == 0]
+    b = [v for u, v in per.items() if arm(u) == 1]
+
+    def mv(xs):
+        m = sum(xs) / len(xs)
+        return m, sum((x - m) ** 2 for x in xs) / (len(xs) - 1) / len(xs)
+
+    ma, va = mv(a)
+    mb, vb = mv(b)
+    t = (ma - mb) / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    row = entry_mod.queries()["q_welch_ttest"](spark, sf_dir).first()
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert abs(row["mean_a"] - round(ma, 6)) <= 1e-4
+    assert abs(row["mean_b"] - round(mb, 6)) <= 1e-4
+    assert abs(row["t_stat"] - round(t, 4)) <= 1e-3
+    assert abs(row["df"] - round(df, 2)) <= 0.05
+    # Welch df sits between min(n)-1 and n_a+n_b-2
+    assert min(len(a), len(b)) - 1 <= row["df"] <= len(a) + len(b) - 2

@@ -279,6 +279,7 @@ ROUND12_EMPTY_EXPECT = {
     "q_tpch_q16_shape": 0,
     "q_mutual_info": 0,
     "q_tpch_q8_shape": 0,
+    "q_welch_ttest": 0,
 }
 
 
