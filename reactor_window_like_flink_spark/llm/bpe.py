@@ -176,7 +176,7 @@ def learn_bpe_merges(
 @REG.add("q_bpe_merges")  # rows-only: iterative argmax has no SQL
 # oracle; pytest asserts equality with a sequential reference BPE.
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First {BPE_MERGES} BPE merges learned from the documents corpus:
+    """First 16 BPE merges learned from the documents corpus:
     (rank, left, right, joint_freq) in learning order — the
     tokenizer-training pass (see module docstring for the scale split).
     Routed through the merges_for memo so q_bpe_merges + q_bpe_encode in

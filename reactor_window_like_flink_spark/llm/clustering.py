@@ -312,7 +312,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``pagerank``) — which items sit at the center of basket
     co-occurrence. The iterative-join workload the engine's graph tier
     must sustain beyond single-pass components: rank mass flows along
-    edges for {PAGERANK_ITERS} rounds, one keyed join + one
+    edges for 10 rounds, one keyed join + one
     re-aggregate per round."""
     from reactor_window_like_flink_spark.operators.analytics import (
         _basket_pairs,
@@ -502,7 +502,7 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
 # SQL mirror; pytest asserts equality with a sequential peeling
 # reference and planted clique-plus-tendrils behavior.
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The {KCORE_K}-core of the part co-purchase graph (see ``kcore``):
+    """The 8-core of the part co-purchase graph (see ``kcore``):
     the products whose co-purchase neighborhood stays dense after
     incidental co-occurrences peel away — the dense-subgraph member of
     the graph tier (components / LPA communities / PageRank /

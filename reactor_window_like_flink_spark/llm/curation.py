@@ -183,7 +183,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level decontamination: WHERE inside each training document
     the benchmark overlap sits — one row per contaminated
-    {CHUNK_TOKENS}-token chunk ({CHUNK_STRIDE}-token stride, the
+    64-token chunk (48-token stride, the
     ``q_chunk_tokens`` windows) with its distinct matched-trigram count.
     The doc-level key (``q_decontaminate``) answers *drop or keep*; this
     one enables the production middle path — excise the contaminated
@@ -1010,7 +1010,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level dedup: full {CHUNK_TOKENS}-token context windows (from
+    """Chunk-level dedup: full 64-token context windows (from
     ``q_chunk_tokens``) that recur across >= 2 documents — the
     passage-granularity pass that catches syndicated paragraphs inside
     otherwise-distinct documents, which doc-level exact/near dedup misses.

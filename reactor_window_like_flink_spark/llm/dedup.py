@@ -433,7 +433,7 @@ _CONTAINMENT_ORACLE = f"""
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs (Broder's resemblance/containment
     split): same-``lang`` doc pairs where at least one side has >=
-    {CONTAINMENT_THRESHOLD} of its word-bigram shingles inside the other.
+    0.5 of its word-bigram shingles inside the other.
     The inclusion detector symmetric Jaccard structurally misses — a doc
     fully quoted inside a much larger one scores containment 1.0 but
     Jaccard ~|small|/|large|.
@@ -1062,7 +1062,7 @@ def q_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan a real corpus runs, kept in the measured surface (bench
     bar + scale probe with recall) so regressions in the auto path are
     caught by measurement, not only by unit tests. At the fixture's
-    demo threshold ({EMB_COSINE_THRESHOLD}) the plan clamps at
+    demo threshold (0.3) the plan clamps at
     max_bands and WARNS — low thresholds are outside banded LSH's
     economic regime; the warning is deliberately NOT suppressed here
     (a caller cloning this key must see the clamp), and the plan's

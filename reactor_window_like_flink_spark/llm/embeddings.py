@@ -137,14 +137,21 @@ def whiten(
 # projection at 1e-6, identity covariance of the whitened output, and
 # descending explained variance (tests/test_embeddings.py).
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-whiten the embeddings table to its top {PCA_DIM} components:
+    """PCA-whiten the embeddings table to its top PCA_DIM components:
     (vec_id, label, pca, var_ratio) where ``pca`` is the centered,
     rotated, unit-variance projection and ``var_ratio`` the kept
     explained-variance fraction (an audit scalar, constant per run) —
     the embedding normalization + dimensionality-reduction pass a
     curation pipeline runs before ANN indexing and semantic dedup.
     Whitened output feeds the existing similarity family unchanged
-    (cosine on whitened vectors = the Mahalanobis-corrected metric)."""
+    (cosine on whitened vectors = the Mahalanobis-corrected metric).
+
+    Contract shape: ``pca`` is emitted as a comma-joined STRING of the
+    round-6 components, not an ``array<double>`` — the driver's
+    canonicalizer sorts rows pandas-side and an array cell is
+    unhashable there (the r12 harness error left this key with no
+    driver record at all). The library path (``whiten``) still returns
+    the true array column for downstream similarity/ANN use."""
     from pyspark.sql import functions as F
 
     emb = load(spark, sf_dir, "embeddings")
@@ -153,14 +160,17 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.select(
             "vec_id",
             "label",
-            F.expr("CAST(array() AS array<double>)").alias("pca"),
+            F.lit("").alias("pca"),
             F.lit(0.0).alias("var_ratio"),
         ).limit(0)
     out = whiten(emb, mean, comp, lam)
     return out.select(
         "vec_id",
         "label",
-        F.expr(f"transform(pca, x -> round(x, 6))").alias("pca"),
+        F.expr(
+            "concat_ws(',', transform(pca,"
+            " x -> CAST(round(x, 6) AS STRING)))"
+        ).alias("pca"),
         F.lit(round(float(ratio.sum()), 6)).alias("var_ratio"),
     )
 
@@ -188,6 +198,25 @@ def _arr_dot(col_a: str, col_b: str) -> "F.Column":
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _dot_unrolled(col_a: str, col_b: str, dim: int) -> "F.Column":
+    """Fixed-dim dot product as an explicit left-associated sum —
+    bit-identical to the sequential ``aggregate`` fold (0.0 + x0 == x0
+    in IEEE, and ``a + b + c`` parses ((a+b)+c), the fold's order) but
+    whole-stage-codegen'd instead of interpreted per-row lambda calls.
+    Higher-order functions are CodegenFallback in Spark, so the fold
+    form pays a per-element interpreter dispatch; at a known dim the
+    unrolled expression compiles into the scan's generated code."""
+    terms = " + ".join(
+        f"(CAST({col_a}[{i}] AS DOUBLE) * CAST({col_b}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return F.expr(terms)
+
+
+def _norm_unrolled(col: str, dim: int) -> "F.Column":
+    return F.sqrt(_dot_unrolled(col, col, dim))
 
 
 @REG.add(
@@ -252,6 +281,8 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: centroid components round(6) BEFORE scoring in both
     engines; all folds run in index order; min is order-free."""
     emb = load(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
     comp = emb.select(
         "label", F.posexplode("embedding").alias("i", "c")
     )
@@ -270,12 +301,17 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("centroid_norm", F.round(_arr_norm("centroid"), 6))
         .drop("sm")
     )
+    # fixed-dim unrolled cosine: same IEEE add order as the fold the
+    # oracle runs, but inside whole-stage codegen (see _dot_unrolled)
     scored = emb.join(F.broadcast(carr), "label").select(
         "label",
         "centroid_norm",
         (
-            _arr_dot("embedding", "centroid")
-            / (_arr_norm("embedding") * _arr_norm("centroid"))
+            _dot_unrolled("embedding", "centroid", dim)
+            / (
+                _norm_unrolled("embedding", dim)
+                * _norm_unrolled("centroid", dim)
+            )
         ).alias("cos"),
     )
     return scored.groupBy("label", "centroid_norm").agg(

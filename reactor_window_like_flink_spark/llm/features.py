@@ -52,7 +52,7 @@ TARGET_SMOOTHING = 100.0  # pseudo-observations of the global prior
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed mean target encoding of ``c_mktsegment`` against order
     value: encoded(seg) = (Σ target + m·prior) / (n + m) with
-    m = {TARGET_SMOOTHING} pseudo-observations of the global mean — the
+    m = 100.0 pseudo-observations of the global mean — the
     leakage-resistant categorical encoding (empirical-Bayes shrinkage:
     rare categories collapse to the prior, large ones keep their mean)
     every tabular feature pipeline ships. Segments with zero orders
@@ -208,7 +208,7 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust scaling of the lineitem numerics — (x − median) / IQR —
     the scaler a pipeline reaches for when q_feature_scale's mean/σ
     is dragged by heavy tails, digest-verified per returnflag (robust-z
-    slice means plus the count of |z| > {ROBUST_OUT_Z} outliers — an
+    slice means plus the count of |z| > 3.0 outliers — an
     integer, so that column is exact, not rounded). Spark's exact
     ``percentile`` and DuckDB's ``quantile_cont`` share the linear
     interpolation convention, making median/IQR bit-identical across
@@ -290,11 +290,11 @@ OOF_FOLDS = 5
 def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OUT-OF-FOLD target encoding — the leakage-PROOF form of
     q_target_encoding: each (segment, fold) cell is encoded from the
-    OTHER {OOF_FOLDS - 1} folds only (segment totals minus the cell's
+    OTHER 4 folds only (segment totals minus the cell's
     own fold; the shrinkage prior is likewise the out-of-fold global
     mean), so a row's own target never leaks into its own feature —
     the k-fold trick every gradient-boosting pipeline applies to mean
-    encodings. Folds are md5(o_orderkey) % {OOF_FOLDS} (the RNG-free
+    encodings. Folds are md5(o_orderkey) % 5 (the RNG-free
     assignment device). Only observed (segment, fold) cells are
     emitted.
 

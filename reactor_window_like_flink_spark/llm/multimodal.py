@@ -415,7 +415,7 @@ def phash_pairs(sigs: DataFrame) -> DataFrame:
 def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate pairs across the multimodal corpus:
     assets whose dHash signatures are within Hamming distance
-    {PHASH_HAMMING}, found via pigeonhole chunk buckets — the
+    3, found via pigeonhole chunk buckets — the
     same-image-different-bytes dedup that checksum grouping
     (q_multimodal_dedup) cannot see.
 
@@ -423,7 +423,7 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte signatures (payloads never shuffle — the only wide stage
     carries (doc_id, kind, 8-byte hash)); the self-join keys on
     (chunk_id, chunk_val) — high-cardinality, spread across
-    executors, full recall for hamming <= {PHASH_HAMMING} by the
+    executors, full recall for hamming <= 3 by the
     pigeonhole bound.
 
     On the synthetic fixture corpus this returns 0 rows — a true

@@ -233,7 +233,7 @@ MAD_CUTOFF = 3.5
 )
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection via the MAD modified z-score
-    (Iglewicz & Hoaglin 1993): |{MAD_SCALE}*(x - median)/MAD| > {MAD_CUTOFF}
+    (Iglewicz & Hoaglin 1993): |0.6745*(x - median)/MAD| > 3.5
     over ``events.value`` per event_type — the quality filter that stays
     calibrated even when the contamination itself is extreme.
 
@@ -542,7 +542,7 @@ NORM_HI = 2.0
 def q_embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table health profile: L2-norm distribution (mean, exact
     p50/p95), dimension min/max (a dim mismatch means a mixed-encoder
-    table), zero-vector count, and out-of-band [{NORM_LO}, {NORM_HI}]
+    table), zero-vector count, and out-of-band [0.5, 2.0]
     norms — the pre-flight check before any cosine/ANN pass assumes
     well-scaled vectors.
 
@@ -611,7 +611,7 @@ DECILES = 10
 )
 def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth length distribution: documents bucketed into
-    {DECILES} deciles by exact n_chars percentile EDGES, with per-decile
+    10 deciles by exact n_chars percentile EDGES, with per-decile
     stats — the quantile complement of the fixed-width q_histogram
     (fixed-width answers "where is the mass", equi-depth answers "what
     does a typical p40-p50 document look like"). Bucket rule: decile =

@@ -79,7 +79,7 @@ PMI_TOP_K = 50
     """,
 )
 def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BM25_TOP_TERMS} BM25 terms per document — the standard
+    """Top-3 BM25 terms per document — the standard
     first-stage lexical ranker (Robertson/Sparck-Jones probabilistic
     weighting with tf saturation and doc-length normalization), k1=1.2,
     b=0.75, Lucene's ln(1 + (N-df+0.5)/(df+0.5)) non-negative idf.
@@ -149,7 +149,7 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: term -> sorted doc_id posting list with df
-    and total term frequency, hapax terms (df < {INDEX_MIN_DF}) dropped.
+    and total term frequency, hapax terms (df < 2) dropped.
     This is the physical structure behind q_bm25_topterms served as a
     query-time index instead of a batch score.
 
@@ -289,8 +289,8 @@ def build_inverted_index_tiered(
     """,
 )
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: top-{PMI_TOP_K} adjacent-token bigrams by
-    pointwise mutual information, pairs seen >= {PMI_MIN_PAIR} times.
+    """Collocation mining: top-50 adjacent-token bigrams by
+    pointwise mutual information, pairs seen >= 5 times.
     PMI = ln(P(xy) / (P(x)P(y))) under the corpus unigram/bigram models —
     the classic phrase-detection score (Church & Hanks 1990) feeding
     tokenizer-merge and phrase-vocabulary decisions.
@@ -536,12 +536,12 @@ def _misra_gries_partial(batches):
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items / heavy-hitters: every token whose corpus frequency
-    exceeds N/{HH_THRESHOLD_DENOM} (exact counts + share). The answer is
+    exceeds N/200 (exact counts + share). The answer is
     EXACT — what's approximate is only the candidate pruning, which is
     what makes the operator scale.
 
     Two passes: (1) an Arrow `mapInPandas` Misra-Gries sketch per
-    partition — O({HH_CAPACITY}) memory per task regardless of partition
+    partition — O(400) memory per task regardless of partition
     size, emitting a provable candidate SUPERSET (see the capacity note
     above) of a few hundred rows per partition; (2) exact counts for the
     candidates only, via a broadcast semi-join filter on the token stream
@@ -633,7 +633,7 @@ BM25_QUERY_TOP_K = 10
     """,
 )
 def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BM25_QUERY_TOP_K} documents for a fixed query under BM25 —
+    """Top-10 documents for a fixed query under BM25 —
     the query-time twin of ``q_bm25_topterms`` (retrieval inference:
     dedup of eval prompts against the corpus, nearest-document lookup,
     RAG candidate generation).
@@ -791,10 +791,10 @@ def _cms_bucket_sql(term_expr: str, d_expr: str, engine: str) -> str:
 )
 def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable count-min-sketch frequency rollup: per-source
-    {CMS_DEPTH}x{CMS_WIDTH} sketches built from the token stream, merged
+    4x256 sketches built from the token stream, merged
     across sources by counter addition (the re-aggregation property —
     same contract as the HLL and fixed-bin quantile rollups), then
-    probed for {len(CMS_PROBE_TERMS)} terms against their exact counts
+    probed for 5 terms against their exact counts
     with the one-sided overcount reported.
 
     The 100 TB point: the depth fan-out never touches the token
@@ -802,7 +802,7 @@ def q_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = per-partition distinct terms, zipf-small for text), and
     only that O(vocab) aggregate is exploded x depth into the
     (source, d, bucket) key space of sources x
-    {CMS_DEPTH * CMS_WIDTH} cells, which map-side combine collapses
+    1024 cells, which map-side combine collapses
     to a constant-size partial per partition (Misra-Gries heavy
     hitters answers "which terms are frequent", CMS answers "how
     frequent is THIS term" point queries over streams/shards). CMS
@@ -963,7 +963,7 @@ def bm25_index(spark: SparkSession, sf_dir: str):
     """,
 )
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME top-{BM25_QUERY_TOP_K} BM25 query as ``q_bm25_query``,
+    """The SAME top-10 BM25 query as ``q_bm25_query``,
     answered from the PRE-BUILT index (``bm25_index``) instead of a
     corpus scan — the ad-hoc-query serving path: ``q_bm25_query``'s
     constant-term projection is the right plan when the query is known
@@ -1141,8 +1141,8 @@ _RRF_BM25_CTES = f"""
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25,
     fixed query terms) and semantic (exact cosine vs the vec_id=0 probe
-    embedding, docs keyed by vec_id==doc_id) top-{RRF_ARM_K} lists —
-    rrf(d) = Σ_arms 1/({RRF_K} + rank_arm(d)) (Cormack et al. 2009),
+    embedding, docs keyed by vec_id==doc_id) top-20 lists —
+    rrf(d) = Σ_arms 1/(60 + rank_arm(d)) (Cormack et al. 2009),
     the standard way a RAG candidate generator merges keyword and
     embedding recall without score calibration. A document missing
     from an arm contributes 0 (NULL rank survives to the output so the
@@ -1151,7 +1151,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each arm is its own already-scale-shaped pass —
     lexical: the q_bm25_query zero-join scan; semantic: the
     q_similarity_cosine broadcast-probe scan — each reduced by
-    TakeOrderedAndProject to {RRF_ARM_K} rows BEFORE any window, so the
+    TakeOrderedAndProject to 20 rows BEFORE any window, so the
     rank windows and the full-outer fusion join run on constant-size
     frames. At 100 TB the fusion cost is the two scans; everything
     after is O(arm-K). Rank ties break on doc_id; the fused order
@@ -1245,7 +1245,7 @@ TERM_JACCARD_TOP_K = 100
 def q_term_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional term similarity: Jaccard overlap of two terms'
     DOCUMENT sets, J = |D_a ∩ D_b| / (df_a + df_b − |D_a ∩ D_b|), for
-    pairs co-occurring in ≥ {TERM_JACCARD_MIN_COMMON} documents — the
+    pairs co-occurring in ≥ 5 documents — the
     document-level companion to ``q_bigram_pmi`` (PMI finds adjacent
     collocations; this finds terms used in the same DOCUMENTS — the
     related-term / query-expansion signal), and the transpose of
@@ -1358,7 +1358,7 @@ MI_TOP_K = 30
     """,
 )
 def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{MI_TOP_K} terms by mutual information between term PRESENCE
+    """Top-30 terms by mutual information between term PRESENCE
     and document SOURCE — I(T;S) over the 2×|sources| contingency per
     term, zero cells contributing 0 (lim x·ln x) — the feature-
     selection readout behind a domain classifier (which terms identify

@@ -371,7 +371,7 @@ CHUNK_STRIDE = 48  # 16-token overlap
 )
 def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: each document's whitespace tokens split
-    into {CHUNK_TOKENS}-token windows every {CHUNK_STRIDE} tokens (the
+    into 64-token windows every 48 tokens (the
     final window may be shorter), emitting a deterministic md5 per chunk
     — the unit for chunk-level dedup / retrieval indexing.
 
@@ -572,7 +572,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, documents are admitted in deterministic hash-priority order
     (md5 of doc_id — a uniform, RNG-free shuffle, same device as
     q_sample_hash) until the domain's whitespace-token budget of
-    {TOKEN_BUDGET_PER_DOMAIN} is exhausted; the admitted set is the
+    2000 is exhausted; the admitted set is the
     maximal priority-prefix whose running total fits (take-while on the
     cumulative sum).
 
@@ -581,7 +581,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a 90%-one-domain corpus single-tasked its largest ``lang``):
 
     1. Histogram phase: bucket the 32-bit priority space into
-       {TOKEN_BUDGET_HIST_BUCKETS} fixed-width ranges and aggregate
+       1024 fixed-width ranges and aggregate
        token mass per (lang, bucket) — a map-side-combined groupBy
        whose output is O(domains × buckets) rows, never corpus-sized.
        A running sum over that tiny frame locates each domain's
@@ -723,10 +723,10 @@ EPOCH_CAP = 4.0
 )
 def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-aware mixture plan: turn the temperature-scaled target
-    shares (the ``q_sample_temperature`` rule, alpha={TEMP_ALPHA}) and a
-    total training budget of {TRAIN_BUDGET_MULT}x the corpus token mass
+    shares (the ``q_sample_temperature`` rule, alpha=0.3) and a
+    total training budget of 2.0x the corpus token mass
     into per-source repetition counts — epochs = target_tokens /
-    available_tokens, clipped at {EPOCH_CAP} epochs (the
+    available_tokens, clipped at 4.0 epochs (the
     data-constrained-scaling ceiling past which repetition stops paying)
     with capped sources flagged and the post-cap planned token count
     reported. This is the planning table a training loader consumes;
@@ -793,7 +793,7 @@ SAMPLE_K_PER_GROUP = 20  # q_sample_k_per_group: docs kept per language
 )
 def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-K sample per group: exactly
-    {SAMPLE_K_PER_GROUP} documents per language, chosen by md5
+    20 documents per language, chosen by md5
     priority — the eval-set / human-review draw ("give me 20 random
     docs per language, the SAME 20 every run") that fraction samplers
     (q_sample_hash / q_sample_stratified) can't pin: a rate keeps a

@@ -580,9 +580,9 @@ def knn_graph(
 
     ``bands=None, bits=None`` (the defaults) derive BOTH knobs jointly
     from the corpus count via ``auto_lsh_plan`` at cosine
-    {KNN_PLAN_COSINE} — bits occupancy-bound, bands solved from the
+    0.7 — bits occupancy-bound, bands solved from the
     S-curve so recall holds as bits grow (sizing bits alone while bands
-    stayed at the {KNN_LSH_BANDS}-band literal silently decayed
+    stayed at the 16-band literal silently decayed
     moderate-cosine recall at scale — the same hazard auto_lsh_plan
     fixes for the near-dup paths; when even max_bands can't reach the
     target at corpus scale the plan clamps AND warns, because
@@ -600,7 +600,7 @@ def knn_graph(
     BASELINE.md): instead of MATERIALIZING every bucket-mate pair
     through a self-join and two embedding re-joins, each (band, bucket)
     group computes its members' cosines as a row-blocked numpy matmul
-    and emits only each member's LOCAL top-{KNN_K} — per-group local
+    and emits only each member's LOCAL top-5 — per-group local
     top-k under the global tie-break (cos desc, neighbor asc) provably
     preserves the exact global top-k over the union of candidates (any
     global top-k neighbor shares a bucket with the vector, and fewer
@@ -719,7 +719,7 @@ def knn_graph(
 # and exactness of every emitted cosine.
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture-pinned registration of ``knn_graph``: the
-    {KNN_LSH_BANDS}×{KNN_LSH_BITS} kNN-family literals at the kNN seed,
+    16×4 kNN-family literals at the kNN seed,
     which the recall/exactness pytests (and the rows-only driver
     record) depend on. Library callers use ``knn_graph`` directly and
     get the joint ``auto_lsh_plan`` defaults — the registered, benched,
@@ -737,7 +737,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-SIZED registration of ``knn_graph``: (bands, bits)
     jointly derived from the corpus count via ``auto_lsh_plan`` at
-    cosine {KNN_PLAN_COSINE} (the defaults) instead of the 16x4 fixture
+    cosine 0.7 (the defaults) instead of the 16x4 fixture
     literals — the auto path kept in the measured surface (bench bar +
     scale probe with recall) so its regressions are measured, not just
     unit-tested."""
@@ -825,7 +825,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means cells from the shared
     IVF index build (`train_ivf` — one training pass serves ANN, PQ and
     this key), greedy min-id-anchor prune within each cell at cosine >
-    {SEMDEDUP_THRESHOLD}. See ``semdedup`` for semantics and scale."""
+    0.3. See ``semdedup`` for semantics and scale."""
     index = train_ivf(spark, sf_dir)
     return semdedup(index.assigned, SEMDEDUP_THRESHOLD)
 

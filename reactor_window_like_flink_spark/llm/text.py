@@ -335,7 +335,7 @@ TFIDF_TOP_TERMS = 3
     """,
 )
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary: the {VOCAB_TOP_K} most frequent tokens with
+    """Corpus vocabulary: the 100 most frequent tokens with
     collection and document frequency — the tokenizer-induction /
     coverage-check pass.
 
@@ -385,7 +385,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOP_TERMS} TF-IDF terms per document — the classic
+    """Top-3 TF-IDF terms per document — the classic
     keyword/topic-surfacing pass.
 
     Pipeline: explode -> (doc, term) tf aggregate, materialized once
@@ -553,7 +553,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bag-of-words can't see scrambled or template text; a bigram model
     scores "the of the of" low even when every unigram is common).
 
-    P(w|u) = {LM_LAMBDA}·c(u,w)/c(u·) + {1 - LM_LAMBDA}·c(w)/N, with
+    P(w|u) = 0.75·c(u,w)/c(u·) + 0.25·c(w)/N, with
     c(u·) the bigram-position context total, so the conditional is a
     proper distribution over the observed vocabulary. Docs with < 2
     tokens have no bigram positions and emit no row (same contract as

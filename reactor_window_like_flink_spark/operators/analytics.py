@@ -1546,7 +1546,7 @@ EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
 )
 def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of the daily event count per
-    type (alpha = {EWMA_ALPHA}, seeded at the first day — the
+    type (alpha = 0.3, seeded at the first day — the
     level-tracking smoother behind every "is today's volume normal?"
     monitor), reporting the current level and the last day's deviation
     from it.
@@ -1934,7 +1934,7 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     users assigned by md5(user_id) % 2 (the RNG-free assignment device
     — deterministic, uniform, and exactly what a real experiment
     framework hashes), conversion = any purchase above
-    {ABTEST_CONV_VALUE}, z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+    200.0, z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
     — the experimentation readout that joins q_chi2_contingency in the
     closed-form statistics tier. Degenerate splits (empty arm, zero or
     full conversion) emit NULL rather than ±inf, identically in both
@@ -2330,7 +2330,7 @@ AUTOCORR_LAGS = (1, 7)  # day-over-day persistence and weekly seasonality
     """,
 )
 def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type lag-{AUTOCORR_LAGS[0]} and lag-{AUTOCORR_LAGS[1]}
+    """Per-type lag-1 and lag-7
     autocorrelation of the daily event-count series (the standard ACF
     estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)² over observed
     days) — the diagnostic that says whether a metric has day-over-day
@@ -2448,17 +2448,17 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap (Kleiner et al., JRSS-B 2014 lineage): i.i.d.-per-row
     weights need no global coordination, so the resample is one scan
     expression, fully deterministic, identical at any cluster size.
-    CI bounds are the {BOOT_LO_RANK}rd / {BOOT_HI_RANK}th order
-    statistics of the {BOOT_B} replicate means (ties broken by
+    CI bounds are the 3rd / 98th order
+    statistics of the 100 replicate means (ties broken by
     replicate id). Completes the statistics tier with the
     assumption-free interval the z/F/U tests' normal approximations
     can't give.
 
     Scale shape: the replicate fan-out is an in-row constant-array
-    explode (rows × {BOOT_B}, no join, no data-dependent shuffle);
+    explode (rows × 100, no join, no data-dependent shuffle);
     replicate means are ONE map-side-combined aggregate keyed on the
-    {BOOT_B}-value b — the shuffle carries B×tasks partial rows; the
-    rank window runs over {BOOT_B} rows. Weighted sums round(6) before
+    100-value b — the shuffle carries B×tasks partial rows; the
+    rank window runs over 100 rows. Weighted sums round(6) before
     ranking so both engines rank identical values; Σw is integer-exact.
     The fan-out is repartitioned across cores first — a small-file scan
     otherwise runs the whole rows × B draw on ONE input split (measured
@@ -2532,7 +2532,13 @@ def _fast_u(engine: str) -> str:
         else f"xor({m1}, {m1} >> 16)"
     )
     m2 = f"((({x2}) * {_MIX_A2}) % {_MIX_P})"
-    return f"({m2} / {float(_MIX_P)!r})"
+    # CAST the divisor: Spark parses the bare literal 4294967291.0 as
+    # DECIMAL(11,1), making the quotient DECIMAL(33,12) (quantized
+    # half-up at 1e-12) while DuckDB divides in DOUBLE — a draw within
+    # ~5e-13 of a Poisson CDF boundary would weight differently in the
+    # two engines. Forcing DOUBLE division makes the mixer's arithmetic
+    # genuinely engine-neutral, not just fixture-neutral.
+    return f"({m2} / CAST({float(_MIX_P)!r} AS DOUBLE))"
 
 
 _H0_SPARK = (
@@ -2758,7 +2764,7 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(x) AS sx, SUM(x * x) AS sxx, SUM(x * y) AS sxy
       FROM ends
     )
-    SELECT n / 2 AS n_edges,
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
            ROUND(sx / n, 6) AS mean_end_degree,
            CASE WHEN n = 0 OR (sxx - sx * sx / n) = 0 THEN NULL
              ELSE ROUND((sxy - sx * sx / n) / (sxx - sx * sx / n), 6)
@@ -2888,7 +2894,7 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple-testing control for the experimentation tier: one
     two-proportion z-test PER event_type (the per-metric readout a real
     experiment scores) with Benjamini-Hochberg FDR correction at
-    q={FDR_Q} — rank the two-sided p-values ascending, find the largest
+    q=0.1 — rank the two-sided p-values ascending, find the largest
     k with p_(k) ≤ k·q/m, flag ranks ≤ k (the suffix-max window form of
     the step-up rule). Running m uncorrected z-tests is how dashboards
     mint false winners; BH is the standard fix. Degenerate metrics

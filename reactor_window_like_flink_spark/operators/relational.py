@@ -1243,7 +1243,7 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts) for percentiles, which are famously NOT re-aggregatable from
     stored percentile values: a daily p95 cannot be combined into a
     monthly p95. The mergeable representation is the fixed-bin
-    histogram: per-(day, event_type) counts over {QROLLUP_BINS}
+    histogram: per-(day, event_type) counts over 256
     equi-width bins spanning the global [min, max] (a 2-double broadcast
     from one 1-row aggregate). Coarser windows merge by SUMMING bin
     counts — associative, commutative, and exactly the quantity a
@@ -1259,8 +1259,8 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the daily pre-aggregate is one map-side-combined
     (day, event_type, bin) count; the merge re-aggregates O(keys x
-    {QROLLUP_BINS}) rows; the cumulative inversion windows over at most
-    {QROLLUP_BINS} rows per key. Raw rows are touched exactly twice —
+    256) rows; the cumulative inversion windows over at most
+    256 rows per key. Raw rows are touched exactly twice —
     one value-column pass for the range, one binning pass — the floor
     for equi-width binning."""
     events = load(spark, sf_dir, "events")
@@ -1823,9 +1823,9 @@ JOIN_SALT = 8
 )
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof salted equi join: events⋈customer on the user key with
-    the BUILD side replicated {JOIN_SALT}x and the probe side salted by
+    the BUILD side replicated 8x and the probe side salted by
     a deterministic hash — every hot key's probe rows spread across
-    {JOIN_SALT} tasks instead of one. The salt is plan-only: the result
+    8 tasks instead of one. The salt is plan-only: the result
     is salt-invariant, so the oracle is the PLAIN join (the correctness
     contract that makes salting safe to deploy).
 
@@ -1833,7 +1833,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself with partial combine, but a skewed JOIN probe cannot
     pre-combine — replication is the lever (AQE's skew-join split is the
     automatic form; explicit salting is the portable one and composes
-    with it). Shuffle volume: probe unchanged, build x{JOIN_SALT} —
+    with it). Shuffle volume: probe unchanged, build x8 —
     cheap when the build side is dimension-sized."""
     events = load(spark, sf_dir, "events")
     cust = load(spark, sf_dir, "customer").select(
@@ -2002,7 +2002,7 @@ Q18_QTY_THRESHOLD = 250
 )
 def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total line
-    quantity exceeds {Q18_QTY_THRESHOLD}, with customer attribution. The
+    quantity exceeds 250, with customer attribution. The
     classic aggregate-as-join-filter pattern: the full-fact groupBy
     (map-side partial combine over l_orderkey) is HAVING-filtered down
     to pathological orders FIRST, and that tiny keyed aggregate then
@@ -2259,7 +2259,7 @@ Q4_LATE_DAYS = 60
 def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order priority checking): per-priority count of
     one quarter's orders with at least one line shipped more than
-    {Q4_LATE_DAYS} days after the order date (the commit-vs-receipt
+    60 days after the order date (the commit-vs-receipt
     lateness test recast onto this schema's columns). The correlation
     differs from Q21's in kind: the EXISTS residual compares an INNER
     column against an OUTER column (l_shipdate > o_orderdate + 60d),
@@ -2318,8 +2318,8 @@ Q20_HAVING_FACTOR = 1.05
 )
 def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (potential part promotion): suppliers whose
-    shipped quantity of '{Q20_NAME_PREFIX}…' parts exceeds
-    {Q20_HAVING_FACTOR}× the average such quantity across suppliers —
+    shipped quantity of 'red…' parts exceeds
+    1.05× the average such quantity across suppliers —
     the DOUBLE-NESTED subquery ladder (IN over an aggregate whose
     source is itself filtered by an IN, with an uncorrelated scalar
     subquery inside the HAVING-equivalent predicate). Q20's real form

@@ -61,7 +61,11 @@ def test_whitening_params_match_numpy_and_sign_pinned(spark, sf_dir):
 
 def test_whitened_output_has_identity_covariance(spark, sf_dir):
     out = entry_mod.queries()["q_embed_pca"](spark, sf_dir).collect()
-    y = np.asarray([r["pca"] for r in out], dtype="float64")
+    # contract emits pca as a comma-joined string (driver-canonicalizable)
+    y = np.asarray(
+        [[float(t) for t in r["pca"].split(",")] for r in out],
+        dtype="float64",
+    )
     assert y.shape[1] == PCA_DIM
     mu = y.mean(0)
     cov = (y.T @ y) / len(y) - np.outer(mu, mu)

@@ -32,17 +32,31 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Width-normalize without erasing the int-vs-float distinction.
+
+    The driver's value hash formats each cell, so a BIGINT 42 ("42") and a
+    DOUBLE 42.0 ("42.0") hash differently even though they compare equal as
+    floats. Casting every numeric column to float64 here (the pre-r13
+    behavior) made exactly that class of mismatch invisible locally — it
+    only ever surfaced as a driver red (q_degree_assortativity, r12). So:
+    integers normalize to int64 (width only), floats to float64, and an
+    int-vs-float dtype skew between the engines is now a reported problem.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
+        dt = str(df[c].dtype)
+        if dt.startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]").astype("int64")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif "int" in dt and "interval" not in dt:
+            df[c] = df[c].astype("int64")
+        elif dt.startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif dt == "bool":
+            df[c] = df[c].astype("int64")
         else:
-            try:
-                df[c] = df[c].astype("float64")
-            except (TypeError, ValueError):
-                df[c] = df[c].astype(str)
+            df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
