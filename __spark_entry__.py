@@ -72,13 +72,25 @@ def _last_recorded_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
             # A harness-error record (err set, other than the rows-only
             # marker "no_oracle") is NOT a verification: the key must
             # sort as stale as a never-recorded one so it re-sweeps
             # immediately (r5's canonicalizer error left two green-coded
-            # keys with only an error record for two rounds).
-            err = rec.get("err") if isinstance(rec, dict) else None
+            # keys with only an error record for two rounds). Likewise a
+            # FAILED comparison (rows/schema/hash false) is not a
+            # verification — without this, r12's q_degree_assortativity
+            # hash-FAIL would count as its newest record and push the
+            # key to the BACK of the rotation just when its fix needs
+            # immediate re-verification.
+            err = rec.get("err")
             if err is not None and err != "no_oracle":
+                continue
+            if any(
+                rec.get(field) is False
+                for field in ("rows_match", "schema_match", "hash_match")
+            ):
                 continue
             seen[key] = max(seen.get(key, -1), rnd)
     return seen

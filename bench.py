@@ -167,6 +167,7 @@ HEADLINE = [
     "q_mutual_info",
     "q_tpch_q8_shape",
     "q_welch_ttest",
+    "q_kcore",
 ]
 
 # Deliberately-slow regression guards: kernels kept for comparison whose
@@ -194,6 +195,13 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
     qs = e.queries()
+
+    # Coverage statement, in one place: every registered key NOT timed
+    # here. These are the cheap scalar/relational/streaming-form keys
+    # whose sf0.1 cost is dominated by fixed job overhead (a bar on
+    # them would measure the scheduler, not the operator); the set is
+    # recorded in the artifact so exclusions are visible, not implied.
+    excluded = sorted(set(qs) - set(HEADLINE) - set(GUARD))
 
     # Warm-up: JVM JIT + parquet footer caches, outside the timed region.
     qs["q_scan_parquet"](spark, sf_dir).collect()
@@ -254,6 +262,7 @@ def main() -> int:
             "n_queries": len(HEADLINE),
             "samples_per_query": 3,
         },
+        "excluded_keys": excluded,
     }
     # Self-contained artifact: the driver's stdout-tail parse truncated 13
     # of 44 keys in round 4 (BENCH_r04.json parsed: null), so always write

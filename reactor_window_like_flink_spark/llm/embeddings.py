@@ -302,17 +302,23 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("sm")
     )
     # fixed-dim unrolled cosine: same IEEE add order as the fold the
-    # oracle runs, but inside whole-stage codegen (see _dot_unrolled)
+    # oracle runs, but inside whole-stage codegen (see _dot_unrolled).
+    # dim == 0 means the table is empty (no row to size from) — the
+    # unrolled form would be an empty SQL expression, so fall back to
+    # the fold form, whose plan never executes a row anyway.
+    if dim > 0:
+        cos = _dot_unrolled("embedding", "centroid", dim) / (
+            _norm_unrolled("embedding", dim)
+            * _norm_unrolled("centroid", dim)
+        )
+    else:
+        cos = _arr_dot("embedding", "centroid") / (
+            _arr_norm("embedding") * _arr_norm("centroid")
+        )
     scored = emb.join(F.broadcast(carr), "label").select(
         "label",
         "centroid_norm",
-        (
-            _dot_unrolled("embedding", "centroid", dim)
-            / (
-                _norm_unrolled("embedding", dim)
-                * _norm_unrolled("centroid", dim)
-            )
-        ).alias("cos"),
+        cos.alias("cos"),
     )
     return scored.groupBy("label", "centroid_norm").agg(
         F.count("*").cast("long").alias("n"),

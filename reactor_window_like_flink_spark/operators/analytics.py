@@ -771,10 +771,10 @@ def followed_by_quantified(
     """,
 )
 def q_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantified CEP: ``view+ click{{2,}} error? purchase`` with
+    """Quantified CEP: ``view+ click{2,} error? purchase`` with
     consecutive (run-maximal) quantifier semantics inside 72 h — Flink
     CEP's ``oneOrMore`` / ``timesOrMore(2).consecutive()`` / ``optional``,
-    the MATCH_RECOGNIZE ``A+ B{{2,}} C? D`` shape the plain chain matcher
+    the MATCH_RECOGNIZE ``A+ B{2,} C? D`` shape the plain chain matcher
     can't express (see ``followed_by_quantified``). The oracle mirrors the
     gaps-and-islands run construction and the two optional-presence
     alignments exactly."""

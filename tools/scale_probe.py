@@ -244,6 +244,7 @@ GENERAL_KEYS = (
     "q_feature_scale",
     "q_tpch_q20_shape",
     "q_embed_pca",
+    "q_kcore",
 )
 
 

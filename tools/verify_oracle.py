@@ -114,6 +114,29 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        # Driver-canonicalizability gate (applies to rows-only keys too):
+        # the driver sorts every output column pandas-side, so an
+        # unhashable cell (list/dict/ndarray from an array/map/struct
+        # column) crashes its harness and leaves the key with NO record
+        # (q_embed_pca, r12). This tool stringified such cells and
+        # passed, hiding the crash class — fail loudly instead.
+        bad_cols = [
+            c
+            for c in spark_pdf.columns
+            if spark_pdf[c].dtype == object
+            and spark_pdf[c].map(
+                lambda v: isinstance(v, (list, dict, set))
+                or type(v).__name__ == "ndarray"
+            ).any()
+        ]
+        if bad_cols:
+            print(
+                f"FAIL {name}: driver-unhashable output column(s)"
+                f" {bad_cols} (array/map/struct cells crash the driver's"
+                " canonicalizer — serialize to string or explode)"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             nrows = len(spark_pdf)
             print(
