@@ -501,33 +501,7 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
     for _ in range(max_rounds):
         if bad.isEmpty():
             break  # fixpoint: no survivor is below k
-        # One checkpointed frame per round: survivors with updated
-        # degree and a touched flag. The frontier (node ids only) and
-        # its decrement aggregate are explicitly broadcast — without
-        # the hint the planner sort-merges the full edge list every
-        # round (checkpointed sides have no stats; measured 39 s for
-        # the 21-round peel at sf0.1, vs ~8 s broadcast). After round
-        # 1 the frontier is the cascade tail, far below any broadcast
-        # threshold; a graph whose round-1 frontier is O(V) is one
-        # whose core collapsed — the loop ends on round 2.
-        dec = (
-            sym.join(F.broadcast(bad), "src")
-            .groupBy("dst")
-            .agg(F.count("*").alias("lost"))
-            .select(F.col("dst").alias("src"), "lost")
-        )
-        upd = (
-            deg.join(F.broadcast(bad), "src", "left_anti")
-            .join(F.broadcast(dec), "src", "left")
-            .select(
-                "src",
-                (
-                    F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))
-                ).alias("deg"),
-                F.col("lost").isNotNull().alias("touched"),
-            )
-            .localCheckpoint()
-        )
+        upd = _kcore_round(sym, deg, bad).localCheckpoint()
         deg = upd.select("src", "deg")
         # only decremented survivors can newly fall below k; lineage
         # stays on the round's checkpoint, so no extra jobs
@@ -538,6 +512,37 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
     return (
         deg.filter(F.col("deg") >= k)
         .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("degree"))
+    )
+
+
+def _kcore_round(sym: DataFrame, deg: DataFrame, bad: DataFrame) -> DataFrame:
+    """One delta-peel round: survivors with updated degree + touched
+    flag (one checkpointable frame — the caller derives the next
+    frontier from it with no extra jobs). The frontier (node ids only)
+    and its decrement aggregate are explicitly broadcast — without the
+    hint the planner sort-merges the full edge list every round
+    (checkpointed sides have no stats; measured 39 s for the 21-round
+    peel at sf0.1, vs ~8.8 s broadcast; plan-asserted in
+    tests/test_plans.py). After round 1 the frontier is the cascade
+    tail, far below any broadcast threshold; a graph whose round-1
+    frontier is O(V) is one whose core collapsed — the loop ends on
+    round 2."""
+    dec = (
+        sym.join(F.broadcast(bad), "src")
+        .groupBy("dst")
+        .agg(F.count("*").alias("lost"))
+        .select(F.col("dst").alias("src"), "lost")
+    )
+    return (
+        deg.join(F.broadcast(bad), "src", "left_anti")
+        .join(F.broadcast(dec), "src", "left")
+        .select(
+            "src",
+            (F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))).alias(
+                "deg"
+            ),
+            F.col("lost").isNotNull().alias("touched"),
+        )
     )
 
 

@@ -470,3 +470,25 @@ def test_q8_dual_role_dim_broadcasts_and_one_aggregate(q):
     # exactly one scan per relation role (lineitem, orders, customer,
     # supplier, nation x2) — no relation re-scanned for the share
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 6
+
+
+def test_kcore_round_broadcasts_frontier_never_sorts_edges(spark):
+    """The kcore delta-peel round must join the static edge list and
+    the degree frame against a BROADCAST frontier — checkpointed
+    frames carry no stats, so without the explicit hint the planner
+    sort-merges the full edge list every round (measured 39 s vs
+    ~8.8 s for the 21-round sf0.1 peel)."""
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.llm.clustering import _kcore_round
+
+    sym = spark.range(100).select(
+        (F.col("id") % 20).alias("src"), ((F.col("id") + 7) % 20).alias("dst")
+    ).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    bad = deg.filter(F.col("deg") < 3).select("src").localCheckpoint()
+    df = _kcore_round(sym, deg, bad)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
