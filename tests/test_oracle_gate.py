@@ -57,6 +57,20 @@ def test_nan_equals_nan_in_float_columns():
     assert compare(s, d) == []
 
 
+def test_bool_vs_int_skew_is_reported():
+    # the driver formats True as "True" and 1 as "1" — a Spark-bool vs
+    # DuckDB-int column must fail locally too
+    s = pd.DataFrame({"kept": [True, False]})
+    d = pd.DataFrame({"kept": [1, 0]})
+    assert compare(s, d), "bool-vs-int dtype skew must be a problem"
+
+
+def test_bool_vs_bool_passes():
+    s = pd.DataFrame({"kept": [True, False]})
+    d = pd.DataFrame({"kept": [False, True]})  # order-insensitive
+    assert compare(s, d) == []
+
+
 def test_normalize_keeps_integer_dtype():
     out = normalize(pd.DataFrame({"n": pd.array([7], dtype="int32")}))
     assert str(out["n"].dtype) == "int64"

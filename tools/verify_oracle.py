@@ -49,12 +49,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]").astype("int64")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif dt == "bool" or dt == "boolean":
+            # BEFORE the int branch: booleans keep their True/False
+            # formatting (the driver hashes "True" vs "1" differently,
+            # so a Spark-bool vs DuckDB-int skew must fail here too)
+            df[c] = df[c].astype(str)
         elif "int" in dt and "interval" not in dt:
             df[c] = df[c].astype("int64")
         elif dt.startswith("float"):
             df[c] = df[c].astype("float64")
-        elif dt == "bool":
-            df[c] = df[c].astype("int64")
         else:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
