@@ -245,6 +245,8 @@ GENERAL_KEYS = (
     "q_tpch_q20_shape",
     "q_embed_pca",
     "q_kcore",
+    "q_cluster_profile",
+    "q_bootstrap_ci_fast",
 )
 
 
