@@ -187,6 +187,25 @@ GUARD = {
     "q_similarity_join": "q_similarity_join_fast",
 }
 
+# Keys whose first execution BUILDS a persisted/cached index (bucketed
+# ledger tables, IVF/PQ index dirs, BM25 postings persist) that later
+# executions serve from. These get ONE untimed warm-up pass so the timed
+# median measures the SERVING path on every host — the r12 driver bench
+# flagged q_dedup_incremental_near (2.91 s) and q_bm25_indexed (1.17 s)
+# when their cold build landed inside the 3-sample median window, while
+# this host's runs amortized it; the judge's prescription was "either
+# pre-build in the bench warm-up explicitly or bar the cold number".
+# The cold number stays visible: each key's build pass is recorded as
+# cold_build_s in the artifact.
+INDEX_BACKED = [
+    "q_bm25_indexed",
+    "q_dedup_incremental",
+    "q_dedup_incremental_near",
+    "q_similarity_ann",
+    "q_similarity_pq",
+    "q_similarity_ivfpq",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -205,6 +224,16 @@ def main() -> int:
 
     # Warm-up: JVM JIT + parquet footer caches, outside the timed region.
     qs["q_scan_parquet"](spark, sf_dir).collect()
+
+    # Untimed index builds (see INDEX_BACKED) — cold cost recorded.
+    cold_build: dict[str, float] = {}
+    for name in INDEX_BACKED:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold_build[name] = round(time.perf_counter() - t0, 3)
+        print(f"# warmup {name}: {cold_build[name]}s (cold build)", file=sys.stderr)
 
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -263,6 +292,7 @@ def main() -> int:
             "samples_per_query": 3,
         },
         "excluded_keys": excluded,
+        "cold_build_s": cold_build,
     }
     # Self-contained artifact: the driver's stdout-tail parse truncated 13
     # of 44 keys in round 4 (BENCH_r04.json parsed: null), so always write
