@@ -207,6 +207,30 @@ INDEX_BACKED = [
 ]
 
 
+def _epoch_calib() -> float:
+    """Fixed pure-CPU workload (~1 s on a quiet host): its wall is a
+    host-epoch marker recorded in every artifact, so 'the driver host
+    was in a slow epoch' arbitration is data, not narrative (r13 judge
+    directive 8). Same loop every run — only the host varies."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x > 0
+    return round(time.perf_counter() - t0, 3)
+
+
+def _load_bars() -> dict[str, float]:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_bar.json"
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)["bar"]
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -214,6 +238,9 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
     qs = e.queries()
+
+    calib_start = _epoch_calib()
+    print(f"# epoch calibration: {calib_start}s", file=sys.stderr)
 
     # Coverage statement, in one place: every registered key NOT timed
     # here. These are the cheap scalar/relational/streaming-form keys
@@ -234,6 +261,16 @@ def main() -> int:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold_build[name] = round(time.perf_counter() - t0, 3)
         print(f"# warmup {name}: {cold_build[name]}s (cold build)", file=sys.stderr)
+
+    # Snapshot the index-build event log: any build that fires AFTER
+    # this point happened inside the timed region — i.e. the warm-up's
+    # index was lost (memo eviction, session restart, dropped tables)
+    # and a timed sample silently paid a cold build. Recorded in the
+    # artifact so the r13 q_dedup_incremental_near 3.54x arbitration
+    # class is diagnosable from data (judge directive 1).
+    from reactor_window_like_flink_spark.llm import index_events
+
+    events_mark = len(index_events.EVENTS)
 
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -275,6 +312,19 @@ def main() -> int:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # vs-bar readout: per-key ratio against tools/bench_bar.json (the
+    # 2x regression baseline), median ratio, and the >2x flag set.
+    bars = _load_bars()
+    ratios = {
+        k: round(times[k] / bars[k], 2)
+        for k in times
+        if k in bars and bars[k] > 0
+    }
+    flags = {k: r for k, r in sorted(ratios.items()) if r > 2.0}
+    rs = sorted(ratios.values())
+    median_vs_bar = rs[len(rs) // 2] if rs else None
+
     payload = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -293,18 +343,53 @@ def main() -> int:
         },
         "excluded_keys": excluded,
         "cold_build_s": cold_build,
+        "vs_bar": ratios,
+        "median_vs_bar": median_vs_bar,
+        "flags": flags,
+        "index_builds_during_timed": index_events.since(events_mark),
+        "epoch_calib_s": {"start": calib_start, "end": _epoch_calib()},
     }
     # Self-contained artifact: the driver's stdout-tail parse truncated 13
     # of 44 keys in round 4 (BENCH_r04.json parsed: null), so always write
     # the full result to disk too — medians are recoverable regardless of
-    # stdout survival.
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    # stdout survival. Version-on-write (r13 judge directive 4): the
+    # driver re-runs bench.py at round close AFTER the last commit, so
+    # the prior run rotates to BENCH_LOCAL.prev.json instead of being
+    # destroyed — both the builder validation run and the driver close
+    # run stay inspectable. Neither file is tracked (see .gitignore);
+    # the committed record is BENCH_VALIDATION_r{N}.json, and the
+    # canonical cross-round number is the driver's BENCH_r{N}.json.
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(out_path):
+        os.replace(out_path, os.path.join(here, "BENCH_LOCAL.prev.json"))
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")
     print(json.dumps(payload))
+    # LAST line = compact summary under the driver's 2000-char stdout
+    # tail (r13 judge directive 3: every BENCH_rN.json since r04 had
+    # parsed: null because the only JSON line outgrew the tail). The
+    # full per-key map is one line up and in BENCH_LOCAL.json.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n": len(times),
+                "median_vs_bar": median_vs_bar,
+                "flags": flags,
+                "guard_ratio": guard_ratio,
+                "timed_index_builds": len(
+                    payload["index_builds_during_timed"]
+                ),
+                "epoch_calib_s": payload["epoch_calib_s"],
+                "queries_full": "BENCH_LOCAL.json",
+            }
+        )
+    )
     return 0
 
 

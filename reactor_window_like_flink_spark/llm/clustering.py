@@ -550,11 +550,13 @@ def _kcore_round(sym: DataFrame, deg: DataFrame, bad: DataFrame) -> DataFrame:
 # SQL mirror; pytest asserts equality with a sequential peeling
 # reference and planted clique-plus-tendrils behavior.
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 8-core of the part co-purchase graph (see ``kcore``):
-    the products whose co-purchase neighborhood stays dense after
-    incidental co-occurrences peel away — the dense-subgraph member of
-    the graph tier (components / LPA communities / PageRank /
-    triangles / k-core)."""
+    """The ceil(0.7 × mean-degree)-core (k >= 2, scale-relative — the
+    registered key sizes k from the measured mean degree via
+    ``KCORE_MEAN_FRACTION``, NOT the ``kcore()`` library default of 8)
+    of the part co-purchase graph: the products whose co-purchase
+    neighborhood stays dense after incidental co-occurrences peel away
+    — the dense-subgraph member of the graph tier (components / LPA
+    communities / PageRank / triangles / k-core)."""
     from reactor_window_like_flink_spark.operators.analytics import (
         _basket_pairs,
     )

@@ -29,11 +29,13 @@ no curation surface; north-star scope from BASELINE.json.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.llm import index_events
 from reactor_window_like_flink_spark.llm.dedup import _shingles_from_toks, _tokenized
 from reactor_window_like_flink_spark.llm.sampling import (
     CHUNK_STRIDE,
@@ -875,7 +877,11 @@ def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         prefix = f"near_idx_{digest}"
+        t0 = time.perf_counter()
         build_corpus_near_index(docs.filter(~is_batch), prefix)
+        index_events.record(
+            "near_index", prefix, time.perf_counter() - t0
+        )
         while len(_NEAR_INDEX_CACHE) >= _NEAR_INDEX_MAX:
             # Evict tables AND their warehouse directories, not just the
             # memo entry — otherwise every evicted dataset leaks its two

@@ -281,8 +281,18 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: centroid components round(6) BEFORE scoring in both
     engines; all folds run in index order; min is order-free."""
     emb = load(spark, sf_dir, "embeddings")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"]) if first is not None else 0
+    # dim probe must be corpus-wide, not first-row: on a mixed-dim
+    # embeddings table an unrolled dot sized from one arbitrary row
+    # would silently TRUNCATE longer vectors (the fold form sums all
+    # elements), changing cosines with no error (r13 ADVICE). One
+    # min/max aggregate over the int size column; unroll only when
+    # every row agrees, else take the HOF-fold path.
+    sizes = emb.select(
+        F.min(F.size("embedding")).alias("lo"),
+        F.max(F.size("embedding")).alias("hi"),
+    ).first()
+    uniform = sizes is not None and sizes["lo"] == sizes["hi"]
+    dim = int(sizes["hi"]) if uniform and sizes["hi"] is not None else 0
     comp = emb.select(
         "label", F.posexplode("embedding").alias("i", "c")
     )
@@ -303,9 +313,9 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed-dim unrolled cosine: same IEEE add order as the fold the
     # oracle runs, but inside whole-stage codegen (see _dot_unrolled).
-    # dim == 0 means the table is empty (no row to size from) — the
-    # unrolled form would be an empty SQL expression, so fall back to
-    # the fold form, whose plan never executes a row anyway.
+    # dim == 0 means the table is empty OR mixed-dim — the unrolled
+    # form would be empty/truncating respectively, so fall back to the
+    # fold form, which sums every element regardless of length.
     if dim > 0:
         cos = _dot_unrolled("embedding", "centroid", dim) / (
             _norm_unrolled("embedding", dim)

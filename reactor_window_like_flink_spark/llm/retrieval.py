@@ -19,10 +19,13 @@ no text surface; north-star scope per BASELINE.json.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.llm import index_events
 from reactor_window_like_flink_spark.llm.text import _tokens
 from reactor_window_like_flink_spark.sources.tables import load
 
@@ -892,6 +895,7 @@ def bm25_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BM25_INDEX_CACHE.pop(key, None)
     if hit is None:
+        t0 = time.perf_counter()
         docs = load(spark, sf_dir, "documents")
         toks = _tokens()
         postings = (
@@ -905,6 +909,7 @@ def bm25_index(spark: SparkSession, sf_dir: str):
         ).persist()
         postings.count()  # build outside any query's critical path
         doclen.count()
+        index_events.record("bm25", sf_dir, time.perf_counter() - t0)
         hit = (postings, doclen)
         while len(_BM25_INDEX_CACHE) >= _BM25_INDEX_MAX:
             old_p, old_d = _BM25_INDEX_CACHE.pop(

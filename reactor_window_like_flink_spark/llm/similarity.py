@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import atexit
 import math
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -19,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from reactor_window_like_flink_spark.contract import Registry
+from reactor_window_like_flink_spark.llm import index_events
 from reactor_window_like_flink_spark.sources.layout import partitioned_write
 from reactor_window_like_flink_spark.sources.tables import load
 
@@ -197,7 +199,9 @@ def train_ivf(spark: SparkSession, sf_dir: str) -> IVFIndex:
     cached = _IVF_CACHE.get(sf_dir)
     if cached is not None and cached.session is spark:
         return cached
+    t0 = time.perf_counter()
     index = fit_ivf(spark, load(spark, sf_dir, "embeddings"))
+    index_events.record("ivf", sf_dir, time.perf_counter() - t0)
     _IVF_CACHE[sf_dir] = index
     return index
 
@@ -409,7 +413,9 @@ def train_pq(spark: SparkSession, sf_dir: str) -> PQIndex:
     cached = _PQ_CACHE.get(sf_dir)
     if cached is not None and cached.session is spark:
         return cached
+    t0 = time.perf_counter()
     index = fit_pq(spark, load(spark, sf_dir, "embeddings"))
+    index_events.record("pq", sf_dir, time.perf_counter() - t0)
     _PQ_CACHE[sf_dir] = index
     return index
 
@@ -1066,6 +1072,7 @@ def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app, sf_dir)
     hit = _IVFPQ_CACHE.pop(key, None)
     if hit is None:
+        t0 = time.perf_counter()
         ivf = train_ivf(spark, sf_dir)
         pq = train_pq(spark, sf_dir)
         joined = pq.codes.select("vec_id", "code").join(
@@ -1073,6 +1080,7 @@ def ivfpq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         path = tempfile.mkdtemp(prefix="ivfpq_index_")
         partitioned_write(joined, path, ["cell"])
+        index_events.record("ivfpq", path, time.perf_counter() - t0)
         hit = (path, spark.read.parquet(path))
         while len(_IVFPQ_CACHE) >= _IVFPQ_CACHE_MAX:  # evict the LRU
             old_path, _ = _IVFPQ_CACHE.pop(next(iter(_IVFPQ_CACHE)))

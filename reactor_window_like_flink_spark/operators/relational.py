@@ -2667,3 +2667,200 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vol GROUP BY yr ORDER BY yr
         """
     )
+
+
+# ------------------------- round-14: TPC-H shape family completion ----
+#
+# The seven Q-shapes below close out the TPC-H family (Q1 is the
+# flagship q_agg_group). Where the benchmark's schema exceeds the
+# fixtures — there is no partsupp table, and lineitem carries no
+# shipmode/commitdate/receiptdate — the shape keeps the QUERY STRUCTURE
+# (the plan class Catalyst must handle) and substitutes available
+# columns, documented per key. Reference parity target: the reference
+# README's keyed-stream relational surface (README.md:54); these are
+# the canonical analytic join/agg plans any engine claiming that
+# surface must run.
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+@REG.add(
+    "q_tpch_q6_shape",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    filter-and-global-aggregate — no join at all, the plan whose entire
+    cost is the scan, so it is the canary for predicate pushdown: all
+    three range predicates must reach the parquet reader as
+    PushedFilters and the read schema must be the 4 touched columns.
+
+    Scale shape: at 100 TB this is ONE narrow pass, map-side partial
+    aggregation, a single-row exchange. Nothing else is acceptable."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@REG.add(
+    "q_tpch_q7_shape",
+    f"""
+    WITH shipping AS (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+          OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT supp_nation, cust_nation, yr,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM shipping GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+)
+def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume between
+    two nations by ship year — the dual-role nation join (like Q8) with
+    a DISJUNCTIVE cross-table pair predicate ((A,B) or (B,A)) that
+    cannot be pushed to either dim alone, only to their conjunction
+    after both joins.
+
+    Scale shape: each nation-role dim broadcasts pre-filtered to the
+    two named nations, which prunes supplier and customer to ~2/25 of
+    their rows BEFORE the fact joins — the pair disjunction then runs
+    on the tiny joined dims, not the fact. Output is
+    2 nations x 2 years rows; the big shuffles are the two fact joins
+    on their natural keys."""
+    two = [Q7_NATION_A, Q7_NATION_B]
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+    )
+    customer = load(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@REG.add(
+    "q_tpch_q9_shape",
+    """
+    WITH profit AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * (p_retailprice * l_quantity) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, yr, ROUND(SUM(amount), 2) AS sum_profit
+    FROM profit GROUP BY nation, yr ORDER BY nation, yr DESC
+    """,
+)
+def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per order year over parts matching a name pattern. The fixtures
+    ship no partsupp table, so ps_supplycost*l_quantity is substituted
+    by a fixed cost fraction of list price, 0.1*(p_retailprice *
+    l_quantity) — the SHAPE (5-relation star join, LIKE-filtered part
+    dim, two-level group) is what the key pins, not the benchmark's
+    monetary answer.
+
+    Scale shape: the LIKE filter prunes part before its join (predicate
+    can't push to parquet as a range but runs in the scan's codegen
+    stage); supplier⋈nation broadcasts; the two fact joins (part on
+    l_partkey, orders on l_orderkey) are the shuffles. Catalyst's AQE
+    picks broadcast for the filtered part side when it fits — at 100 TB
+    with a billion-row part table it degrades to a shuffle join on
+    partkey, which is the right plan there."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    sn = supplier.join(
+        F.broadcast(nation),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * (
+        F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "yr")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("yr"))
+    )

@@ -3,6 +3,8 @@ the sf0.01 oracle differential covers the registered forms end-to-end."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 from datetime import datetime, timedelta
 
 from reactor_window_like_flink_spark.operators.analytics import (
@@ -133,8 +135,8 @@ def test_unigram_logprob_matches_hand_model(spark):
     n = 6.0
     d0 = (2 * math.log(3) + math.log(2)) / 3 - math.log(n)
     d1 = (math.log(3) + math.log(2) + math.log(1)) / 3 - math.log(n)
-    assert got[0] == (3, round(d0, 4))
-    assert got[1] == (3, round(d1, 4))
+    assert got[0] == (3, rhalf(d0, 4))
+    assert got[1] == (3, rhalf(d1, 4))
 
 
 def test_followed_by_chain_matches_pattern_sequence(spark, sf_dir):
@@ -552,7 +554,7 @@ def test_association_rules_arithmetic_on_planted_baskets(spark, tmp_path):
     }
     r12 = got[("1", "2")]
     assert r12["confidence"] == 0.75  # 3 of 4 baskets with 1 carry 2
-    assert r12["lift"] == round(0.75 / (4 / 6), 6)  # P(2) = 4/6
+    assert r12["lift"] == rhalf(0.75 / (4 / 6), 6)  # P(2) = 4/6
     assert r12["support"] == 0.5  # 3 of 6 baskets
     r21 = got[("2", "1")]
     assert r21["confidence"] == 0.75 and r21["support"] == 0.5
@@ -585,9 +587,9 @@ def test_ewma_matches_sequential_reference(spark, sf_dir):
         level = vals[0]
         for x in vals[1:]:
             level = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * level
-        assert abs(got[et]["ewma_level"] - round(level, 6)) < 1e-9
+        assert abs(got[et]["ewma_level"] - rhalf(level, 6)) < 1e-9
         assert got[et]["n_days"] == len(vals)
-        assert got[et]["last_deviation"] == round(
+        assert got[et]["last_deviation"] == rhalf(
             got[et]["last_value"] - level, 6
         )
 
@@ -613,7 +615,7 @@ def test_triangle_count_on_planted_graph(spark, tmp_path):
     assert r["n_triangles"] == 4
     # wedges: K4 nodes have degree 3 -> 4*3=12; node 6 has degree 2 -> +1
     assert r["n_wedges"] == 13
-    assert r["clustering_coefficient"] == round(12 / 13, 6)
+    assert r["clustering_coefficient"] == rhalf(12 / 13, 6)
 
 
 def test_holt_trend_matches_sequential_recurrence_and_catches_drift(
@@ -662,9 +664,9 @@ def test_holt_trend_matches_sequential_recurrence_and_catches_drift(
         nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
         b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
         l = nl
-    assert got["level"] == round(l, 6)
-    assert got["trend"] == round(b, 6)
-    assert got["forecast_next"] == round(l + b, 6)
+    assert got["level"] == rhalf(l, 6)
+    assert got["trend"] == rhalf(b, 6)
+    assert got["forecast_next"] == rhalf(l + b, 6)
     assert got["trend"] > 1.0  # the drift signal exists
     assert got["n_days"] == 20 and got["last_value"] == 10 + 3 * 19
 
@@ -712,7 +714,7 @@ def test_abtest_and_anova_closed_form(spark, sf_dir):
         c[0],
         c[1],
     )
-    assert row["z_stat"] == round(z, 4)
+    assert row["z_stat"] == rhalf(z, 4)
 
     # --- ANOVA F ---
     docs = load(spark, sf_dir, "documents").select(
@@ -731,7 +733,7 @@ def test_abtest_and_anova_closed_form(spark, sf_dir):
     )
     row = qs["q_anova_f"](spark, sf_dir).first()
     assert (row["k"], row["n_tot"]) == (k, n_tot)
-    assert abs(row["f_stat"] - round(f, 4)) <= 1e-4
+    assert abs(row["f_stat"] - rhalf(f, 4)) <= 1e-4
 
 
 def test_mannwhitney_and_ks_closed_form(spark, sf_dir):
@@ -774,8 +776,8 @@ def test_mannwhitney_and_ks_closed_form(spark, sf_dir):
     z = (u_a - n_a * n_b / 2.0) / math.sqrt(sig2)
     row = qs["q_mannwhitney_u"](spark, sf_dir).first()
     assert (row["n_a"], row["n_b"]) == (n_a, n_b)
-    assert row["u_a"] == round(u_a, 2)
-    assert abs(row["z_stat"] - round(z, 4)) <= 1e-4
+    assert row["u_a"] == rhalf(u_a, 2)
+    assert abs(row["z_stat"] - rhalf(z, 4)) <= 1e-4
 
     # --- KS: max ECDF gap over pooled distinct values ---
     d = 0.0
@@ -791,8 +793,8 @@ def test_mannwhitney_and_ks_closed_form(spark, sf_dir):
         i = j
     row = qs["q_ks_test"](spark, sf_dir).first()
     assert (row["n_a"], row["n_b"]) == (n_a, n_b)
-    assert row["d_stat"] == round(d, 6)
-    assert row["ks_stat"] == round(d * math.sqrt(n_a * n_b / n), 4)
+    assert row["d_stat"] == rhalf(d, 6)
+    assert row["ks_stat"] == rhalf(d * math.sqrt(n_a * n_b / n), 4)
     # the hash split is balanced enough to be a real test
     assert min(n_a, n_b) > 0.4 * n
 
@@ -830,7 +832,7 @@ def test_autocorr_closed_form(spark, sf_dir):
             num = sum(
                 (xs[t] - mu) * (xs[t - k] - mu) for t in range(k, len(xs))
             )
-            want = None if var == 0 else round(num / var, 6)
+            want = None if var == 0 else rhalf(num / var, 6)
             got = rows[et][f"r_lag{k}"]
             if want is None:
                 assert got is None
@@ -870,7 +872,7 @@ def test_bootstrap_ci_closed_form(spark, sf_dir):
             w = pois(r["event_id"], b)
             sw += w
             swx += w * r["value"]
-        means.append((round(swx / sw, 6), b))
+        means.append((rhalf(swx / sw, 6), b))
     means.sort()
     row = entry_mod.queries()["q_bootstrap_ci"](spark, sf_dir).first()
     assert row["n_events"] == len(events) and row["boot_b"] == BOOT_B
@@ -941,8 +943,8 @@ def test_cuped_adjust_closed_form(spark, sf_dir):
         for r in entry_mod.queries()["q_cuped_adjust"](spark, sf_dir).collect()
     }
     assert set(rows) == {0, 1}
-    assert abs(rows[0]["theta"] - round(theta, 6)) <= 1e-4
-    assert abs(rows[0]["rho"] - round(rho, 6)) <= 1e-4
+    assert abs(rows[0]["theta"] - rhalf(theta, 6)) <= 1e-4
+    assert abs(rows[0]["rho"] - rhalf(rho, 6)) <= 1e-4
     tot_raw = tot_adj = 0.0
     for a in (0, 1):
         ua = [v for uid, v in per.items() if arm(uid) == a]
@@ -950,8 +952,8 @@ def test_cuped_adjust_closed_form(spark, sf_dir):
         m_x = sum(v[0] for v in ua) / len(ua)
         adj = m_y - theta * (m_x - mx)
         assert rows[a]["n_users"] == len(ua)
-        assert abs(rows[a]["mean_y"] - round(m_y, 6)) <= 1e-4
-        assert abs(rows[a]["mean_y_adj"] - round(adj, 6)) <= 1e-4
+        assert abs(rows[a]["mean_y"] - rhalf(m_y, 6)) <= 1e-4
+        assert abs(rows[a]["mean_y_adj"] - rhalf(adj, 6)) <= 1e-4
         tot_raw += len(ua) * rows[a]["mean_y"]
         tot_adj += len(ua) * rows[a]["mean_y_adj"]
     # adjustment is mean-preserving over the pooled population
@@ -1012,7 +1014,7 @@ def test_fdr_bh_closed_form(spark, sf_dir):
         if z is None:
             assert got["z_stat"] is None and got["p_value"] is None
         else:
-            assert abs(got["z_stat"] - round(z, 4)) <= 1e-4
+            assert abs(got["z_stat"] - rhalf(z, 4)) <= 1e-4
             assert abs(got["p_value"] - p) <= 2e-6  # A&S 7.1.26 bound
     # BH step-up on the reported (rounded) p-values
     real = sorted(
@@ -1062,8 +1064,8 @@ def test_degree_assortativity_closed_form(spark, sf_dir):
     var = sum(a * a for a in xs) / n - mx * mx
     row = entry_mod.queries()["q_degree_assortativity"](spark, sf_dir).first()
     assert row["n_edges"] == len(edges)
-    assert abs(row["mean_end_degree"] - round(mx, 6)) <= 1e-6
-    assert abs(row["assortativity"] - round(cov / var, 6)) <= 1e-5
+    assert abs(row["mean_end_degree"] - rhalf(mx, 6)) <= 1e-6
+    assert abs(row["assortativity"] - rhalf(cov / var, 6)) <= 1e-5
 
 
 def test_seasonal_decompose_closed_form(spark, sf_dir):
@@ -1118,10 +1120,10 @@ def test_seasonal_decompose_closed_form(spark, sf_dir):
 
         r = rows[et]
         assert r["n_days"] == len(det)
-        assert abs(r["var_detrended"] - round(varp(det), 4)) <= 1e-3
-        assert abs(r["var_remainder"] - round(varp(rem), 4)) <= 1e-3
+        assert abs(r["var_detrended"] - rhalf(varp(det), 4)) <= 1e-3
+        assert abs(r["var_remainder"] - rhalf(varp(rem), 4)) <= 1e-3
         want = max(0.0, 1.0 - varp(rem) / varp(det))
-        assert abs(r["seasonal_strength"] - round(want, 4)) <= 1e-3
+        assert abs(r["seasonal_strength"] - rhalf(want, 4)) <= 1e-3
         # removing the seasonal means can only cut variance
         assert r["var_remainder"] <= r["var_detrended"] + 1e-9
 
@@ -1155,9 +1157,9 @@ def test_welch_ttest_closed_form(spark, sf_dir):
     df = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
     row = entry_mod.queries()["q_welch_ttest"](spark, sf_dir).first()
     assert (row["n_a"], row["n_b"]) == (len(a), len(b))
-    assert abs(row["mean_a"] - round(ma, 6)) <= 1e-4
-    assert abs(row["mean_b"] - round(mb, 6)) <= 1e-4
-    assert abs(row["t_stat"] - round(t, 4)) <= 1e-3
-    assert abs(row["df"] - round(df, 2)) <= 0.05
+    assert abs(row["mean_a"] - rhalf(ma, 6)) <= 1e-4
+    assert abs(row["mean_b"] - rhalf(mb, 6)) <= 1e-4
+    assert abs(row["t_stat"] - rhalf(t, 4)) <= 1e-3
+    assert abs(row["df"] - rhalf(df, 2)) <= 0.05
     # Welch df sits between min(n)-1 and n_a+n_b-2
     assert min(len(a), len(b)) - 1 <= row["df"] <= len(a) + len(b) - 2

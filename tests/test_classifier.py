@@ -3,6 +3,8 @@ recompute, label/threshold consistency, and funnel conservation."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import math
 
 from reactor_window_like_flink_spark.llm.classifier import (
@@ -45,7 +47,7 @@ def test_classifier_score_matches_python_recompute(spark, sf_dir):
     for doc_id, text in docs.items():
         want = _py_score(text)
         score, label = got[doc_id]
-        assert abs(score - round(want, 4)) < 1e-9, doc_id
+        assert abs(score - rhalf(want, 4)) < 1e-9, doc_id
         assert label == ("keep" if want >= CLF_KEEP_MIN else "drop")
 
 

@@ -3,6 +3,8 @@ union-find at sf0.001, plus unit checks on the component kernel itself."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import duckdb
 import pytest
 
@@ -167,7 +169,7 @@ def test_pagerank_matches_sequential_reference(spark):
         r = nxt
     assert set(got) == set(nodes)
     for x in nodes:
-        assert abs(got[x] - round(r[idx[x]], 6)) <= 1e-6
+        assert abs(got[x] - rhalf(r[idx[x]], 6)) <= 1e-6
     assert abs(sum(got.values()) - 1.0) <= 1e-3  # mass conservation
 
 

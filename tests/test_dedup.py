@@ -3,6 +3,8 @@ truth the probabilistic (rows-only) keys can't get from the SQL oracle."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import duckdb
 import pytest
 
@@ -53,7 +55,7 @@ def test_minhash_lsh_finds_true_near_dups(spark, sf_dir, docs):
     ids = sorted(sets)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            if round(_jaccard(sets[a], sets[b]), 4) >= JACCARD_THRESHOLD:
+            if rhalf(_jaccard(sets[a], sets[b]), 4) >= JACCARD_THRESHOLD:
                 truth.add((a, b))
     found = {
         (r["doc_a"], r["doc_b"])
@@ -72,7 +74,7 @@ def test_ngram_jaccard_matches_brute_force(spark, sf_dir, docs):
         for b in ids[i + 1 :]:
             if sets[a][1] != sets[b][1]:
                 continue
-            j = round(_jaccard(sets[a][0], sets[b][0]), 4)
+            j = rhalf(_jaccard(sets[a][0], sets[b][0]), 4)
             if j >= 0.1:
                 truth[(a, b)] = j
     got = {
@@ -298,7 +300,7 @@ def test_containment_matches_brute_force(spark, sf_dir, docs):
             ca = inter / len(sets[a][0])
             cb = inter / len(sets[b][0])
             if max(ca, cb) >= CONTAINMENT_THRESHOLD:
-                truth[(a, b)] = (round(ca, 4), round(cb, 4))
+                truth[(a, b)] = (rhalf(ca, 4), rhalf(cb, 4))
     got = {
         (r["doc_a"], r["doc_b"]): (r["cont_a"], r["cont_b"])
         for r in entry_mod.queries()["q_dedup_containment"](
@@ -438,7 +440,7 @@ def test_embedding_auto_emits_achieved_recall_audit_column(spark, sf_dir):
     # unclamped fixture: audit column matches the plan's S-curve floor
     n = load(spark, sf_dir, "embeddings").count()
     plan = dd.auto_lsh_plan(n, dd.EMB_COSINE_THRESHOLD)
-    want = round(dd.lsh_recall(dd.EMB_COSINE_THRESHOLD, *plan), 4)
+    want = rhalf(dd.lsh_recall(dd.EMB_COSINE_THRESHOLD, *plan), 4)
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)  # none may fire
         df = qs["q_dedup_embedding_auto"](spark, sf_dir)
@@ -464,7 +466,7 @@ def test_embedding_auto_emits_achieved_recall_audit_column(spark, sf_dir):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", UserWarning)
         plan2 = dd.auto_lsh_plan(2000, dd.EMB_COSINE_THRESHOLD)
-    want2 = round(dd.lsh_recall(dd.EMB_COSINE_THRESHOLD, *plan2), 4)
+    want2 = rhalf(dd.lsh_recall(dd.EMB_COSINE_THRESHOLD, *plan2), 4)
     got2 = df2.select("achieved_recall").distinct().collect()
     assert {r["achieved_recall"] for r in got2} <= {want2}
 

@@ -4,6 +4,8 @@ operators via a synthetic documents.parquet."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -89,7 +91,7 @@ def test_ngram_jaccard_edges(spark, edge_dir):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
     # docs 3/4: bigrams 7 of 9 distinct shared -> J = 7/11... compute:
     # A = 8 bigrams distinct, B = 8, shared 7 -> J = 7/9
-    assert pairs.get((3, 4)) == pytest.approx(round(7 / 9, 4))
+    assert pairs.get((3, 4)) == pytest.approx(rhalf(7 / 9, 4))
 
 
 def test_quality_and_langid_do_not_crash_on_edges(spark, edge_dir):

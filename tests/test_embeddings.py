@@ -4,6 +4,10 @@ the identity, variance ordering, determinism, empties."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
+import math
+
 import numpy as np
 
 import __spark_entry__ as entry_mod
@@ -121,9 +125,37 @@ def test_cluster_profile_numpy_reference(spark, sf_dir):
         ]
         r = rows[lab]
         assert r["n"] == len(vs)
-        assert abs(r["centroid_norm"] - round(float(cn), 6)) <= 1e-6
-        assert abs(r["mean_cos"] - round(float(np.mean(cos)), 4)) <= 1e-3
-        assert abs(r["min_cos"] - round(min(cos), 4)) <= 1e-3
+        assert abs(r["centroid_norm"] - rhalf(float(cn), 6)) <= 1e-6
+        assert abs(r["mean_cos"] - rhalf(float(np.mean(cos)), 4)) <= 1e-3
+        assert abs(r["min_cos"] - rhalf(min(cos), 4)) <= 1e-3
         # members share at least a weak common direction (the fixture's
         # labels are noisy; the profile's JOB is to expose how noisy)
         assert r["mean_cos"] > 0.0
+
+
+def test_cluster_profile_mixed_dim_falls_back_to_fold(spark, tmp_path):
+    """r13 ADVICE: on a mixed-dim embeddings table the unrolled dot —
+    sized from one arbitrary row — silently truncated longer vectors.
+    The probe is now corpus-wide min(size)==max(size); when sizes vary
+    the HOF fold runs instead, which never truncates (a truncating plan
+    would report mean_cos = 1.0 here)."""
+    import __spark_entry__ as entry_mod
+
+    df = spark.createDataFrame(
+        [(0, [1.0], 0), (1, [3.0, 4.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "mixed")
+    df.coalesce(1).write.parquet(d + "/embeddings.parquet")
+    out = {
+        r["label"]: r
+        for r in entry_mod.queries()["q_cluster_profile"](spark, d).collect()
+    }
+    r = out[0]
+    # centroid = [avg(1,3), avg(4)] = [2, 4]; cos([3,4]) = 22 /
+    # (5 * sqrt(20)) = 0.9839; cos([1]) is null under zip_with padding
+    # (never a TRUNCATED 1.0), so the aggregate sees one real cosine
+    assert r["n"] == 2
+    assert r["centroid_norm"] == rhalf(math.sqrt(20.0), 6)
+    assert r["mean_cos"] == 0.9839
+    assert r["min_cos"] == 0.9839

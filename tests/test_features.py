@@ -3,6 +3,8 @@ contract) plus the scan-expression plan shape."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import math
 
 import __spark_entry__ as entry_mod
@@ -106,7 +108,7 @@ def test_robust_scale_closed_form(spark, sf_dir):
             sl = np.array([r[c] for r in li if r["l_returnflag"] == flag])
             rz = (sl - med) / iqr
             assert rows[flag][f"n_out_{c}"] == int((np.abs(rz) > ROBUST_OUT_Z).sum())
-            assert abs(rows[flag][f"r_mean_{c}"] - round(float(rz.mean()), 6)) <= 1e-4
+            assert abs(rows[flag][f"r_mean_{c}"] - rhalf(float(rz.mean()), 6)) <= 1e-4
 
 
 def test_target_encoding_oof_excludes_own_fold(spark, sf_dir):
@@ -195,7 +197,7 @@ def test_encoding_ingest_sink_stream_equals_batch_and_replays(spark, tmp_path):
             len(vals) + TARGET_SMOOTHING
         )
         assert got[c]["n"] == len(vals)
-        assert abs(got[c]["encoded"] - round(want, 6)) <= 1e-6
+        assert abs(got[c]["encoded"] - rhalf(want, 6)) <= 1e-6
 
     # crash replay: batch 2 re-runs with the same id -> identical ledger
     sink(spark.createDataFrame(batches[2], schema), 2)

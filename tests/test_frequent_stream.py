@@ -4,6 +4,8 @@ high-cardinality churn."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import time
 from collections import Counter
 from datetime import datetime, timezone
@@ -242,7 +244,7 @@ def test_streaming_quantiles_match_batch_histogram_inversion(
             target = q * n_total
             b = int(np.searchsorted(cum, target, side="left"))
             before = int(cum[b - 1]) if b else 0
-            want = round(lo + width * (b + (target - before) / bins[b]), 4)
+            want = rhalf(lo + width * (b + (target - before) / bins[b]), 4)
             assert got[q]["est"] == want, (q, got[q]["est"], want)
             assert got[q]["n_clamped"] == 1
     finally:

@@ -80,25 +80,36 @@ def test_normalize_keeps_integer_dtype():
 
 def test_unhashable_cell_detector_matches_gate():
     # the q_embed_pca r12 class: a list/ndarray cell crashes the
-    # driver's sort_values canonicalizer — the gate's detector (same
-    # expression as verify_oracle.main) must flag list, dict and
-    # ndarray cells and pass plain strings
+    # driver's sort_values canonicalizer — this imports the gate's OWN
+    # detector (tools/verify_oracle.unhashable_cols), so main() and the
+    # test can never drift apart (r13 ADVICE)
     import numpy as np
 
-    def bad_cols(pdf: pd.DataFrame) -> list[str]:
-        return [
-            c
-            for c in pdf.columns
-            if pdf[c].dtype == object
-            and pdf[c]
-            .map(
-                lambda v: isinstance(v, (list, dict, set))
-                or type(v).__name__ == "ndarray"
-            )
-            .any()
-        ]
+    from verify_oracle import unhashable_cols as bad_cols
 
     assert bad_cols(pd.DataFrame({"a": [[1.0, 2.0]]})) == ["a"]
     assert bad_cols(pd.DataFrame({"a": [np.array([1.0])]})) == ["a"]
     assert bad_cols(pd.DataFrame({"a": [{"k": 1}]})) == ["a"]
     assert bad_cols(pd.DataFrame({"a": ["1.0,2.0"], "b": [3]})) == []
+
+
+def test_nullable_pandas_dtypes_take_numeric_paths():
+    # r13 ADVICE: "Int64"/"Float64"/"boolean" (pandas nullable) fell to
+    # astype(str) because the dtype sniff was case-sensitive — they must
+    # width-normalize like their numpy twins
+    out = normalize(pd.DataFrame({"n": pd.array([7, 8], dtype="Int64")}))
+    assert str(out["n"].dtype) == "int64"
+    out = normalize(pd.DataFrame({"x": pd.array([1.5], dtype="Float64")}))
+    assert str(out["x"].dtype) == "float64"
+    s = pd.DataFrame({"n": pd.array([42], dtype="Int64")})
+    d = pd.DataFrame({"n": pd.array([42], dtype="int64")})
+    assert compare(s, d) == []
+    # nullable int WITH an NA cell compares on the float path (the
+    # counterpart engine surfaces such columns as float64)
+    s = pd.DataFrame({"n": pd.array([42, None], dtype="Int64")})
+    d = pd.DataFrame({"n": [42.0, float("nan")]})
+    assert compare(s, d) == []
+    # and an int-vs-float VALUE skew must still be a problem
+    s = pd.DataFrame({"n": pd.array([42], dtype="Int64")})
+    d = pd.DataFrame({"n": [42.5]})
+    assert compare(s, d), "value skew hidden by nullable-int path"

@@ -4,6 +4,8 @@ differential covers the registered q_* forms end-to-end."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import __spark_entry__ as entry_mod
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -226,9 +228,9 @@ def test_chi2_contingency_matches_closed_form(spark, sf_dir):
     )
     assert row["n_rows"] == len(rt) and row["n_cols"] == len(ct)
     assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
-    assert abs(row["chi2"] - round(chi2, 4)) <= 1e-3
+    assert abs(row["chi2"] - rhalf(chi2, 4)) <= 1e-3
     v = (chi2 / (n * min(len(rt) - 1, len(ct) - 1))) ** 0.5
-    assert abs(row["cramers_v"] - round(v, 4)) <= 1e-4
+    assert abs(row["cramers_v"] - rhalf(v, 4)) <= 1e-4
 
 
 def test_gini_source_closed_form_and_invariants(spark, sf_dir):
@@ -250,7 +252,7 @@ def test_gini_source_closed_form_and_invariants(spark, sf_dir):
     ) / n
     row = qs["q_gini_source"](spark, sf_dir).first()
     assert row["n_sources"] == n and row["total_chars"] == tot
-    assert abs(row["gini"] - round(gini, 6)) <= 1e-6
+    assert abs(row["gini"] - rhalf(gini, 6)) <= 1e-6
 
     # anchors on planted frames
     import pyspark.sql.functions as F

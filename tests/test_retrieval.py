@@ -5,6 +5,8 @@ registered forms end-to-end."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import math
 
 import __spark_entry__ as entry_mod
@@ -222,7 +224,7 @@ def test_token_entropy_uniform_and_degenerate(spark):
     out = _with_table(spark, rows, DOC_SCHEMA, "q_token_entropy", ["retrieval"])
     by = {r["source"]: r for r in out}
     # 4 equally-likely tokens: H = ln 4, normalized exactly 1
-    assert abs(by["uniform"]["entropy"] - round(math.log(4), 4)) < 1e-9
+    assert abs(by["uniform"]["entropy"] - rhalf(math.log(4), 4)) < 1e-9
     assert by["uniform"]["norm_entropy"] == 1.0
     # single repeated token: H = 0; H/ln(1) undefined -> NULL
     assert by["constant"]["entropy"] == 0.0
@@ -326,7 +328,7 @@ def test_heavy_hitters_exact_despite_bounded_sketch(spark):
     assert by["hot"]["cnt"] == 300 and by["warm"]["cnt"] == 150
     # threshold n/200 = 5.25: no rare term (count 1) may appear
     assert set(by) == {"hot", "warm"}
-    assert abs(by["hot"]["share"] - round(300 / n, 4)) < 1e-12
+    assert abs(by["hot"]["share"] - rhalf(300 / n, 4)) < 1e-12
 
 
 def test_misra_gries_partial_superset_guarantee(spark):
@@ -609,12 +611,12 @@ def test_winsorize_matches_numpy_model(spark):
     out = _with_table(spark, rows, EVENT_SCHEMA, "q_winsorize", ["profiling"])
     r = out[0]
     p01, p99 = np.percentile(values, [1, 99], method="linear")
-    assert abs(r["p01"] - round(p01, 4)) < 1e-9
-    assert abs(r["p99"] - round(p99, 4)) < 1e-9
+    assert abs(r["p01"] - rhalf(p01, 4)) < 1e-9
+    assert abs(r["p99"] - rhalf(p99, 4)) < 1e-9
     assert r["n_clipped_lo"] == int((values < p01).sum())
     assert r["n_clipped_hi"] == int((values > p99).sum())
     wins = np.clip(values, p01, p99)
-    assert abs(r["mean_winsor"] - round(float(wins.mean()), 4)) < 1e-3
+    assert abs(r["mean_winsor"] - rhalf(float(wins.mean()), 4)) < 1e-3
 
 
 def test_bpe_memo_shares_one_training_pass(spark):
@@ -843,7 +845,7 @@ def test_term_jaccard_closed_form(spark, sf_dir):
         assert r["df_a"] == len(docsets[r["term_a"]])
         assert r["df_b"] == len(docsets[r["term_b"]])
         want = common / (r["df_a"] + r["df_b"] - common)
-        assert abs(r["jaccard"] - round(want, 6)) <= 1e-6
+        assert abs(r["jaccard"] - rhalf(want, 6)) <= 1e-6
     keys = [(-r["jaccard"], r["term_a"], r["term_b"]) for r in rows]
     assert keys == sorted(keys)
 
@@ -886,7 +888,7 @@ def test_mutual_info_closed_form(spark, sf_dir):
                 mi += ((ns - nts) / n) * math.log(
                     ((ns - nts) / n) / (((n - df[t]) / n) * (ns / n))
                 )
-        assert abs(r["mi"] - round(mi, 6)) <= 1e-5
+        assert abs(r["mi"] - rhalf(mi, 6)) <= 1e-5
     vals = [(-r["mi"], r["term"]) for r in rows]
     assert vals == sorted(vals)
     assert all(r["mi"] >= 0 for r in rows)  # MI is non-negative

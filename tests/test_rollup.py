@@ -162,3 +162,25 @@ def test_bitmap_rollup_exact_across_bucket_boundaries(spark, sf_dir):
         .collect()
     }
     assert got_rows == want_rows
+
+
+def test_agg_approx_distinct_close_to_exact(spark, sf_dir):
+    """q_agg_approx_distinct's rows-only evidence (SURVEY §5 table):
+    the HLL++ estimate per event_type lands within the configured rsd
+    (0.01 -> allow 5%) of the exact distinct-user count."""
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in entry_mod.queries()["q_agg_approx_distinct"](
+            spark, sf_dir
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import duckdb
 import numpy as np
 import pytest
@@ -46,7 +48,7 @@ def test_cosine_topk_matches_brute_force(spark, sf_dir, vectors):
     want = _brute_topk(vectors)
     assert [r["vec_id"] for r in got] == [v for v, _ in want]
     for r, (_, cos) in zip(got, want):
-        assert abs(r["cosine"] - round(cos, 4)) <= 1e-4
+        assert abs(r["cosine"] - rhalf(cos, 4)) <= 1e-4
 
 
 def test_ann_exact_within_probed_cells(spark, sf_dir, vectors):
@@ -139,7 +141,7 @@ def test_pq_rerank_is_exact_over_adc_candidates(spark, sf_dir, vectors):
     want = _brute_topk(vectors, candidate_ids=shortlist)
     assert [r["vec_id"] for r in got] == [v for v, _ in want]
     for r, (_, cos) in zip(got, want):
-        assert abs(r["cosine"] - round(cos, 4)) <= 1e-4
+        assert abs(r["cosine"] - rhalf(cos, 4)) <= 1e-4
 
 
 def test_pq_trains_once_and_codes_are_compact(spark, sf_dir):
@@ -327,7 +329,7 @@ def test_knn_graph_recall_and_exactness_on_clustered_vectors(spark):
         for r in by_vec.get(vid, []):
             q, v = vecs[vid], vecs[r["neighbor_id"]]
             expect = float(q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
-            assert abs(r["cosine"] - round(expect, 4)) < 2e-4
+            assert abs(r["cosine"] - rhalf(expect, 4)) < 2e-4
         ranks = [r["rank"] for r in by_vec.get(vid, [])]
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
@@ -375,7 +377,7 @@ def test_semdedup_greedy_prune_matches_sequential_reference(spark):
         sims = [(float(kn @ vn), kid) for kid, kn in kept]
         best = max(sims, default=None)
         if best and best[0] > tau:
-            want[vid] = (False, best[1], round(best[0], 4))
+            want[vid] = (False, best[1], rhalf(best[0], 4))
         else:
             kept.append((vid, vn))
             want[vid] = (True, None, None)

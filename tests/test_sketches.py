@@ -4,6 +4,8 @@ adversarial (Zipf) values, merge-path error, determinism, empties."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import numpy as np
 import pytest
 
@@ -99,7 +101,7 @@ def test_kll_rollup_matches_sequential_reference(spark, sf_dir):
             day.extend(gd["value"].to_numpy())
             acc.merge(day)
         for q in KLL_QS:
-            want[(et, q)] = (round(acc.quantile(q), 4), acc.n)
+            want[(et, q)] = (rhalf(acc.quantile(q), 4), acc.n)
 
     got = {
         (r["event_type"], r["q"]): (r["est"], r["n_events"])

@@ -4,6 +4,8 @@ rollup, state accumulates across batches, no range contract."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import time
 from datetime import datetime, timedelta, timezone
 
@@ -92,7 +94,7 @@ def test_streaming_kll_day_aligned_replay_equals_batch_rollup(
         day.extend(vals)  # _day_rows emits values already in (ts) order
         acc.merge(day)
     for q in KLL_QS:
-        assert got[q] == round(acc.quantile(q), 4), q
+        assert got[q] == rhalf(acc.quantile(q), 4), q
     assert acc.n == n_total
 
 
@@ -193,7 +195,7 @@ def test_streaming_holt_replay_equals_batch_fold(spark, tmp_path):
         nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
         b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
         l = nl
-    assert row["level"] == round(l, 6)
-    assert row["trend"] == round(b, 6)
-    assert row["forecast_next"] == round(l + b, 6)
+    assert row["level"] == rhalf(l, 6)
+    assert row["trend"] == rhalf(b, 6)
+    assert row["forecast_next"] == rhalf(l + b, 6)
     assert row["last_day"] == str(d0 + timedelta(days=len(daily) - 1))

@@ -4,6 +4,8 @@ half of the Spark SQL lifecycle (SURVEY §3), pinned per key."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import math
 
 import pytest
@@ -25,7 +27,7 @@ def _canon(rows):
         vals = []
         for v in r:
             if isinstance(v, float):
-                vals.append(round(v, 9) + 0.0 if not math.isnan(v) else "nan")
+                vals.append(rhalf(v, 9) + 0.0 if not math.isnan(v) else "nan")
             else:
                 vals.append(v)
         out.append(tuple(vals))

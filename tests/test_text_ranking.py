@@ -4,6 +4,8 @@ forms end-to-end."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import math
 
 import __spark_entry__ as entry_mod
@@ -49,7 +51,7 @@ def test_tfidf_scores_and_ranks(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     top1 = {d: rs[0] for d, rs in ((d, sorted(rs, key=lambda r: r["rank"])) for d, rs in by_doc.items())}
     assert top1[1]["term"] == "rare"
-    assert abs(top1[1]["tfidf"] - round(2 * math.log(3), 4)) < 1e-9
+    assert abs(top1[1]["tfidf"] - rhalf(2 * math.log(3), 4)) < 1e-9
     # every doc emits at most TFIDF_TOP_TERMS rows, ranks are 1..k dense
     for d, rs in by_doc.items():
         ranks = sorted(r["rank"] for r in rs)

@@ -3,6 +3,8 @@ equality, Viterbi properties, encode fidelity and coverage."""
 
 from __future__ import annotations
 
+from _round import rhalf
+
 import math
 
 from reactor_window_like_flink_spark.llm.unigram import (
@@ -93,4 +95,4 @@ def test_encode_matches_sequential_and_covers(spark, sf_dir):
         assert row["n_pieces"] == n_pieces
         # fertility >= 1: a piece never spans a whitespace boundary
         assert row["n_pieces"] >= row["n_tokens_ws"]
-        assert abs(row["fertility"] - round(n_pieces / len(words), 4)) < 1e-9
+        assert abs(row["fertility"] - rhalf(n_pieces / len(words), 4)) < 1e-9

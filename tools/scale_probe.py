@@ -228,6 +228,11 @@ GENERAL_KEYS = (
     "q_frequent_itemsets",
     "q_frequent_sequences",
     "q_association_rules",
+    # r14 (judge r13 directive 6): the expensive iterative graph keys
+    # lacked 10x facts — kcore measured 1.79x in r13, these two close
+    # out the family
+    "q_communities_lpa",
+    "q_triangle_count",
     "q_ewma_daily",
     "q_chi2_contingency",
     "q_triangle_count",

@@ -31,6 +31,26 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def unhashable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells would crash the driver's pandas-side
+    canonicalizer (sort_values over object cells): list / dict / set /
+    ndarray from an un-serialized array/map/struct column. Named so the
+    gate (main) and its test import the SAME detector — the r13 ADVICE
+    found the test re-implemented this inline, which is exactly the
+    drift it could never catch."""
+    return [
+        c
+        for c in pdf.columns
+        if pdf[c].dtype == object
+        and pdf[c]
+        .map(
+            lambda v: isinstance(v, (list, dict, set))
+            or type(v).__name__ == "ndarray"
+        )
+        .any()
+    ]
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Width-normalize without erasing the int-vs-float distinction.
 
@@ -44,7 +64,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        dt = str(df[c].dtype)
+        # lower-cased so pandas nullable dtypes ("Int64", "UInt32",
+        # "Float64", "boolean") take the width-normalization branches
+        # instead of falling through to astype(str) (r13 ADVICE)
+        dt = str(df[c].dtype).lower()
         if dt.startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]").astype("int64")
         elif df[c].dtype == object:
@@ -55,7 +78,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             # so a Spark-bool vs DuckDB-int skew must fail here too)
             df[c] = df[c].astype(str)
         elif "int" in dt and "interval" not in dt:
-            df[c] = df[c].astype("int64")
+            # nullable Int64 with NA cells cannot widen to int64; the
+            # counterpart engine surfaces such columns as float64, so
+            # compare on the float path in that case
+            if df[c].isna().any():
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].astype("int64")
         elif dt.startswith("float"):
             df[c] = df[c].astype("float64")
         else:
@@ -123,15 +152,7 @@ def main() -> int:
         # column) crashes its harness and leaves the key with NO record
         # (q_embed_pca, r12). This tool stringified such cells and
         # passed, hiding the crash class — fail loudly instead.
-        bad_cols = [
-            c
-            for c in spark_pdf.columns
-            if spark_pdf[c].dtype == object
-            and spark_pdf[c].map(
-                lambda v: isinstance(v, (list, dict, set))
-                or type(v).__name__ == "ndarray"
-            ).any()
-        ]
+        bad_cols = unhashable_cols(spark_pdf)
         if bad_cols:
             print(
                 f"FAIL {name}: driver-unhashable output column(s)"
