@@ -167,6 +167,13 @@ HEADLINE = [
     "q_mutual_info",
     "q_tpch_q8_shape",
     "q_welch_ttest",
+    "q_tpch_q6_shape",
+    "q_tpch_q7_shape",
+    "q_tpch_q9_shape",
+    "q_tpch_q11_shape",
+    "q_tpch_q12_shape",
+    "q_tpch_q14_shape",
+    "q_tpch_q19_shape",
     "q_kcore",
 ]
 

@@ -2864,3 +2864,238 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
         .orderBy("nation", F.desc("yr"))
     )
+
+
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.001
+
+
+@REG.add(
+    "q_tpch_q11_shape",
+    f"""
+    WITH value_by_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = '{Q11_NATION}'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, ROUND(val, 2) AS val
+    FROM value_by_part
+    WHERE ROUND(val, 2) >
+          ROUND({Q11_FRACTION} * (SELECT SUM(val) FROM value_by_part), 2)
+    ORDER BY val DESC, partkey
+    """,
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    traded value through one nation's suppliers exceeds a fixed
+    fraction of that nation's total — the HAVING-against-a-scalar-
+    subquery-over-the-same-aggregate plan. No partsupp table in the
+    fixtures, so value is lineitem revenue instead of
+    ps_supplycost*ps_availqty; the plan class (aggregate reused as both
+    rows and threshold) is identical.
+
+    Scale shape: ONE grouped aggregate (localCheckpoint'd so the rows
+    and the threshold derive from the same materialization instead of
+    re-running the 3-table join twice); the total re-aggregates the
+    O(parts) frame; the threshold joins back as a 1-row broadcast
+    cross. Threshold compare on round(2) values in BOTH engines so an
+    ulp of parallel-sum drift can't flip a boundary row's membership.
+    At 100 TB: fact shuffle once on partkey, everything after is
+    parts-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q11_NATION
+    )
+    sn = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    by_part = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("val")
+        )
+        .localCheckpoint()
+    )
+    thresh = by_part.agg(
+        F.round(F.sum("val") * Q11_FRACTION, 2).alias("cut")
+    )
+    return (
+        by_part.crossJoin(F.broadcast(thresh))
+        .filter(F.round(F.col("val"), 2) > F.col("cut"))
+        .select("partkey", F.round("val", 2).alias("val"))
+        .orderBy(F.desc("val"), "partkey")
+    )
+
+
+@REG.add(
+    "q_tpch_q12_shape",
+    """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 'late' ELSE 'on-time' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): line counts split by
+    order priority inside a derived shipping bucket. The fixtures carry
+    no l_shipmode/commitdate/receiptdate, so the bucket is the ship
+    LATENESS (shipped >90 days after order) — same plan class: fact-fact
+    join, grouping on a computed CASE column, conditional counts.
+
+    Scale shape: the date range pushes to the lineitem scan; one
+    shuffle join on orderkey; the aggregate is 2 output rows with
+    map-side combine. Integer counts — no float drift anywhere."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+        F.lit("late"),
+    ).otherwise(F.lit("on-time"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@REG.add(
+    "q_tpch_q14_shape",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+             AS total_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue carried by promo-typed parts — the conditional-numerator /
+    same-aggregate-denominator ratio (one pass, no self-join), Q8's
+    share pattern but over a dim attribute instead of a dim role.
+
+    Scale shape: the month filter prunes lineitem at the scan (at
+    production scale, a partition-pruned month); the part join carries
+    only (p_partkey, p_type); both CASE sum and total fold in ONE
+    aggregate. Ratio rounds at 4 after the division; the raw total
+    rounds at 2 — same drift budget as every revenue key."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@REG.add(
+    "q_tpch_q19_shape",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): the three-branch
+    DISJUNCTIVE join predicate mixing dim attributes (brand, size) with
+    fact attributes (quantity) — the classic test of OR-predicate
+    handling: the optimizer must still run ONE equi-join on partkey and
+    evaluate the disjunction as a post-join filter (or derive the
+    per-side implied filters), never a cartesian. The fixtures lack
+    l_shipinstruct/l_shipmode; the container/instruct legs are dropped,
+    keeping brand x size x quantity branches.
+
+    Scale shape: the implied dim filter (brand IN the 3 named, size
+    1-15) prunes part BEFORE the broadcast; the implied fact filter
+    (quantity 1-30) pushes to the lineitem scan; the exact disjunction
+    then runs post-join in codegen. One broadcast join, one 1-row
+    aggregate — no shuffle of the fact at all."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )

@@ -492,3 +492,40 @@ def test_kcore_round_broadcasts_frontier_never_sorts_edges(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_is_scan_only_with_all_predicates_pushed(q):
+    """Q6 is the pushdown canary: no join, every range predicate at the
+    parquet reader, read schema limited to the touched columns."""
+    df = q("q_tpch_q6_shape")
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    cols = read_schema_columns(df)
+    assert cols and set(cols[0]) <= {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_tpch_q19_broadcasts_pruned_part_and_never_shuffles_fact(q):
+    """The disjunctive-predicate join must stay ONE broadcast equi-join
+    on partkey — no SortMergeJoin (fact shuffle), no nested-loop."""
+    df = q("q_tpch_q19_shape")
+    assert has_node(df, "BroadcastHashJoin")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan
+    # the implied fact-side filter pushes to the lineitem scan
+    assert any("l_quantity" in f for f in pushed_filters(df))
+
+
+def test_tpch_q11_threshold_is_one_row_broadcast(q):
+    """Q11's scalar threshold joins back as a 1-row broadcast cross —
+    the O(parts) frame must not shuffle for it."""
+    plan = formatted_plan(q("q_tpch_q11_shape"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
