@@ -1355,14 +1355,65 @@ def frequent_itemsets(baskets: DataFrame, min_support: float) -> DataFrame:
 )
 def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket mining over order baskets (each order's distinct
-    parts): every itemset of size <= 2 carried by >= ceil(0.1% of
-    orders). See ``frequent_itemsets`` — the FP-growth lattice's
-    pair slice, oracle-checked against plain co-occurrence SQL."""
+    parts): every itemset of size <= 2 carried by >= ceil(0.02% of
+    orders), oracle-checked against plain co-occurrence SQL.
+
+    Plan (r14): apriori pair slice, NOT FP-growth. Because the key only
+    emits itemsets of size <= 2, the FP-tree machinery is pure overhead
+    — the r14 sf1 probe measured the FPGrowth plan at 3.0 s / 9.7 s
+    (sf0.1/sf1 warm medians, 3.24x at 10x data) vs 1.6 s / 3.3 s
+    (2.03x) for this plan, identical output. Shape: ONE distinct
+    shuffle materialized (localCheckpoint — consumed by the order
+    count, the singles aggregate, and both self-join sides, so the
+    distinct never recomputes); frequent singles broadcast back as an
+    apriori semi-join prefilter (Agrawal-Srikant: no pair is frequent
+    unless both members are), bounding the basket self-join's fan-out;
+    the co-located orderkey self-join emits a<b pairs into a map-side-
+    combining count. At 100 TB: two shuffles of the filtered basket
+    frame + pair-count combine — no lattice, no model fit.
+    ``frequent_itemsets`` (FP-growth) remains the library path for
+    arbitrary-depth mining and q_association_rules."""
+    import math
+
     lineitem = load(spark, sf_dir, "lineitem")
-    baskets = lineitem.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("items")
+    b = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()
     )
-    return frequent_itemsets(baskets, FPM_MIN_SUPPORT)
+    n_orders = b.agg(F.countDistinct("l_orderkey").alias("n")).first()["n"]
+    mc = math.ceil(n_orders * FPM_MIN_SUPPORT)
+    singles = (
+        b.groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("support_count"))
+        .filter(F.col("support_count") >= mc)
+        .localCheckpoint()
+    )
+    fb = b.join(
+        F.broadcast(singles.select("l_partkey")), "l_partkey", "left_semi"
+    )
+    x = fb.select("l_orderkey", F.col("l_partkey").alias("a"))
+    y = fb.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("support_count"))
+        .filter(F.col("support_count") >= mc)
+    )
+    out_singles = singles.select(
+        F.col("l_partkey").cast("string").alias("itemset"),
+        F.lit(1).cast("int").alias("n_items"),
+        "support_count",
+    )
+    out_pairs = pairs.select(
+        F.concat_ws(
+            ",", F.col("a").cast("string"), F.col("b").cast("string")
+        ).alias("itemset"),
+        F.lit(2).cast("int").alias("n_items"),
+        "support_count",
+    )
+    return out_singles.unionAll(out_pairs)
 
 
 def frequent_sequences(
