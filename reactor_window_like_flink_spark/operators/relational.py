@@ -2867,7 +2867,14 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q11_NATION = "NATION_3"
-Q11_FRACTION = 0.001
+# Threshold = this multiple of the AVERAGE per-part value. TPC-H's own
+# Q11 scales its fraction by 1/SF because a fixed fraction of the total
+# degenerates as the part universe grows (the r14 sf1 probe measured
+# exactly that: 364 rows at sf0.01, 0 rows at sf0.1 with a fixed 0.001
+# cut). A multiple-of-average cut is the scale-invariant restatement of
+# the same intent ("parts well above their weight") and keeps the key
+# non-degenerate at every sf.
+Q11_AVG_MULTIPLE = 2.0
 
 
 @REG.add(
@@ -2885,18 +2892,22 @@ Q11_FRACTION = 0.001
     SELECT partkey, ROUND(val, 2) AS val
     FROM value_by_part
     WHERE ROUND(val, 2) >
-          ROUND({Q11_FRACTION} * (SELECT SUM(val) FROM value_by_part), 2)
+          ROUND({Q11_AVG_MULTIPLE} * (SELECT SUM(val) / COUNT(*)
+                                      FROM value_by_part), 2)
     ORDER BY val DESC, partkey
     """,
 )
 def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): parts whose
     traded value through one nation's suppliers exceeds a fixed
-    fraction of that nation's total — the HAVING-against-a-scalar-
-    subquery-over-the-same-aggregate plan. No partsupp table in the
-    fixtures, so value is lineitem revenue instead of
-    ps_supplycost*ps_availqty; the plan class (aggregate reused as both
-    rows and threshold) is identical.
+    multiple of that nation's AVERAGE per-part value — the
+    HAVING-against-a-scalar-subquery-over-the-same-aggregate plan. No
+    partsupp table in the fixtures, so value is lineitem revenue
+    instead of ps_supplycost*ps_availqty, and the benchmark's
+    1/SF-scaled fraction-of-total cut is restated as a multiple of the
+    average (scale-invariant — a fixed fraction emptied the result at
+    sf0.1, measured in the r14 probe); the plan class (aggregate reused
+    as both rows and threshold) is identical.
 
     Scale shape: ONE grouped aggregate (localCheckpoint'd so the rows
     and the threshold derive from the same materialization instead of
@@ -2925,7 +2936,9 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     thresh = by_part.agg(
-        F.round(F.sum("val") * Q11_FRACTION, 2).alias("cut")
+        F.round(
+            F.lit(Q11_AVG_MULTIPLE) * (F.sum("val") / F.count("*")), 2
+        ).alias("cut")
     )
     return (
         by_part.crossJoin(F.broadcast(thresh))
