@@ -101,6 +101,20 @@ def count_or_time_stateful(
                 _settle_idle(state, seq)
         else:
             now_ms = state.getCurrentProcessingTimeMs()
+            # Flush-on-time must ALSO run on the data path: the state
+            # timeout only fires in a micro-batch where this key has no
+            # new rows, so under a steady trickle (every batch carries
+            # rows for the key) hasTimedOut never fires and latency is
+            # unbounded — the r14 fast publish path exposed this (the
+            # pre-r14 per-publish Spark job was slower than batch
+            # execution, so dataless timer batches happened to occur).
+            # bufferTimeout semantics: the open batch closes `duration`
+            # after it OPENED, before this batch's arrivals — they
+            # belong to the next batch.
+            if n > 0 and now_ms >= opened_ms + timeout_ms:
+                out.append((key[0], seq, n, round(total, 2), "timeout"))
+                seq += 1
+                n, total, opened_ms = 0, 0.0, 0
             for pdf in pdfs:
                 for v in pdf[value_col]:
                     if n == 0:

@@ -318,6 +318,7 @@ def test_publisher_soak_reference_scale(spark, tmp_path):
         threads = [
             threading.Thread(target=produce, args=(k,)) for k in range(thread_count)
         ]
+        t_start = time.time()
         for t in threads:
             t.start()
         for t in threads:
@@ -329,8 +330,17 @@ def test_publisher_soak_reference_scale(spark, tmp_path):
                 if sum(len(c) for c in delivered) >= item_count:
                     break
             time.sleep(0.2)
+        wall = time.time() - t_start
     finally:
         query.stop()
+
+    # Reference floor: 50k events within 10 s (>= 5,000 events/s,
+    # WindowPublisherTest.java:22-46). The r14 arrow admission path
+    # runs this in ~3 s (tools/throughput_probe.py: 16.5k events/s);
+    # the bound is 6x that so host-epoch swings can't flake it, while
+    # still failing the pre-r14 regression class (a Spark job per
+    # publish: 148 s end-to-end).
+    assert wall < 60, f"soak took {wall:.1f}s — producer path regressed"
 
     sizes = [len(c) for c in delivered]
     assert sum(sizes) == item_count  # exact no-loss delivery
