@@ -378,26 +378,44 @@ def main() -> int:
     # tail (r13 judge directive 3: every BENCH_rN.json since r04 had
     # parsed: null because the only JSON line outgrew the tail). The
     # full per-key map is one line up and in BENCH_LOCAL.json.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf,
-                "n": len(times),
-                "median_vs_bar": median_vs_bar,
-                "flags": flags,
-                "guard_ratio": guard_ratio,
-                "timed_index_builds": len(
-                    payload["index_builds_during_timed"]
-                ),
-                "epoch_calib_s": payload["epoch_calib_s"],
-                "queries_full": "BENCH_LOCAL.json",
-            }
-        )
-    )
+    print(compact_summary(payload))
     return 0
+
+
+SUMMARY_MAX_CHARS = 1900  # driver tail window is 2000; leave margin
+_SUMMARY_FLAG_CAP = 20  # worst realistic flag count is a few; cap hard
+
+
+def compact_summary(payload: dict) -> str:
+    """The bench's final stdout line: a JSON summary guaranteed to fit
+    the driver's 2000-char tail window even in pathological runs (every
+    key flagged). Contract pinned by tests/test_bench_contract.py."""
+    flags = payload.get("flags") or {}
+    if len(flags) > _SUMMARY_FLAG_CAP:
+        worst = dict(
+            sorted(flags.items(), key=lambda kv: -kv[1])[:_SUMMARY_FLAG_CAP]
+        )
+        worst["...truncated"] = len(flags) - _SUMMARY_FLAG_CAP
+        flags = worst
+    line = json.dumps(
+        {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": payload["unit"],
+            "sf": payload["sf"],
+            "n": len(payload.get("queries") or {}),
+            "median_vs_bar": payload.get("median_vs_bar"),
+            "flags": flags,
+            "guard_ratio": payload.get("guard_ratio") or {},
+            "timed_index_builds": len(
+                payload.get("index_builds_during_timed") or []
+            ),
+            "epoch_calib_s": payload.get("epoch_calib_s"),
+            "queries_full": "BENCH_LOCAL.json",
+        }
+    )
+    assert len(line) <= SUMMARY_MAX_CHARS, len(line)
+    return line
 
 
 if __name__ == "__main__":
