@@ -7,6 +7,17 @@ driver contract (``__spark_entry__.py``) merges the per-module registries.
 Determinism rules (so the driver's order-insensitive value-hash matches):
   * round every order-of-summation-dependent double aggregate (SUM/AVG over
     doubles) — per-row arithmetic is IEEE-deterministic and needs no rounding;
+  * ...but ROUND(x, n) at n >= 1 is NOT engine-identical at representation
+    boundaries: Spark rounds the SHORTEST DECIMAL REPR (BigDecimal.valueOf)
+    while DuckDB rounds the BINARY double, and they disagree when the repr
+    sits on the other side of a half from the binary value (first caught by
+    the r14 sf0.1 sweep: q_quality_score off by 1e-4 on 8 of 50k rows, and
+    q_tpch_q11_shape one cent off in a SUM). For exact-rational-derived
+    values that can land on decimal halves, use ``ROUND(x * 10^n, 0) / 10^n``
+    (at 0 decimals both engines agree on every double, including exact
+    halves — both go away from zero), or quantize to scaled BIGINT before
+    aggregating (the q11 integer-cents pattern) when the value also feeds a
+    threshold compare;
   * cast DuckDB ``count``/``sum`` of integers to BIGINT (DuckDB widens to
     HUGEINT, Spark stays at LongType);
   * emit computed timestamps as epoch-seconds BIGINT or formatted strings

@@ -151,12 +151,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           ROUND(LEAST(n_chars / 500.0, 1.0), 4) AS len_score,
-           ROUND(n_stop / n_tokens, 4) AS stop_ratio,
-           ROUND(n_punct / n_chars, 4) AS punct_ratio,
-           ROUND(0.5 * LEAST(n_chars / 500.0, 1.0)
-                 + 0.4 * (n_stop / n_tokens)
-                 + 0.1 * (1.0 - n_punct / n_chars), 4) AS quality,
+           ROUND(LEAST(n_chars / 500.0, 1.0) * 10000, 0) / 10000.0
+             AS len_score,
+           ROUND((n_stop / n_tokens) * 10000, 0) / 10000.0 AS stop_ratio,
+           ROUND((n_punct / n_chars) * 10000, 0) / 10000.0 AS punct_ratio,
+           ROUND((0.5 * LEAST(n_chars / 500.0, 1.0)
+                  + 0.4 * (n_stop / n_tokens)
+                  + 0.1 * (1.0 - n_punct / n_chars)) * 10000, 0) / 10000.0
+             AS quality,
            CASE WHEN 0.5 * LEAST(n_chars / 500.0, 1.0)
                      + 0.4 * (n_stop / n_tokens)
                      + 0.1 * (1.0 - n_punct / n_chars) >= 0.45 THEN 'high'
@@ -183,12 +185,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = n_stop / n_tokens
     punct_ratio = n_punct / n_chars
     quality = 0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)
+    # ROUND(x * 10^4, 0) / 10^4 instead of ROUND(x, 4): at 0 decimals
+    # Spark's shortest-repr HALF_UP and DuckDB's binary-double rounding
+    # agree on EVERY double (including exact halves — both go away from
+    # zero), while at 4 decimals they diverge when a ratio's shortest
+    # repr sits on the other side of a half from its binary value — the
+    # first sf0.1 oracle sweep caught 8 of 50k rows off by 1e-4 in
+    # `quality` exactly this way (sf0.01 never hit a boundary).
     return docs.select(
         "doc_id",
-        F.round(len_score, 4).alias("len_score"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(quality, 4).alias("quality"),
+        (F.round(len_score * 10000, 0) / 10000.0).alias("len_score"),
+        (F.round(stop_ratio * 10000, 0) / 10000.0).alias("stop_ratio"),
+        (F.round(punct_ratio * 10000, 0) / 10000.0).alias("punct_ratio"),
+        (F.round(quality * 10000, 0) / 10000.0).alias("quality"),
         F.when(quality >= 0.45, "high")
         .when(quality >= 0.30, "medium")
         .otherwise("low")

@@ -2882,18 +2882,20 @@ Q11_AVG_MULTIPLE = 2.0
     f"""
     WITH value_by_part AS (
       SELECT l_partkey AS partkey,
-             SUM(l_extendedprice * (1 - l_discount)) AS val
+             SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0)
+                      AS BIGINT)) AS cents
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = '{Q11_NATION}'
       GROUP BY l_partkey
     )
-    SELECT partkey, ROUND(val, 2) AS val
+    SELECT partkey, cents / 100.0 AS val
     FROM value_by_part
-    WHERE ROUND(val, 2) >
-          ROUND({Q11_AVG_MULTIPLE} * (SELECT SUM(val) / COUNT(*)
-                                      FROM value_by_part), 2)
+    WHERE cents > CAST(ROUND({Q11_AVG_MULTIPLE} * (SELECT SUM(cents)
+                                                          / COUNT(*)
+                                                   FROM value_by_part),
+                             0) AS BIGINT)
     ORDER BY val DESC, partkey
     """,
 )
@@ -2913,10 +2915,13 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the threshold derive from the same materialization instead of
     re-running the 3-table join twice); the total re-aggregates the
     O(parts) frame; the threshold joins back as a 1-row broadcast
-    cross. Threshold compare on round(2) values in BOTH engines so an
-    ulp of parallel-sum drift can't flip a boundary row's membership.
-    At 100 TB: fact shuffle once on partkey, everything after is
-    parts-sized."""
+    cross. Arithmetic is integer-CENTS end to end (per-line revenue
+    quantized before the sum, BIGINT-exact under any partitioning, see
+    the in-body comment) so parallel-sum drift can neither flip a
+    boundary row's membership nor move a hash cell — the round(2)
+    double form was caught one cent off by the first sf0.1 oracle
+    sweep. At 100 TB: fact shuffle once on partkey, everything after
+    is parts-sized."""
     li = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(
@@ -2925,25 +2930,35 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey")
+    # Order-free arithmetic: each line's revenue quantizes to integer
+    # CENTS before the sum (the two-op double product is bit-identical
+    # in both engines, so the per-term round is too), and the sum is
+    # BIGINT-exact under any partitioning. The first sf0.1 oracle sweep
+    # caught the SUM(double) form one cent off at one part (the
+    # parallel add order landed within an ulp of a half-cent) — and in
+    # THIS key a cent of drift can flip threshold membership, not just
+    # a hash cell, so the drift budget other revenue keys tolerate is
+    # not acceptable here.
+    cents = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0
+    ).cast("long")
     by_part = (
         li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("val")
-        )
+        .agg(F.sum(cents).alias("cents"))
         .localCheckpoint()
     )
     thresh = by_part.agg(
         F.round(
-            F.lit(Q11_AVG_MULTIPLE) * (F.sum("val") / F.count("*")), 2
-        ).alias("cut")
+            F.lit(Q11_AVG_MULTIPLE) * (F.sum("cents") / F.count("*")), 0
+        )
+        .cast("long")
+        .alias("cut_cents")
     )
     return (
         by_part.crossJoin(F.broadcast(thresh))
-        .filter(F.round(F.col("val"), 2) > F.col("cut"))
-        .select("partkey", F.round("val", 2).alias("val"))
+        .filter(F.col("cents") > F.col("cut_cents"))
+        .select("partkey", (F.col("cents") / 100.0).alias("val"))
         .orderBy(F.desc("val"), "partkey")
     )
 
