@@ -26,7 +26,7 @@ REG = Registry()
     "q_udaf_pandas",
     """
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           (ROUND((SUM(l_extendedprice * l_quantity) / SUM(l_quantity)) * 10000, 0) / 10000.0)
              AS wavg_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -52,7 +52,7 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"),
+        (F.round((wavg("l_extendedprice", "l_quantity")) * 10000, 0) / 10000.0).alias("wavg_price"),
         n_rows("l_extendedprice").alias("n"),
     )
 
@@ -61,7 +61,7 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouped_map",
     """
     SELECT event_id, event_type,
-           ROUND(value - AVG(value) OVER (PARTITION BY event_type), 4)
+           (ROUND((value - AVG(value) OVER (PARTITION BY event_type)) * 10000, 0) / 10000.0)
              AS value_centered
     FROM events
     """,
@@ -88,10 +88,10 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_udtf_python",
     """
-    SELECT o_orderkey, 'net' AS part, ROUND(o_totalprice * 0.9, 4) AS amount
+    SELECT o_orderkey, 'net' AS part, (ROUND((o_totalprice * 0.9) * 10000, 0) / 10000.0) AS amount
     FROM orders WHERE o_totalprice > 400000
     UNION ALL
-    SELECT o_orderkey, 'fee' AS part, ROUND(o_totalprice * 0.1, 4) AS amount
+    SELECT o_orderkey, 'fee' AS part, (ROUND((o_totalprice * 0.1) * 10000, 0) / 10000.0) AS amount
     FROM orders WHERE o_totalprice > 400000
     """,
 )

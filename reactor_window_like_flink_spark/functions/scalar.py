@@ -117,12 +117,12 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_r"),
+        (F.round(F.col("l_extendedprice") * 10, 0) / 10.0).alias("price_r"),
         F.abs(F.col("l_extendedprice") - 50000).alias("dev"),
         F.ceil("l_quantity").alias("ceil_qty"),
         F.floor("l_quantity").alias("floor_qty"),
-        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
-        F.round(F.pow("l_discount", F.lit(2)), 9).alias("disc_sq"),
+        (F.round((F.log("l_extendedprice")) * 1000000, 0) / 1000000.0).alias("ln_price"),
+        (F.round((F.pow("l_discount", F.lit(2))) * 1000000000, 0) / 1000000000.0).alias("disc_sq"),
         (F.col("l_orderkey") % 7).alias("mod7"),
     )
 
@@ -165,7 +165,7 @@ def q_scalar_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding[1] AS first_val,
            list_max(embedding) AS max_val,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+           (ROUND((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000, 0) / 10000.0)
              AS l1_sum
     FROM embeddings
     """,
@@ -181,12 +181,9 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("first_val"),
         F.array_max("embedding").alias("max_val"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.round(
-            F.aggregate(
+        (F.round((F.aggregate(
                 "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
-            ),
-            4,
-        ).alias("l1_sum"),
+            )) * 10000, 0) / 10000.0).alias("l1_sum"),
     )
 
 

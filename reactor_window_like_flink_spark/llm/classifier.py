@@ -146,7 +146,7 @@ def _duck_score_sql() -> str:
              {_duck_score_sql()} AS score
       FROM lt
     )
-    SELECT doc_id, n_grams, ROUND(score, 4) AS clf_score,
+    SELECT doc_id, n_grams, (ROUND((score) * 10000, 0) / 10000.0) AS clf_score,
            CASE WHEN score >= {CLF_KEEP_MIN} THEN 'keep' ELSE 'drop' END
              AS clf_label
     FROM s
@@ -166,7 +166,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_classifier_inputs(docs).select(
         "doc_id",
         F.greatest(F.length("_lt") - 2, F.lit(0)).cast("long").alias("n_grams"),
-        F.round(score, 4).alias("clf_score"),
+        (F.round((score) * 10000, 0) / 10000.0).alias("clf_score"),
         F.when(score >= CLF_KEEP_MIN, "keep").otherwise("drop").alias("clf_label"),
     )
 
@@ -208,7 +208,7 @@ _CLF_FUNNEL_STAGES = [
            CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (ORDER BY stage_idx
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 AS BIGINT) AS n_in,
-           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4) AS pct_of_total
+           (ROUND((n / CAST(SUM(n) OVER () AS DOUBLE)) * 10000, 0) / 10000.0) AS pct_of_total
     FROM j
     """,
 )

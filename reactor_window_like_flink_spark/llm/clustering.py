@@ -301,7 +301,7 @@ def pagerank(
         )
         if (i + 1) % 2 == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint()
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", (F.round(F.col("rank") * 1000000, 0) / 1000000.0).alias("rank"))
 
 
 @REG.add("q_pagerank")  # rows-only: 10 iterations of order-dependent

@@ -88,9 +88,7 @@ def decontaminate(shingled: DataFrame, eval_pred: F.Column) -> DataFrame:
             "doc_id",
             F.col("n_hit").cast("long").alias("n_hit"),
             F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_shingles"), 4
-            ).alias("contamination_frac"),
+            (F.round((F.col("n_hit").cast("double") / F.col("n_shingles")) * 10000, 0) / 10000.0).alias("contamination_frac"),
         )
     )
 
@@ -122,7 +120,7 @@ def decontaminate(shingled: DataFrame, eval_pred: F.Column) -> DataFrame:
     SELECT tr.doc_id,
            CAST(count(*) AS BIGINT) AS n_hit,
            CAST(n_shingles AS BIGINT) AS n_shingles,
-           ROUND(CAST(count(*) AS DOUBLE) / n_shingles, 4)
+           (ROUND((CAST(count(*) AS DOUBLE) / n_shingles) * 10000, 0) / 10000.0)
              AS contamination_frac
     FROM tr JOIN ev ON tr.s = ev.s
     GROUP BY tr.doc_id, tr.n_shingles
@@ -270,7 +268,7 @@ def repetition_stats(toks_df: DataFrame) -> DataFrame:
         F.sum("c").cast("long").alias("n_tri"),
         F.count("*").cast("long").alias("n_uniq_tri"),
         F.max("c").cast("long").alias("max_tri_count"),
-        F.round(frac, 4).alias("rep_frac"),
+        (F.round((frac) * 10000, 0) / 10000.0).alias("rep_frac"),
         (frac >= REPETITION_FLAG_FRAC).alias("is_repetitive"),
     )
 
@@ -294,7 +292,7 @@ def repetition_stats(toks_df: DataFrame) -> DataFrame:
            CAST(sum(c) AS BIGINT) AS n_tri,
            CAST(count(*) AS BIGINT) AS n_uniq_tri,
            CAST(max(c) AS BIGINT) AS max_tri_count,
-           ROUND(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS rep_frac,
+           (ROUND((1 - CAST(count(*) AS DOUBLE) / sum(c)) * 10000, 0) / 10000.0) AS rep_frac,
            (1 - CAST(count(*) AS DOUBLE) / sum(c))
              >= {REPETITION_FLAG_FRAC} AS is_repetitive
     FROM c GROUP BY doc_id
@@ -338,7 +336,7 @@ def domain_mix(docs: DataFrame, weight: F.Column) -> DataFrame:
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(u < F.col("rate"))
-        .select("doc_id", "source", F.round("rate", 4).alias("rate"))
+        .select("doc_id", "source", (F.round(F.col("rate") * 10000, 0) / 10000.0).alias("rate"))
     )
 
 
@@ -359,7 +357,7 @@ _W_DUCK = "1 + CAST(substr(source, 4) AS INT) % 4"
     ),
     t AS (SELECT MIN(cnt / w) AS t FROM counts),
     rates AS (SELECT source, w * t.t / cnt AS rate FROM counts, t)
-    SELECT d.doc_id, d.source, ROUND(r.rate, 4) AS rate
+    SELECT d.doc_id, d.source, (ROUND((r.rate) * 10000, 0) / 10000.0) AS rate
     FROM documents d JOIN rates r USING (source)
     WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) / 4294967296.0 < r.rate
@@ -783,7 +781,7 @@ def _near_admission(
         F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     )
     matches = (
-        paired.withColumn("jaccard", F.round(inter / union, 4))
+        paired.withColumn("jaccard", (F.round((inter / union) * 10000, 0) / 10000.0))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .groupBy("batch_id")
         .agg(
@@ -923,10 +921,10 @@ DRIFT_BUCKETS = 12  # clamps [0, 600) doc-length domain
       LEFT JOIN c ON c.source = s.source AND c.bucket = b.bucket
     )
     SELECT source, ns AS n_docs,
-           ROUND(SUM(((cnt + 0.5) / (ns + 0.5 * k.k)
+           (ROUND((SUM(((cnt + 0.5) / (ns + 0.5 * k.k)
                       - (cb + 0.5) / (n.n + 0.5 * k.k))
                      * ln(((cnt + 0.5) / (ns + 0.5 * k.k))
-                          / ((cb + 0.5) / (n.n + 0.5 * k.k)))), 4) AS psi
+                          / ((cb + 0.5) / (n.n + 0.5 * k.k))))) * 10000, 0) / 10000.0) AS psi
     FROM j, k, n
     GROUP BY source, ns
     """,
@@ -984,7 +982,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("_t", (p - q) * F.log(p / q))
         .groupBy("source", "ns")
-        .agg(F.round(F.sum("_t"), 4).alias("psi"))
+        .agg((F.round((F.sum("_t")) * 10000, 0) / 10000.0).alias("psi"))
         .select("source", F.col("ns").alias("n_docs"), "psi")
     )
 
@@ -1064,8 +1062,8 @@ NOVELTY_NGRAM = 3  # same trigram width as decontamination
            CAST(count(*) AS BIGINT) AS n_trigrams,
            CAST(sum(CASE WHEN dfc.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_novel,
-           ROUND(CAST(sum(CASE WHEN dfc.n_docs = 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 4) AS novelty
+           (ROUND((CAST(sum(CASE WHEN dfc.n_docs = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*)) * 10000, 0) / 10000.0) AS novelty
     FROM ex JOIN dfc USING (s)
     GROUP BY ex.doc_id
     """,
@@ -1095,9 +1093,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_trigrams"),
             novel.cast("long").alias("n_novel"),
-            F.round(
-                novel.cast("double") / F.count("*"), 4
-            ).alias("novelty"),
+            (F.round((novel.cast("double") / F.count("*")) * 10000, 0) / 10000.0).alias("novelty"),
         )
     )
 
@@ -1474,7 +1470,7 @@ _FUNNEL_STAGES = [
            CAST(SUM(n) OVER () - COALESCE(SUM(n) OVER (ORDER BY stage_idx
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 AS BIGINT) AS n_in,
-           ROUND(n / CAST(SUM(n) OVER () AS DOUBLE), 4) AS pct_of_total
+           (ROUND((n / CAST(SUM(n) OVER () AS DOUBLE)) * 10000, 0) / 10000.0) AS pct_of_total
     FROM j
     """,
 )
@@ -1548,5 +1544,5 @@ def funnel_report(
         (tot - F.coalesce(F.sum("n").over(w_prev), F.lit(0).cast("long")))
         .cast("long")
         .alias("n_in"),
-        F.round(F.col("n") / tot, 4).alias("pct_of_total"),
+        (F.round((F.col("n") / tot) * 10000, 0) / 10000.0).alias("pct_of_total"),
     )

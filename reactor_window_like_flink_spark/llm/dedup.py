@@ -209,7 +209,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        paired.withColumn("jaccard", F.round(inter / union, 4))
+        paired.withColumn("jaccard", (F.round((inter / union) * 10000, 0) / 10000.0))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -334,8 +334,8 @@ _NGRAM_JACCARD_ORACLE = """
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-                 / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 4)
+           (ROUND((CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+                 / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))) * 10000, 0) / 10000.0)
              AS jaccard
     FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
@@ -417,10 +417,10 @@ _CONTAINMENT_ORACLE = f"""
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-                 / len(a.bg), 4) AS cont_a,
-           ROUND(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-                 / len(b.bg), 4) AS cont_b
+           (ROUND((CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+                 / len(a.bg)) * 10000, 0) / 10000.0) AS cont_a,
+           (ROUND((CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+                 / len(b.bg)) * 10000, 0) / 10000.0) AS cont_b
     FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE greatest(
             CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(a.bg),
@@ -549,8 +549,8 @@ def containment_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round("_ca", 4).alias("cont_a"),
-            F.round("_cb", 4).alias("cont_b"),
+            (F.round(F.col("_ca") * 10000, 0) / 10000.0).alias("cont_a"),
+            (F.round(F.col("_cb") * 10000, 0) / 10000.0).alias("cont_b"),
         )
     )
 
@@ -640,7 +640,7 @@ def _emb_lsh_oracle() -> str:
       JOIN e ea ON ea.vec_id = c.vec_a
       JOIN e eb ON eb.vec_id = c.vec_b
     )
-    SELECT vec_a, vec_b, ROUND(cosine, 4) AS cosine
+    SELECT vec_a, vec_b, (ROUND((cosine) * 10000, 0) / 10000.0) AS cosine
     FROM scored WHERE cosine >= {EMB_COSINE_THRESHOLD}
     """
 
@@ -936,7 +936,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .withColumn("cos_raw", dot / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cos_raw") >= EMB_COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+        .select("vec_a", "vec_b", (F.round(F.col("cos_raw") * 10000, 0) / 10000.0).alias("cosine"))
     )
 
 
@@ -1031,7 +1031,7 @@ def lsh_cosine_pairs_fast(
         # shuffle: one hash aggregate on the pair key).
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cosine").alias("cosine"))
-        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .select("vec_a", "vec_b", (F.round(F.col("cosine") * 10000, 0) / 10000.0).alias("cosine"))
     )
 
 
@@ -1070,7 +1070,15 @@ def q_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``achieved_recall`` audit column (= ``lsh_recall(threshold, bands,
     bits)``, the S-curve floor over the pairs the join must find), so
     a 29%-recall demo plan is visible in the key's own rows, not only
-    in the probe report."""
+    in the probe report.
+
+    USE AT DESIGN THRESHOLDS (>= ~0.9), where ``auto_lsh_plan`` has
+    headroom to size bands x bits and measured recall is 1.000 at sf1
+    (BASELINE.md round-11/round-14 probe tables). The 0.3 regime in
+    this registration exists ONLY as the clamp's regression guard —
+    it decays 0.71 -> 0.29 at 10x data by design. For a real near-dup
+    pass at low similarity, use ``q_dedup_ngram_jaccard`` (exact,
+    prefix-filtered) or raise the threshold."""
     emb = load(spark, sf_dir, "embeddings")
     bands, bits = auto_lsh_plan(emb.count(), EMB_COSINE_THRESHOLD)
     pairs = lsh_cosine_pairs_fast(
@@ -1269,7 +1277,7 @@ def prefix_jaccard_join(
         F.col("n_total") - F.col("n_inter")
     )
     return scored.filter(jacc >= t).select(
-        "doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")
+        "doc_a", "doc_b", (F.round((jacc) * 10000, 0) / 10000.0).alias("jaccard")
     )
 
 

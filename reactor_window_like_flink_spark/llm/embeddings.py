@@ -231,13 +231,13 @@ def _norm_unrolled(col: str, dim: int) -> "F.Column":
       SELECT label, i, CAST(embedding[i] AS DOUBLE) AS c FROM comp0
     ),
     cent AS (
-      SELECT label, i, ROUND(AVG(c), 6) AS m FROM comp GROUP BY label, i
+      SELECT label, i, (ROUND((AVG(c)) * 1000000, 0) / 1000000.0) AS m FROM comp GROUP BY label, i
     ),
     carr AS (
       SELECT label, list(m ORDER BY i) AS centroid,
-             ROUND(sqrt(list_reduce(list_prepend(0.0,
+             (ROUND((sqrt(list_reduce(list_prepend(0.0,
                list_transform(list(m ORDER BY i), x -> x * x)),
-               (a, b) -> a + b)), 6) AS centroid_norm
+               (a, b) -> a + b))) * 1000000, 0) / 1000000.0) AS centroid_norm
       FROM cent GROUP BY label
     ),
     scored AS (
@@ -257,8 +257,8 @@ def _norm_unrolled(col: str, dim: int) -> "F.Column":
     )
     SELECT label, CAST(count(*) AS BIGINT) AS n,
            centroid_norm,
-           ROUND(AVG(cos), 4) AS mean_cos,
-           ROUND(MIN(cos), 4) AS min_cos
+           (ROUND((AVG(cos)) * 10000, 0) / 10000.0) AS mean_cos,
+           (ROUND((MIN(cos)) * 10000, 0) / 10000.0) AS min_cos
     FROM scored
     GROUP BY label, centroid_norm
     """,
@@ -297,7 +297,7 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("i", "c")
     )
     cent = comp.groupBy("label", "i").agg(
-        F.round(F.avg(F.col("c").cast("double")), 6).alias("m")
+        (F.round((F.avg(F.col("c").cast("double"))) * 1000000, 0) / 1000000.0).alias("m")
     )
     carr = (
         cent.groupBy("label")
@@ -308,7 +308,7 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.expr("transform(sm, s -> s.m)").alias("centroid"),
         )
-        .withColumn("centroid_norm", F.round(_arr_norm("centroid"), 6))
+        .withColumn("centroid_norm", (F.round((_arr_norm("centroid")) * 1000000, 0) / 1000000.0))
         .drop("sm")
     )
     # fixed-dim unrolled cosine: same IEEE add order as the fold the
@@ -332,6 +332,6 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("label", "centroid_norm").agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.avg("cos"), 4).alias("mean_cos"),
-        F.round(F.min("cos"), 4).alias("min_cos"),
+        (F.round((F.avg("cos")) * 10000, 0) / 10000.0).alias("mean_cos"),
+        (F.round((F.min("cos")) * 10000, 0) / 10000.0).alias("min_cos"),
     )

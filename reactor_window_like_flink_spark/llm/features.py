@@ -43,9 +43,9 @@ TARGET_SMOOTHING = 100.0  # pseudo-observations of the global prior
     )
     SELECT c_mktsegment,
            n_orders,
-           ROUND(s_seg / n_orders, 6) AS seg_mean,
-           ROUND((COALESCE(s_seg, 0.0) + {TARGET_SMOOTHING} * mu)
-                 / (n_orders + {TARGET_SMOOTHING}), 6) AS encoded
+           (ROUND((s_seg / n_orders) * 1000000, 0) / 1000000.0) AS seg_mean,
+           (ROUND(((COALESCE(s_seg, 0.0) + {TARGET_SMOOTHING} * mu)
+                 / (n_orders + {TARGET_SMOOTHING})) * 1000000, 0) / 1000000.0) AS encoded
     FROM seg, prior
     """,
 )
@@ -89,12 +89,9 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.crossJoin(F.broadcast(prior)).select(
         "c_mktsegment",
         "n_orders",
-        F.round(F.col("s_seg") / F.col("n_orders"), 6).alias("seg_mean"),
-        F.round(
-            (F.coalesce(F.col("s_seg"), F.lit(0.0)) + m * F.col("mu"))
-            / (F.col("n_orders") + m),
-            6,
-        ).alias("encoded"),
+        (F.round((F.col("s_seg") / F.col("n_orders")) * 1000000, 0) / 1000000.0).alias("seg_mean"),
+        (F.round(((F.coalesce(F.col("s_seg"), F.lit(0.0)) + m * F.col("mu"))
+            / (F.col("n_orders") + m)) * 1000000, 0) / 1000000.0).alias("encoded"),
     )
 
 
@@ -118,9 +115,9 @@ FEATURE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
            CAST(count(*) AS BIGINT) AS n,
     """
     + ", ".join(
-        f"ROUND(AVG(({c} - mu_{c}) / sd_{c}), 6) AS z_mean_{c}, "
-        f"ROUND(MIN(({c} - lo_{c}) / (hi_{c} - lo_{c})), 6) AS mm_min_{c}, "
-        f"ROUND(MAX(({c} - lo_{c}) / (hi_{c} - lo_{c})), 6) AS mm_max_{c}"
+        f"(ROUND((AVG(({c} - mu_{c}) / sd_{c})) * 1000000, 0) / 1000000.0) AS z_mean_{c}, "
+        f"(ROUND((MIN(({c} - lo_{c}) / (hi_{c} - lo_{c}))) * 1000000, 0) / 1000000.0) AS mm_min_{c}, "
+        f"(ROUND((MAX(({c} - lo_{c}) / (hi_{c} - lo_{c}))) * 1000000, 0) / 1000000.0) AS mm_max_{c}"
         for c in FEATURE_COLS
     )
     + """
@@ -167,9 +164,9 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"hi_{c}") - F.col(f"lo_{c}")
         )
         digest_aggs += [
-            F.round(F.avg(z), 6).alias(f"z_mean_{c}"),
-            F.round(F.min(mm), 6).alias(f"mm_min_{c}"),
-            F.round(F.max(mm), 6).alias(f"mm_max_{c}"),
+            (F.round((F.avg(z)) * 1000000, 0) / 1000000.0).alias(f"z_mean_{c}"),
+            (F.round((F.min(mm)) * 1000000, 0) / 1000000.0).alias(f"mm_min_{c}"),
+            (F.round((F.max(mm)) * 1000000, 0) / 1000000.0).alias(f"mm_max_{c}"),
         ]
     return scaled.groupBy("l_returnflag").agg(*digest_aggs)
 
@@ -194,7 +191,7 @@ ROBUST_OUT_Z = 3.0  # |robust z| beyond this counts as an outlier
            CAST(count(*) AS BIGINT) AS n,
     """
     + ", ".join(
-        f"ROUND(AVG(({c} - med_{c}) / iqr_{c}), 6) AS r_mean_{c}, "
+        f"(ROUND((AVG(({c} - med_{c}) / iqr_{c})) * 1000000, 0) / 1000000.0) AS r_mean_{c}, "
         f"CAST(sum(CASE WHEN ABS(({c} - med_{c}) / iqr_{c}) > 3.0"
         f" THEN 1 ELSE 0 END) AS BIGINT) AS n_out_{c}"
         for c in FEATURE_COLS
@@ -245,7 +242,7 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in FEATURE_COLS:
         rz = (F.col(c) - F.col(f"med_{c}")) / F.col(f"iqr_{c}")
         aggs += [
-            F.round(F.avg(rz), 6).alias(f"r_mean_{c}"),
+            (F.round((F.avg(rz)) * 1000000, 0) / 1000000.0).alias(f"r_mean_{c}"),
             F.sum(F.when(F.abs(rz) > ROBUST_OUT_Z, 1).otherwise(0))
             .cast("long")
             .alias(f"n_out_{c}"),
@@ -280,10 +277,10 @@ OOF_FOLDS = 5
     )
     SELECT c_mktsegment, CAST(fold AS INT) AS fold,
            CAST(n_seg - n_f AS BIGINT) AS n_oof,
-           ROUND(((s_seg - s_f)
+           (ROUND((((s_seg - s_f)
                   + {TARGET_SMOOTHING} * (s_all - s_fold)
                     / (n_all - n_fold))
-                 / ((n_seg - n_f) + {TARGET_SMOOTHING}), 6) AS encoded_oof
+                 / ((n_seg - n_f) + {TARGET_SMOOTHING})) * 1000000, 0) / 1000000.0) AS encoded_oof
     FROM w
     """,
 )
@@ -341,7 +338,7 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_f").over(w_seg) - F.col("n_f"))
         .cast("long")
         .alias("n_oof"),
-        F.round(enc, 6).alias("encoded_oof"),
+        (F.round((enc) * 1000000, 0) / 1000000.0).alias("encoded_oof"),
     )
 
 
@@ -401,10 +398,7 @@ def current_encoding(
     return seg.crossJoin(F.broadcast(prior)).select(
         "category",
         "n",
-        F.round(F.col("s") / F.col("n"), 6).alias("seg_mean"),
-        F.round(
-            (F.coalesce(F.col("s"), F.lit(0.0)) + m * F.col("mu"))
-            / (F.col("n") + m),
-            6,
-        ).alias("encoded"),
+        (F.round((F.col("s") / F.col("n")) * 1000000, 0) / 1000000.0).alias("seg_mean"),
+        (F.round(((F.coalesce(F.col("s"), F.lit(0.0)) + m * F.col("mu"))
+            / (F.col("n") + m)) * 1000000, 0) / 1000000.0).alias("encoded"),
     )

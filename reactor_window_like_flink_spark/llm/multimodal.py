@@ -146,7 +146,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_frames").alias("total_frames"),
-            F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+            (F.round((F.avg("mean_byte")) * 10000, 0) / 10000.0).alias("avg_mean_byte"),
         )
         .orderBy("kind")
     )
@@ -226,7 +226,7 @@ def resize_images(media_df: DataFrame, max_side: int = 224) -> DataFrame:
         F.greatest(F.round(h * scale).cast("long"), F.lit(1)).alias(
             "out_height"
         ),
-        F.round(scale, 4).alias("scale"),
+        (F.round((scale) * 10000, 0) / 10000.0).alias("scale"),
     )
 
 

@@ -116,11 +116,11 @@ def histogram(df: DataFrame, col: str, lo: float, width: float, n: int) -> DataF
         df.groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").cast("long").alias("n_rows"),
-            F.round(F.sum(x), 2).alias("sum_val"),
+            (F.round((F.sum(x)) * 100, 0) / 100.0).alias("sum_val"),
         )
         .select(
             "bucket",
-            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 2).alias("bucket_lo"),
+            (F.round((F.lit(lo) + F.col("bucket") * F.lit(width)) * 100, 0) / 100.0).alias("bucket_lo"),
             "n_rows",
             "sum_val",
         )
@@ -131,9 +131,9 @@ def histogram(df: DataFrame, col: str, lo: float, width: float, n: int) -> DataF
     "q_histogram",
     f"""
     SELECT bucket,
-           ROUND({HIST_LO} + bucket * {HIST_WIDTH}, 2) AS bucket_lo,
+           (ROUND(({HIST_LO} + bucket * {HIST_WIDTH}) * 100, 0) / 100.0) AS bucket_lo,
            CAST(count(*) AS BIGINT) AS n_rows,
-           ROUND(sum(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_val
+           (ROUND((sum(CAST(l_extendedprice AS DOUBLE))) * 100, 0) / 100.0) AS sum_val
     FROM (
       SELECT l_extendedprice,
              GREATEST(0, LEAST({HIST_BUCKETS - 1},
@@ -177,7 +177,7 @@ def zscore_outliers(df: DataFrame, key: str, val: str) -> DataFrame:
             "event_id",
             key,
             val,
-            F.round(z, 3).alias("z"),
+            (F.round((z) * 1000, 0) / 1000.0).alias("z"),
         )
     )
 
@@ -191,7 +191,7 @@ def zscore_outliers(df: DataFrame, key: str, val: str) -> DataFrame:
       HAVING stddev_samp(value) > 0
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND((e.value - s.m) / s.sd, 3) AS z
+           (ROUND(((e.value - s.m) / s.sd) * 1000, 0) / 1000.0) AS z
     FROM events e JOIN s USING (event_type)
     WHERE abs((e.value - s.m) / s.sd) > {OUTLIER_Z}
     """,
@@ -224,7 +224,7 @@ MAD_CUTOFF = 3.5
       HAVING quantile_cont(abs(e.value - m.med), 0.5) > 0
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND({MAD_SCALE} * (e.value - m.med) / d.mad, 3) AS mz
+           (ROUND(({MAD_SCALE} * (e.value - m.med) / d.mad) * 1000, 0) / 1000.0) AS mz
     FROM events e
     JOIN med m USING (event_type)
     JOIN mad d USING (event_type)
@@ -268,7 +268,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round(mz, 3).alias("mz"),
+            (F.round((mz) * 1000, 0) / 1000.0).alias("mz"),
         )
     )
 
@@ -284,7 +284,7 @@ CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     "\nUNION ALL\n".join(
         f"""
     SELECT '{x}' AS col_x, '{y}' AS col_y,
-           ROUND(corr({x}, {y}), 4) + 0.0 AS pearson_r
+           (ROUND((corr({x}, {y})) * 10000, 0) / 10000.0) + 0.0 AS pearson_r
     FROM lineitem"""
         for i, x in enumerate(CORR_COLS)
         for y in CORR_COLS[i + 1 :]
@@ -310,7 +310,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     wide = li.agg(
         *[
-            (F.round(F.corr(x, y), 4) + F.lit(0.0)).alias(f"_c_{i}")
+            ((F.round((F.corr(x, y)) * 10000, 0) / 10000.0) + F.lit(0.0)).alias(f"_c_{i}")
             for i, (x, y) in enumerate(pairs)
         ]
     )
@@ -339,15 +339,15 @@ WINSOR_HI = 0.99
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           ROUND(q.p01, 4) AS p01,
-           ROUND(q.p99, 4) AS p99,
+           (ROUND((q.p01) * 10000, 0) / 10000.0) AS p01,
+           (ROUND((q.p99) * 10000, 0) / 10000.0) AS p99,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN e.value < q.p01 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_lo,
            CAST(sum(CASE WHEN e.value > q.p99 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_hi,
-           ROUND(avg(e.value), 4) AS mean_raw,
-           ROUND(avg(GREATEST(q.p01, LEAST(q.p99, e.value))), 4)
+           (ROUND((avg(e.value)) * 10000, 0) / 10000.0) AS mean_raw,
+           (ROUND((avg(GREATEST(q.p01, LEAST(q.p99, e.value)))) * 10000, 0) / 10000.0)
              AS mean_winsor
     FROM events e JOIN q USING (event_type)
     GROUP BY e.event_type, q.p01, q.p99
@@ -385,13 +385,13 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
             .cast("long")
             .alias("n_clipped_hi"),
-            F.round(F.avg("value"), 4).alias("mean_raw"),
-            F.round(F.avg(clipped), 4).alias("mean_winsor"),
+            (F.round((F.avg("value")) * 10000, 0) / 10000.0).alias("mean_raw"),
+            (F.round((F.avg(clipped)) * 10000, 0) / 10000.0).alias("mean_winsor"),
         )
         .select(
             "event_type",
-            F.round("p01", 4).alias("p01"),
-            F.round("p99", 4).alias("p99"),
+            (F.round(F.col("p01") * 10000, 0) / 10000.0).alias("p01"),
+            (F.round(F.col("p99") * 10000, 0) / 10000.0).alias("p99"),
             "n",
             "n_clipped_lo",
             "n_clipped_hi",
@@ -442,15 +442,10 @@ def skew_metrics(df: DataFrame, key: str, label: str) -> DataFrame:
     return s.agg(
         n_keys.cast("long").alias("n_keys"),
         n_rows.cast("long").alias("n_rows"),
-        F.round(F.max("v").cast("double") / n_rows, 4).alias("max_share"),
-        F.round(
-            F.expr("percentile(v, 0.99, m)")
-            / F.expr("percentile(v, 0.5, m)"),
-            4,
-        ).alias("p99_over_p50"),
-        F.round(
-            gini_num.cast("double") / (n_keys * n_rows), 4
-        ).alias("gini"),
+        (F.round((F.max("v").cast("double") / n_rows) * 10000, 0) / 10000.0).alias("max_share"),
+        (F.round((F.expr("percentile(v, 0.99, m)")
+            / F.expr("percentile(v, 0.5, m)")) * 10000, 0) / 10000.0).alias("p99_over_p50"),
+        (F.round((gini_num.cast("double") / (n_keys * n_rows)) * 10000, 0) / 10000.0).alias("gini"),
     ).filter(
         # an ungrouped agg emits one row even over an empty relation;
         # the grouped SQL oracle emits none — align on "no keys, no row"
@@ -486,11 +481,11 @@ def skew_metrics(df: DataFrame, key: str, label: str) -> DataFrame:
     SELECT key_col,
            CAST(count(*) AS BIGINT) AS n_keys,
            CAST(sum(c) AS BIGINT) AS n_rows,
-           ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS max_share,
-           ROUND(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4)
+           (ROUND((CAST(max(c) AS DOUBLE) / sum(c)) * 10000, 0) / 10000.0) AS max_share,
+           (ROUND((quantile_cont(c, 0.99) / quantile_cont(c, 0.5)) * 10000, 0) / 10000.0)
              AS p99_over_p50,
-           ROUND(CAST(2 * sum(i * c) - (max(i) + 1) * sum(c) AS DOUBLE)
-                 / (max(i) * sum(c)), 4) AS gini
+           (ROUND((CAST(2 * sum(i * c) - (max(i) + 1) * sum(c) AS DOUBLE)
+                 / (max(i) * sum(c))) * 10000, 0) / 10000.0) AS gini
     FROM u
     GROUP BY key_col
     """,
@@ -529,9 +524,9 @@ NORM_HI = 2.0
     SELECT CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(min(dim) AS BIGINT) AS min_dim,
            CAST(max(dim) AS BIGINT) AS max_dim,
-           ROUND(avg(nrm), 4) AS mean_norm,
-           ROUND(quantile_cont(nrm, 0.5), 4) AS p50_norm,
-           ROUND(quantile_cont(nrm, 0.95), 4) AS p95_norm,
+           (ROUND((avg(nrm)) * 10000, 0) / 10000.0) AS mean_norm,
+           (ROUND((quantile_cont(nrm, 0.5)) * 10000, 0) / 10000.0) AS p50_norm,
+           (ROUND((quantile_cont(nrm, 0.95)) * 10000, 0) / 10000.0) AS p95_norm,
            CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero,
            CAST(sum(CASE WHEN nrm < {NORM_LO} OR nrm > {NORM_HI}
@@ -569,9 +564,9 @@ def q_embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_vecs"),
         F.min("dim").cast("long").alias("min_dim"),
         F.max("dim").cast("long").alias("max_dim"),
-        F.round(F.avg("nrm"), 4).alias("mean_norm"),
-        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
-        F.round(F.expr("percentile(nrm, 0.95)"), 4).alias("p95_norm"),
+        (F.round((F.avg("nrm")) * 10000, 0) / 10000.0).alias("mean_norm"),
+        (F.round((F.expr("percentile(nrm, 0.5)")) * 10000, 0) / 10000.0).alias("p50_norm"),
+        (F.round((F.expr("percentile(nrm, 0.95)")) * 10000, 0) / 10000.0).alias("p95_norm"),
         F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_zero"),
@@ -604,7 +599,7 @@ DECILES = 10
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           ROUND(avg(n_chars), 4) AS avg_chars
+           (ROUND((avg(n_chars)) * 10000, 0) / 10000.0) AS avg_chars
     FROM b
     GROUP BY decile
     """,
@@ -646,7 +641,7 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.min("n_chars").cast("long").alias("min_chars"),
             F.max("n_chars").cast("long").alias("max_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            (F.round((F.avg("n_chars")) * 10000, 0) / 10000.0).alias("avg_chars"),
         )
     )
 
@@ -674,8 +669,8 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_rows, n_cols,
            CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
-           ROUND(chi2, 4) AS chi2,
-           ROUND(sqrt(chi2 / (n.n * LEAST(n_rows - 1, n_cols - 1))), 4)
+           (ROUND((chi2) * 10000, 0) / 10000.0) AS chi2,
+           (ROUND((sqrt(chi2 / (n.n * LEAST(n_rows - 1, n_cols - 1)))) * 10000, 0) / 10000.0)
              AS cramers_v
     FROM agg CROSS JOIN n
     """,
@@ -718,14 +713,11 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
         .cast("long")
         .alias("dof"),
-        F.round("chi2", 4).alias("chi2"),
-        F.round(
-            F.sqrt(
+        (F.round(F.col("chi2") * 10000, 0) / 10000.0).alias("chi2"),
+        (F.round((F.sqrt(
                 F.col("chi2")
                 / (F.col("n") * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1))
-            ),
-            4,
-        ).alias("cramers_v"),
+            )) * 10000, 0) / 10000.0).alias("cramers_v"),
     )
 
 
@@ -745,8 +737,8 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_sources,
            CAST(SUM(chars) AS BIGINT) AS total_chars,
            CASE WHEN count(*) = 0 OR SUM(wt) = 0 THEN NULL
-             ELSE ROUND(2.0 * SUM(i * wt) / (count(*) * SUM(wt))
-                        - (count(*) + 1.0) / count(*), 6) END AS gini
+             ELSE (ROUND((2.0 * SUM(i * wt) / (count(*) * SUM(wt))
+                        - (count(*) + 1.0) / count(*)) * 1000000, 0) / 1000000.0) END AS gini
     FROM r
     """,
 )
@@ -783,6 +775,6 @@ def q_gini_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_sources"),
         F.sum("chars").cast("long").alias("total_chars"),
         F.when((n == 0) | (F.sum("wt") == 0), F.lit(None).cast("double"))
-        .otherwise(F.round(gini, 6))
+        .otherwise((F.round((gini) * 1000000, 0) / 1000000.0))
         .alias("gini"),
     )

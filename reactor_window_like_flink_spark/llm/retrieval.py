@@ -73,7 +73,7 @@ PMI_TOP_K = 50
       JOIN df USING (term)
       JOIN dl USING (doc_id), stats
     )
-    SELECT doc_id, term, ROUND(s, 4) AS bm25, CAST(rn AS INT) AS rank
+    SELECT doc_id, term, (ROUND((s) * 10000, 0) / 10000.0) AS bm25, CAST(rn AS INT) AS rank
     FROM (SELECT doc_id, term, s,
                  ROW_NUMBER() OVER (PARTITION BY doc_id
                                     ORDER BY s DESC, term) AS rn
@@ -126,7 +126,7 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_s", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= BM25_TOP_TERMS)
-        .select("doc_id", "term", F.round("_s", 4).alias("bm25"), "rank")
+        .select("doc_id", "term", (F.round(F.col("_s") * 10000, 0) / 10000.0).alias("bm25"), "rank")
     )
 
 
@@ -281,8 +281,8 @@ def build_inverted_index_tiered(
     b AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS b FROM pc)
     SELECT pair,
            CAST(c_xy AS BIGINT) AS pair_count,
-           ROUND(ln((c_xy / b.b)
-                    / ((cx.c / n.n) * (cy.c / n.n))), 4) AS pmi
+           (ROUND((ln((c_xy / b.b)
+                    / ((cx.c / n.n) * (cy.c / n.n)))) * 10000, 0) / 10000.0) AS pmi
     FROM pc
     JOIN uni cx ON cx.term = string_split(pc.pair, ' ')[1]
     JOIN uni cy ON cy.term = string_split(pc.pair, ' ')[2], n, b
@@ -359,7 +359,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pair",
             F.col("c_xy").cast("long").alias("pair_count"),
-            F.round(pmi, 4).alias("pmi"),
+            (F.round((pmi) * 10000, 0) / 10000.0).alias("pmi"),
         )
         .orderBy(F.desc("pmi"), F.asc("pair"))
         .limit(PMI_TOP_K)
@@ -383,10 +383,10 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_terms,
-           ROUND(covar_samp(ln(rank), ln(c))
-                 / nullif(var_samp(ln(rank)), 0), 4) AS zipf_slope,
-           ROUND(covar_samp(ln(rank), ln(c)) * covar_samp(ln(rank), ln(c))
-                 / nullif(var_samp(ln(rank)) * var_samp(ln(c)), 0), 4) AS r2
+           (ROUND((covar_samp(ln(rank), ln(c))
+                 / nullif(var_samp(ln(rank)), 0)) * 10000, 0) / 10000.0) AS zipf_slope,
+           (ROUND((covar_samp(ln(rank), ln(c)) * covar_samp(ln(rank), ln(c))
+                 / nullif(var_samp(ln(rank)) * var_samp(ln(c)), 0)) * 10000, 0) / 10000.0) AS r2
     FROM ranked
     GROUP BY source
     """,
@@ -419,16 +419,11 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is undefined and NULL is the right answer.
     return ranked.groupBy("source").agg(
         F.count("*").cast("long").alias("n_terms"),
-        F.round(
-            F.try_divide(F.covar_samp(x, y), F.var_samp(x)), 4
-        ).alias("zipf_slope"),
-        F.round(
-            F.try_divide(
+        (F.round((F.try_divide(F.covar_samp(x, y), F.var_samp(x))) * 10000, 0) / 10000.0).alias("zipf_slope"),
+        (F.round((F.try_divide(
                 F.covar_samp(x, y) * F.covar_samp(x, y),
                 F.var_samp(x) * F.var_samp(y),
-            ),
-            4,
-        ).alias("r2"),
+            )) * 10000, 0) / 10000.0).alias("r2"),
     )
 
 
@@ -445,9 +440,9 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tf.source,
            CAST(count(*) AS BIGINT) AS n_terms,
            s.ns AS n_tokens,
-           ROUND(-SUM((c / s.ns) * ln(c / s.ns)), 4) AS entropy,
-           ROUND((-SUM((c / s.ns) * ln(c / s.ns)))
-                 / nullif(ln(count(*)), 0), 4) AS norm_entropy
+           (ROUND((-SUM((c / s.ns) * ln(c / s.ns))) * 10000, 0) / 10000.0) AS entropy,
+           (ROUND(((-SUM((c / s.ns) * ln(c / s.ns)))
+                 / nullif(ln(count(*)), 0)) * 10000, 0) / 10000.0) AS norm_entropy
     FROM tf JOIN s USING (source)
     GROUP BY tf.source, s.ns
     """,
@@ -479,10 +474,8 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "ns")
         .agg(
             F.count("*").cast("long").alias("n_terms"),
-            F.round(h, 4).alias("entropy"),
-            F.round(
-                F.try_divide(h, F.log(F.count("*"))), 4
-            ).alias("norm_entropy"),
+            (F.round((h) * 10000, 0) / 10000.0).alias("entropy"),
+            (F.round((F.try_divide(h, F.log(F.count("*")))) * 10000, 0) / 10000.0).alias("norm_entropy"),
         )
         .select(
             "source",
@@ -532,7 +525,7 @@ def _misra_gries_partial(batches):
     ),
     c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
-    SELECT term, cnt, ROUND(CAST(cnt AS DOUBLE) / n.n, 4) AS share
+    SELECT term, cnt, (ROUND((CAST(cnt AS DOUBLE) / n.n) * 10000, 0) / 10000.0) AS share
     FROM c, n
     WHERE cnt * {HH_THRESHOLD_DENOM} > n.n
     """,
@@ -576,7 +569,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("n"), 4).alias("share"),
+            (F.round((F.col("cnt").cast("double") / F.col("n")) * 10000, 0) / 10000.0).alias("share"),
         )
     )
 
@@ -628,11 +621,11 @@ BM25_QUERY_TOP_K = 10
       FROM per_doc d, stats s
     )
     SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
-           ROUND(s, 4) AS bm25,
-           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+           (ROUND((s) * 10000, 0) / 10000.0) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY (ROUND((s) * 10000, 0) / 10000.0) DESC, doc_id)
                 AS INT) AS rank
     FROM scored WHERE n_hits > 0
-    ORDER BY ROUND(s, 4) DESC, doc_id LIMIT {BM25_QUERY_TOP_K}
+    ORDER BY (ROUND((s) * 10000, 0) / 10000.0) DESC, doc_id LIMIT {BM25_QUERY_TOP_K}
     """,
 )
 def q_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,7 +714,7 @@ def _bm25_query_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             n_hits.cast("long").alias("n_hits"),
-            F.round(s, 4).alias("bm25"),
+            (F.round((s) * 10000, 0) / 10000.0).alias("bm25"),
         )
         .filter(F.col("n_hits") > 0)
     )
@@ -960,11 +953,11 @@ def bm25_index(spark: SparkSession, sf_dir: str):
       FROM per_doc d, stats s
     )
     SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
-           ROUND(s, 4) AS bm25,
-           CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+           (ROUND((s) * 10000, 0) / 10000.0) AS bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY (ROUND((s) * 10000, 0) / 10000.0) DESC, doc_id)
                 AS INT) AS rank
     FROM scored WHERE n_hits > 0
-    ORDER BY ROUND(s, 4) DESC, doc_id LIMIT {BM25_QUERY_TOP_K}
+    ORDER BY (ROUND((s) * 10000, 0) / 10000.0) DESC, doc_id LIMIT {BM25_QUERY_TOP_K}
     """,
 )
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,7 +1036,7 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "doc_id",
             n_hits.cast("long").alias("n_hits"),
-            F.round(s, 4).alias("bm25"),
+            (F.round((s) * 10000, 0) / 10000.0).alias("bm25"),
         )
         .filter(F.col("n_hits") > 0)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -1081,13 +1074,13 @@ _RRF_BM25_CTES = f"""
     ),
     lex AS (
       SELECT d.doc_id,
-             ROUND({" + ".join(
+             (ROUND(({" + ".join(
                  f"(ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
                  f" * (d.tf_{i} * ({BM25_K1} + 1.0))"
                  f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B}"
                  f"      + {BM25_B} * d.dl / s.avgdl)))"
                  for i in range(len(BM25_QUERY_TERMS))
-             )}, 4) AS bm25
+             )}) * 10000, 0) / 10000.0) AS bm25
       FROM per_doc d, stats s
       WHERE {" + ".join(
                  f"CASE WHEN d.tf_{i} > 0 THEN 1 ELSE 0 END"
@@ -1117,13 +1110,13 @@ _RRF_BM25_CTES = f"""
     ),
     sem AS (
       SELECT e.vec_id AS doc_id,
-             ROUND(list_reduce(list_prepend(0.0, list_transform(
+             (ROUND((list_reduce(list_prepend(0.0, list_transform(
                generate_series(1, len(e.embedding)),
                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
                (x, y) -> x + y)
              / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
-                * q.qn), 4) AS cosine
+                * q.qn)) * 10000, 0) / 10000.0) AS cosine
       FROM embeddings e, q
       WHERE e.vec_id <> {{probe}}
     ),
@@ -1139,7 +1132,7 @@ _RRF_BM25_CTES = f"""
                + COALESCE(1.0 / ({RRF_K} + s.r_sem), 0.0) AS rrf
       FROM lex_rank l FULL OUTER JOIN sem_rank s ON l.doc_id = s.doc_id
     )
-    SELECT doc_id, r_lex, r_sem, ROUND(rrf, 6) AS rrf
+    SELECT doc_id, r_lex, r_sem, (ROUND((rrf) * 1000000, 0) / 1000000.0) AS rrf
     FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP_K}
     """.replace("{probe}", "0"),
 )
@@ -1191,10 +1184,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(
-                _dot("embedding", "qe") / (_norm("embedding") * F.col("qn")),
-                4,
-            ).alias("cosine"),
+            (F.round((_dot("embedding", "qe") / (_norm("embedding") * F.col("qn"))) * 10000, 0) / 10000.0).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
         .limit(RRF_ARM_K)
@@ -1211,7 +1201,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 / (RRF_K + F.col("r_lex")), F.lit(0.0)
     ) + F.coalesce(1.0 / (RRF_K + F.col("r_sem")), F.lit(0.0))
     return (
-        fused.select("doc_id", "r_lex", "r_sem", F.round(rrf, 6).alias("rrf"))
+        fused.select("doc_id", "r_lex", "r_sem", (F.round((rrf) * 1000000, 0) / 1000000.0).alias("rrf"))
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(RRF_TOP_K)
     )
@@ -1239,7 +1229,7 @@ TERM_JACCARD_TOP_K = 100
       HAVING count(*) >= {TERM_JACCARD_MIN_COMMON}
     )
     SELECT term_a, term_b, common, da.df AS df_a, db.df AS df_b,
-           ROUND(common * 1.0 / (da.df + db.df - common), 6) AS jaccard
+           (ROUND((common * 1.0 / (da.df + db.df - common)) * 1000000, 0) / 1000000.0) AS jaccard
     FROM pairs
     JOIN df da ON term_a = da.term
     JOIN df db ON term_b = db.term
@@ -1304,12 +1294,9 @@ def q_term_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "common",
             "df_a",
             "df_b",
-            F.round(
-                F.col("common")
+            (F.round((F.col("common")
                 * 1.0
-                / (F.col("df_a") + F.col("df_b") - F.col("common")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("df_a") + F.col("df_b") - F.col("common"))) * 1000000, 0) / 1000000.0).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), F.asc("term_a"), F.asc("term_b"))
         .limit(TERM_JACCARD_TOP_K)
@@ -1356,9 +1343,9 @@ MI_TOP_K = 30
              ) AS mi
       FROM cells GROUP BY term
     )
-    SELECT term, df, ROUND(mi, 6) AS mi
+    SELECT term, df, (ROUND((mi) * 1000000, 0) / 1000000.0) AS mi
     FROM mi
-    ORDER BY ROUND(mi, 6) DESC, term
+    ORDER BY (ROUND((mi) * 1000000, 0) / 1000000.0) DESC, term
     LIMIT {MI_TOP_K}
     """,
 )
@@ -1415,6 +1402,6 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0.0)
     mi = cells.groupBy("term").agg(
         F.max("df").cast("long").alias("df"),
-        F.round(F.sum(present + absent), 6).alias("mi"),
+        (F.round((F.sum(present + absent)) * 1000000, 0) / 1000000.0).alias("mi"),
     )
     return mi.orderBy(F.desc("mi"), F.asc("term")).limit(MI_TOP_K)

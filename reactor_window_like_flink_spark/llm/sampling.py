@@ -481,10 +481,10 @@ TEMP_ALPHA = 0.3
     t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM m),
     s AS (SELECT sum(pow(n_tokens / t.tot, {TEMP_ALPHA})) AS z FROM m, t)
     SELECT source, n_docs, n_tokens,
-           ROUND(n_tokens / t.tot, 4) AS p,
-           ROUND(pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z, 4) AS q,
-           ROUND(pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z
-                 / (n_tokens / t.tot), 4) AS repeat_factor
+           (ROUND((n_tokens / t.tot) * 10000, 0) / 10000.0) AS p,
+           (ROUND((pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z) * 10000, 0) / 10000.0) AS q,
+           (ROUND((pow(n_tokens / t.tot, {TEMP_ALPHA}) / s.z
+                 / (n_tokens / t.tot)) * 10000, 0) / 10000.0) AS repeat_factor
     FROM m, t, s
     """,
 )
@@ -532,9 +532,9 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round("_p", 4).alias("p"),
-            F.round(q, 4).alias("q"),
-            F.round(q / F.col("_p"), 4).alias("repeat_factor"),
+            (F.round(F.col("_p") * 10000, 0) / 10000.0).alias("p"),
+            (F.round((q) * 10000, 0) / 10000.0).alias("q"),
+            (F.round((q / F.col("_p")) * 10000, 0) / 10000.0).alias("repeat_factor"),
         )
     )
 
@@ -712,9 +712,9 @@ EPOCH_CAP = 4.0
       FROM m, t, s
     )
     SELECT source, n_docs, n_tokens,
-           ROUND(q, 4) AS q,
-           ROUND(epochs_raw, 4) AS epochs_want,
-           ROUND(LEAST(epochs_raw, {EPOCH_CAP}), 4) AS epochs,
+           (ROUND((q) * 10000, 0) / 10000.0) AS q,
+           (ROUND((epochs_raw) * 10000, 0) / 10000.0) AS epochs_want,
+           (ROUND((LEAST(epochs_raw, {EPOCH_CAP})) * 10000, 0) / 10000.0) AS epochs,
            epochs_raw > {EPOCH_CAP} AS capped,
            CAST(ROUND(LEAST(epochs_raw, {EPOCH_CAP}) * n_tokens)
                 AS BIGINT) AS planned_tokens
@@ -764,9 +764,9 @@ def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(q, 4).alias("q"),
-        F.round(epochs_raw, 4).alias("epochs_want"),
-        F.round(epochs, 4).alias("epochs"),
+        (F.round((q) * 10000, 0) / 10000.0).alias("q"),
+        (F.round((epochs_raw) * 10000, 0) / 10000.0).alias("epochs_want"),
+        (F.round((epochs) * 10000, 0) / 10000.0).alias("epochs"),
         (epochs_raw > EPOCH_CAP).alias("capped"),
         F.round(epochs * F.col("n_tokens"))
         .cast("long")

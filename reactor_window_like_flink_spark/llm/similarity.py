@@ -70,7 +70,7 @@ def _dot(col_a: str, col_b: str) -> F.Column:
       FROM embeddings e, q
       WHERE e.vec_id <> {QUERY_VEC_ID}
     )
-    SELECT vec_id, label, ROUND(cosine, 4) AS cosine
+    SELECT vec_id, label, (ROUND((cosine) * 10000, 0) / 10000.0) AS cosine
     FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
     """,
 )
@@ -93,7 +93,7 @@ def q_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+        .select("vec_id", "label", (F.round(F.col("cosine") * 10000, 0) / 10000.0).alias("cosine"))
     )
 
 
@@ -277,7 +277,7 @@ def _exact_cosine_topk(
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+        .select("vec_id", "label", (F.round(F.col("cosine") * 10000, 0) / 10000.0).alias("cosine"))
     )
 
 
@@ -507,7 +507,7 @@ def quantize_int8(vectors: DataFrame) -> DataFrame:
         )).otherwise(qvec))
         .select(
             "vec_id",
-            F.round("_scale", 6).alias("scale"),
+            (F.round(F.col("_scale") * 1000000, 0) / 1000000.0).alias("scale"),
             F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
                 "qvec_csv"
             ),
@@ -540,7 +540,7 @@ def quantize_int8(vectors: DataFrame) -> DataFrame:
       FROM q
     )
     SELECT vec_id,
-           ROUND(s, 6) AS scale,
+           (ROUND((s) * 1000000, 0) / 1000000.0) AS scale,
            array_to_string(qv, ',') AS qvec_csv,
            CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
            CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
@@ -712,7 +712,7 @@ def knn_graph(
         .select(
             "vec_id",
             "neighbor_id",
-            F.round("_cos", 4).alias("cosine"),
+            (F.round(F.col("_cos") * 10000, 0) / 10000.0).alias("cosine"),
             "rank",
         )
     )
@@ -880,7 +880,7 @@ def _emb_cross_oracle() -> str:
       JOIN e eq ON eq.vec_id = cd.query_id
       JOIN e ec ON ec.vec_id = cd.corpus_id
     )
-    SELECT query_id, corpus_id, ROUND(cosine, 4) AS cosine
+    SELECT query_id, corpus_id, (ROUND((cosine) * 10000, 0) / 10000.0) AS cosine
     FROM scored WHERE cosine >= {EMB_COSINE_THRESHOLD}
     """
 
@@ -978,7 +978,7 @@ def similarity_join(
         paired.withColumn("_cos", cos)
         .filter(F.col("_cos") >= EMB_COSINE_THRESHOLD)
         .select(
-            "query_id", "corpus_id", F.round("_cos", 4).alias("cosine")
+            "query_id", "corpus_id", (F.round(F.col("_cos") * 10000, 0) / 10000.0).alias("cosine")
         )
     )
 

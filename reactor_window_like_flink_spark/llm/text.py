@@ -48,8 +48,8 @@ def _tokens(col: str = "text") -> F.Column:
            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
              AS n_uniq_tokens,
-           ROUND(CAST(length(text) AS DOUBLE)
-                 / len(string_split(lower(text), ' ')), 4) AS chars_per_token
+           (ROUND((CAST(length(text) AS DOUBLE)
+                 / len(string_split(lower(text), ' '))) * 10000, 0) / 10000.0) AS chars_per_token
     FROM documents
     """,
 )
@@ -64,9 +64,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
-        F.round(
-            F.length("text").cast("double") / F.size(toks), 4
-        ).alias("chars_per_token"),
+        (F.round((F.length("text").cast("double") / F.size(toks)) * 10000, 0) / 10000.0).alias("chars_per_token"),
     )
 
 
@@ -185,7 +183,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = n_stop / n_tokens
     punct_ratio = n_punct / n_chars
     quality = 0.5 * len_score + 0.4 * stop_ratio + 0.1 * (1.0 - punct_ratio)
-    # ROUND(x * 10^4, 0) / 10^4 instead of ROUND(x, 4): at 0 decimals
+    # ROUND(x * 10^4, 0) / 10^4 instead of a single 4-decimal round: at 0 decimals
     # Spark's shortest-repr HALF_UP and DuckDB's binary-double rounding
     # agree on EVERY double (including exact halves — both go away from
     # zero), while at 4 decimals they diverge when a ratio's shortest
@@ -211,8 +209,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens,
-           ROUND(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
-                 / len(string_split(text, ' ')), 4) AS fertility
+           (ROUND((CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+                 / len(string_split(text, ' '))) * 10000, 0) / 10000.0) AS fertility
     FROM documents
     """,
 )
@@ -227,7 +225,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(ws).cast("long").alias("ws_tokens"),
         F.size(bpe).cast("long").alias("bpe_tokens"),
-        F.round(F.size(bpe).cast("double") / F.size(ws), 4).alias("fertility"),
+        (F.round((F.size(bpe).cast("double") / F.size(ws)) * 10000, 0) / 10000.0).alias("fertility"),
     )
 
 
@@ -382,7 +380,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf,
+             (ROUND((tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) * 10000, 0) / 10000.0) AS tfidf,
              ROW_NUMBER() OVER (
                PARTITION BY tf.doc_id
                ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
@@ -430,7 +428,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.round("_s", 4).alias("tfidf"),
+            (F.round(F.col("_s") * 10000, 0) / 10000.0).alias("tfidf"),
             "rank",
         )
     )
@@ -454,7 +452,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf JOIN c USING (term)
       GROUP BY tf.doc_id
     )
-    SELECT doc_id, n_tokens, ROUND(m - ln(n.n), 4) AS avg_logprob
+    SELECT doc_id, n_tokens, (ROUND((m - ln(n.n)) * 10000, 0) / 10000.0) AS avg_logprob
     FROM d, n
     """,
 )
@@ -500,7 +498,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("m") - F.log("n"), 4).alias("avg_logprob"),
+        (F.round((F.col("m") - F.log("n")) * 10000, 0) / 10000.0).alias("avg_logprob"),
     )
 
 
@@ -552,7 +550,7 @@ LM_LAMBDA = 0.75
       JOIN uni ON uni.term = dtf.w, n
       GROUP BY dtf.doc_id
     )
-    SELECT doc_id, n_bigrams, ROUND(s, 4) AS avg_logprob_bi FROM d
+    SELECT doc_id, n_bigrams, (ROUND((s) * 10000, 0) / 10000.0) AS avg_logprob_bi FROM d
     """,
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,7 +618,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select(
-        "doc_id", "n_bigrams", F.round("s", 4).alias("avg_logprob_bi")
+        "doc_id", "n_bigrams", (F.round(F.col("s") * 10000, 0) / 10000.0).alias("avg_logprob_bi")
     )
 
 
@@ -656,8 +654,8 @@ PPL_ZCUT = 1.5
       SELECT lang, avg(lp) AS mu, stddev(lp) AS sd
       FROM lp GROUP BY lang
     )
-    SELECT lp.doc_id, lp.lang, ROUND(lp.lp, 4) AS avg_logprob,
-           ROUND((lp.lp - st.mu) / NULLIF(st.sd, 0), 4) AS z,
+    SELECT lp.doc_id, lp.lang, (ROUND((lp.lp) * 10000, 0) / 10000.0) AS avg_logprob,
+           (ROUND(((lp.lp - st.mu) / NULLIF(st.sd, 0)) * 10000, 0) / 10000.0) AS z,
            COALESCE((lp.lp - st.mu) / NULLIF(st.sd, 0) < -{PPL_ZCUT},
                     FALSE) AS dropped
     FROM lp JOIN st USING (lang)
@@ -719,7 +717,7 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lp.join(F.broadcast(st), "lang").select(
         "doc_id",
         "lang",
-        F.round("lp", 4).alias("avg_logprob"),
-        F.round(z, 4).alias("z"),
+        (F.round(F.col("lp") * 10000, 0) / 10000.0).alias("avg_logprob"),
+        (F.round((z) * 10000, 0) / 10000.0).alias("z"),
         F.coalesce(z < -PPL_ZCUT, F.lit(False)).alias("dropped"),
     )

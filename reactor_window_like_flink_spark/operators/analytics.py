@@ -59,7 +59,7 @@ def funnel(events: DataFrame, stages: tuple[str, ...]) -> DataFrame:
     for k in range(len(stages)):
         counts = counts.withColumn(
             f"_r{k}",
-            F.round(F.col(f"_n{k}") / F.col("_n0").cast("double"), 4),
+            (F.round((F.col(f"_n{k}") / F.col("_n0").cast("double")) * 10000, 0) / 10000.0),
         )
     stack_args = ", ".join(
         f"{k + 1}, '{s}', _n{k}, _r{k}" for k, s in enumerate(stages)
@@ -95,11 +95,11 @@ def funnel(events: DataFrame, stages: tuple[str, ...]) -> DataFrame:
       FROM m
     )
     SELECT 1 AS stage, '{FUNNEL_STAGES[0]}' AS stage_name, n0 AS n_users,
-           ROUND(CAST(n0 AS DOUBLE) / n0, 4) AS conv_rate FROM c
+           (ROUND((CAST(n0 AS DOUBLE) / n0) * 10000, 0) / 10000.0) AS conv_rate FROM c
     UNION ALL
-    SELECT 2, '{FUNNEL_STAGES[1]}', n1, ROUND(CAST(n1 AS DOUBLE) / n0, 4) FROM c
+    SELECT 2, '{FUNNEL_STAGES[1]}', n1, (ROUND((CAST(n1 AS DOUBLE) / n0) * 10000, 0) / 10000.0) FROM c
     UNION ALL
-    SELECT 3, '{FUNNEL_STAGES[2]}', n2, ROUND(CAST(n2 AS DOUBLE) / n0, 4) FROM c
+    SELECT 3, '{FUNNEL_STAGES[2]}', n2, (ROUND((CAST(n2 AS DOUBLE) / n0) * 10000, 0) / 10000.0) FROM c
     """,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,9 +1045,9 @@ def q_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT event_type, day, n_days,
-             ROUND(SUM(daily_mean - type_mean)
+             (ROUND((SUM(daily_mean - type_mean)
                      OVER (PARTITION BY event_type ORDER BY day
-                           ROWS UNBOUNDED PRECEDING), 6) AS cusum
+                           ROWS UNBOUNDED PRECEDING)) * 1000000, 0) / 1000000.0) AS cusum
       FROM m
     ),
     r AS (
@@ -1058,7 +1058,7 @@ def q_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_days,
            CAST(epoch(day) AS BIGINT) AS cp_day,
-           ROUND(cusum, 4) AS cp_cusum
+           (ROUND((cusum) * 10000, 0) / 10000.0) AS cp_cusum
     FROM r WHERE rn = 1
     """,
 )
@@ -1095,9 +1095,7 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = m.withColumn(
         "cusum",
-        F.round(
-            F.sum(F.col("daily_mean") - F.col("type_mean")).over(w_cum), 6
-        ),
+        (F.round((F.sum(F.col("daily_mean") - F.col("type_mean")).over(w_cum)) * 1000000, 0) / 1000000.0),
     )
     w_rank = w_type.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("day"))
     return (
@@ -1107,7 +1105,7 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_days",
             F.unix_timestamp("day").alias("cp_day"),
-            F.round("cusum", 4).alias("cp_cusum"),
+            (F.round(F.col("cusum") * 10000, 0) / 10000.0).alias("cp_cusum"),
         )
     )
 
@@ -1164,11 +1162,11 @@ ATTRIB_TOUCHES = ("view", "click")
              CAST(count(*) AS BIGINT) AS n_credited
       FROM w WHERE event_type = 'purchase' AND n_touches = 0
     )
-    SELECT event_type, ROUND(credited_value, 2) AS credited_value,
+    SELECT event_type, (ROUND((credited_value) * 100, 0) / 100.0) AS credited_value,
            n_credited
     FROM credited
     UNION ALL
-    SELECT event_type, ROUND(credited_value, 2), n_credited
+    SELECT event_type, (ROUND((credited_value) * 100, 0) / 100.0), n_credited
     FROM unattr WHERE n_credited > 0
     """,
 )
@@ -1230,7 +1228,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(is_touch)
         .groupBy("event_type")
         .agg(
-            F.round(F.sum(F.coalesce(F.col("cred"), F.lit(0.0))), 2).alias(
+            (F.round((F.sum(F.coalesce(F.col("cred"), F.lit(0.0)))) * 100, 0) / 100.0).alias(
                 "credited_value"
             ),
             F.sum(F.when(F.col("cred") > 0, 1).otherwise(0))
@@ -1243,7 +1241,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "purchase") & (F.col("n_touches") == 0)
         )
         .agg(
-            F.round(F.sum("value"), 2).alias("credited_value"),
+            (F.round((F.sum("value")) * 100, 0) / 100.0).alias("credited_value"),
             F.count("*").cast("long").alias("n_credited"),
         )
         .select(
@@ -1501,9 +1499,9 @@ def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(p.a AS VARCHAR) AS antecedent,
            CAST(p.c AS VARCHAR) AS consequent,
-           ROUND(p.cnt * 1.0 / sa.cnt, 6) AS confidence,
-           ROUND((p.cnt * 1.0 / sa.cnt) / (sc.cnt * 1.0 / n.n), 6) AS lift,
-           ROUND(p.cnt * 1.0 / n.n, 6) AS support
+           (ROUND((p.cnt * 1.0 / sa.cnt) * 1000000, 0) / 1000000.0) AS confidence,
+           (ROUND(((p.cnt * 1.0 / sa.cnt) / (sc.cnt * 1.0 / n.n)) * 1000000, 0) / 1000000.0) AS lift,
+           (ROUND((p.cnt * 1.0 / n.n) * 1000000, 0) / 1000000.0) AS support
     FROM pairs p
     JOIN singles sa ON sa.item = p.a
     JOIN singles sc ON sc.item = p.c
@@ -1559,9 +1557,9 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a").cast("string").alias("antecedent"),
             F.col("c").cast("string").alias("consequent"),
-            F.round(conf, 6).alias("confidence"),
-            F.round(conf / (F.col("cnt_c") * 1.0 / F.col("n")), 6).alias("lift"),
-            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("support"),
+            (F.round((conf) * 1000000, 0) / 1000000.0).alias("confidence"),
+            (F.round((conf / (F.col("cnt_c") * 1.0 / F.col("n"))) * 1000000, 0) / 1000000.0).alias("lift"),
+            (F.round((F.col("cnt") * 1.0 / F.col("n")) * 1000000, 0) / 1000000.0).alias("support"),
         )
     )
 
@@ -1586,11 +1584,11 @@ EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
       FROM d GROUP BY event_type
     )
     SELECT event_type, n_days, last_day, last_value,
-           ROUND(list_reduce(vals,
-                 (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6)
+           (ROUND((list_reduce(vals,
+                 (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)) * 1000000, 0) / 1000000.0)
              AS ewma_level,
-           ROUND(last_value - list_reduce(vals,
-                 (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6)
+           (ROUND((last_value - list_reduce(vals,
+                 (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)) * 1000000, 0) / 1000000.0)
              AS last_deviation
     FROM s
     """,
@@ -1632,8 +1630,8 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "last_day",
         "last_value",
-        F.round(ewma, 6).alias("ewma_level"),
-        F.round(F.col("last_value") - ewma, 6).alias("last_deviation"),
+        (F.round((ewma) * 1000000, 0) / 1000000.0).alias("ewma_level"),
+        (F.round((F.col("last_value") - ewma) * 1000000, 0) / 1000000.0).alias("last_deviation"),
     )
 
 
@@ -1667,8 +1665,8 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
            n_triangles,
            n_wedges,
-           ROUND(CASE WHEN n_wedges = 0 THEN 0.0
-                      ELSE 3.0 * n_triangles / n_wedges END, 6)
+           (ROUND((CASE WHEN n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * n_triangles / n_wedges END) * 1000000, 0) / 1000000.0)
              AS clustering_coefficient
     FROM nodes, tri, wedges
     """,
@@ -1772,7 +1770,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_triangles",
         "n_wedges",
-        F.round(coeff, 6).alias("clustering_coefficient"),
+        (F.round((coeff) * 1000000, 0) / 1000000.0).alias("clustering_coefficient"),
     )
 
 
@@ -1816,9 +1814,9 @@ HOLT_BETA = 0.1  # trend smoothing
       FROM d GROUP BY event_type
     )
     SELECT s.event_type, s.n_days, s.last_day, s.last_value,
-           ROUND(hw.l, 6) AS level,
-           ROUND(hw.b, 6) AS trend,
-           ROUND(hw.l + hw.b, 6) AS forecast_next
+           (ROUND((hw.l) * 1000000, 0) / 1000000.0) AS level,
+           (ROUND((hw.b) * 1000000, 0) / 1000000.0) AS trend,
+           (ROUND((hw.l + hw.b) * 1000000, 0) / 1000000.0) AS forecast_next
     FROM hw JOIN s ON hw.event_type = s.event_type
     WHERE hw.rn = hw.n
     """,
@@ -1870,9 +1868,9 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "last_day",
         "last_value",
-        F.round(hw["l"], 6).alias("level"),
-        F.round(hw["b"], 6).alias("trend"),
-        F.round(hw["l"] + hw["b"], 6).alias("forecast_next"),
+        (F.round((hw["l"]) * 1000000, 0) / 1000000.0).alias("level"),
+        (F.round((hw["b"]) * 1000000, 0) / 1000000.0).alias("trend"),
+        (F.round((hw["l"] + hw["b"]) * 1000000, 0) / 1000000.0).alias("forecast_next"),
     )
 
 
@@ -1897,9 +1895,9 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT w.event_type, strftime(w.day, '%Y-%m-%d') AS day,
            CAST(w.dow AS INT) AS dow, w.cnt,
            s.n_days AS dow_n,
-           ROUND(s.mu, 6) AS dow_mean,
-           ROUND(CASE WHEN s.sigma > 0 THEN (w.cnt - s.mu) / s.sigma
-                 ELSE 0.0 END, 4) AS seasonal_z
+           (ROUND((s.mu) * 1000000, 0) / 1000000.0) AS dow_mean,
+           (ROUND((CASE WHEN s.sigma > 0 THEN (w.cnt - s.mu) / s.sigma
+                 ELSE 0.0 END) * 10000, 0) / 10000.0) AS seasonal_z
     FROM w JOIN s ON w.event_type = s.event_type AND w.dow = s.dow
     """,
 )
@@ -1938,8 +1936,8 @@ def q_dow_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "cnt",
         "dow_n",
-        F.round("mu", 6).alias("dow_mean"),
-        F.round(z, 4).alias("seasonal_z"),
+        (F.round(F.col("mu") * 1000000, 0) / 1000000.0).alias("dow_mean"),
+        (F.round((z) * 10000, 0) / 10000.0).alias("seasonal_z"),
     )
 
 
@@ -1968,15 +1966,15 @@ ABTEST_CONV_VALUE = 200.0  # conversion: any purchase with value above this
       FROM u
     )
     SELECT n_a, n_b, c_a, c_b,
-           ROUND(c_a * 1.0 / n_a, 6) AS rate_a,
-           ROUND(c_b * 1.0 / n_b, 6) AS rate_b,
+           (ROUND((c_a * 1.0 / n_a) * 1000000, 0) / 1000000.0) AS rate_a,
+           (ROUND((c_b * 1.0 / n_b) * 1000000, 0) / 1000000.0) AS rate_b,
            CASE WHEN n_a = 0 OR n_b = 0
                   OR (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b)
              THEN NULL
-             ELSE ROUND((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+             ELSE (ROUND(((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
                   / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
                          * (1.0 - (c_a + c_b) * 1.0 / (n_a + n_b))
-                         * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_stat
+                         * (1.0 / n_a + 1.0 / n_b))) * 10000, 0) / 10000.0) END AS z_stat
     FROM s
     """,
 )
@@ -2041,10 +2039,10 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "c_a",
         "c_b",
-        F.round(F.col("c_a") * 1.0 / F.col("n_a"), 6).alias("rate_a"),
-        F.round(F.col("c_b") * 1.0 / F.col("n_b"), 6).alias("rate_b"),
+        (F.round((F.col("c_a") * 1.0 / F.col("n_a")) * 1000000, 0) / 1000000.0).alias("rate_a"),
+        (F.round((F.col("c_b") * 1.0 / F.col("n_b")) * 1000000, 0) / 1000000.0).alias("rate_b"),
         F.when(degenerate, F.lit(None).cast("double"))
-        .otherwise(F.round(z, 4))
+        .otherwise((F.round((z) * 10000, 0) / 10000.0))
         .alias("z_stat"),
     )
 
@@ -2066,13 +2064,13 @@ def q_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT k, n_tot,
-           ROUND((sq_means - s_tot * s_tot / n_tot) / (k - 1), 6)
+           (ROUND(((sq_means - s_tot * s_tot / n_tot) / (k - 1)) * 1000000, 0) / 1000000.0)
              AS ms_between,
-           ROUND((ss_tot - sq_means) / (n_tot - k), 6) AS ms_within,
+           (ROUND(((ss_tot - sq_means) / (n_tot - k)) * 1000000, 0) / 1000000.0) AS ms_within,
            CASE WHEN k < 2 OR n_tot <= k OR (ss_tot - sq_means) = 0
              THEN NULL
-             ELSE ROUND(((sq_means - s_tot * s_tot / n_tot) / (k - 1))
-                  / ((ss_tot - sq_means) / (n_tot - k)), 4) END AS f_stat
+             ELSE (ROUND((((sq_means - s_tot * s_tot / n_tot) / (k - 1))
+                  / ((ss_tot - sq_means) / (n_tot - k))) * 10000, 0) / 10000.0) END AS f_stat
     FROM t
     """,
 )
@@ -2118,10 +2116,10 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "k",
         "n_tot",
-        F.round(ms_between, 6).alias("ms_between"),
-        F.round(ms_within, 6).alias("ms_within"),
+        (F.round((ms_between) * 1000000, 0) / 1000000.0).alias("ms_between"),
+        (F.round((ms_within) * 1000000, 0) / 1000000.0).alias("ms_within"),
         F.when(degenerate, F.lit(None).cast("double"))
-        .otherwise(F.round(ms_between / ms_within, 4))
+        .otherwise((F.round((ms_between / ms_within) * 10000, 0) / 10000.0))
         .alias("f_stat"),
     )
 
@@ -2180,17 +2178,17 @@ _RANK_STATS_SQL = f"""
       FROM c
     )
     SELECT n_a, n_b,
-           ROUND(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_a,
+           (ROUND((r_a - n_a * (n_a + 1) / 2.0) * 100, 0) / 100.0) AS u_a,
            CASE WHEN n_a = 0 OR n_b = 0
                   OR (n_a * 1.0 * n_b / 12.0)
                      * ((n_a + n_b + 1)
                         - ties / ((n_a + n_b) * (n_a + n_b - 1.0))) <= 0
              THEN NULL
-             ELSE ROUND(((r_a - n_a * (n_a + 1) / 2.0)
+             ELSE (ROUND((((r_a - n_a * (n_a + 1) / 2.0)
                          - n_a * 1.0 * n_b / 2.0)
                   / sqrt((n_a * 1.0 * n_b / 12.0)
                          * ((n_a + n_b + 1)
-                            - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 4)
+                            - ties / ((n_a + n_b) * (n_a + n_b - 1.0))))) * 10000, 0) / 10000.0)
              END AS z_stat
     FROM s
     """,
@@ -2254,9 +2252,9 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_a",
         "n_b",
-        F.round(u_a, 2).alias("u_a"),
+        (F.round((u_a) * 100, 0) / 100.0).alias("u_a"),
         F.when(degenerate, F.lit(None).cast("double"))
-        .otherwise(F.round((u_a - n_a * 1.0 * n_b / 2.0) / F.sqrt(sig2), 4))
+        .otherwise((F.round(((u_a - n_a * 1.0 * n_b / 2.0) / F.sqrt(sig2)) * 10000, 0) / 10000.0))
         .alias("z_stat"),
     )
 
@@ -2279,11 +2277,11 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_a, n_b,
            CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-             ELSE ROUND(MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)), 6)
+             ELSE (ROUND((MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b))) * 1000000, 0) / 1000000.0)
              END AS d_stat,
            CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
-             ELSE ROUND(MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b))
-                  * sqrt(n_a * 1.0 * n_b / (n_a + n_b)), 4)
+             ELSE (ROUND((MAX(ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b))
+                  * sqrt(n_a * 1.0 * n_b / (n_a + n_b))) * 10000, 0) / 10000.0)
              END AS ks_stat
     FROM cum, tot
     GROUP BY n_a, n_b
@@ -2333,13 +2331,11 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = cum.crossJoin(F.broadcast(tot))
     return joined.groupBy("n_a", "n_b").agg(
         F.when((n_a == 0) | (n_b == 0), F.lit(None).cast("double"))
-        .otherwise(F.round(F.max(diff), 6))
+        .otherwise((F.round((F.max(diff)) * 1000000, 0) / 1000000.0))
         .alias("d_stat"),
         F.when((n_a == 0) | (n_b == 0), F.lit(None).cast("double"))
         .otherwise(
-            F.round(
-                F.max(diff) * F.sqrt(n_a * 1.0 * n_b / (n_a + n_b)), 4
-            )
+            (F.round((F.max(diff) * F.sqrt(n_a * 1.0 * n_b / (n_a + n_b))) * 10000, 0) / 10000.0)
         )
         .alias("ks_stat"),
     )
@@ -2371,9 +2367,9 @@ AUTOCORR_LAGS = (1, 7)  # day-over-day persistence and weekly seasonality
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
            {", ".join(
                f"CASE WHEN SUM((cnt - mu) * (cnt - mu)) = 0 THEN NULL"
-               f" ELSE ROUND(SUM(CASE WHEN x{k} IS NOT NULL THEN"
+               f" ELSE (ROUND((SUM(CASE WHEN x{k} IS NOT NULL THEN"
                f" (cnt - mu) * (x{k} - mu) ELSE 0 END)"
-               f" / SUM((cnt - mu) * (cnt - mu)), 6) END AS r_lag{k}"
+               f" / SUM((cnt - mu) * (cnt - mu))) * 1000000, 0) / 1000000.0) END AS r_lag{k}"
                for k in AUTOCORR_LAGS
            )}
     FROM lagged
@@ -2421,7 +2417,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs.append(
             F.when(var == 0, F.lit(None).cast("double"))
-            .otherwise(F.round(num / var, 6))
+            .otherwise((F.round((num / var) * 1000000, 0) / 1000000.0))
             .alias(f"r_lag{k}")
         )
     return lagged.groupBy("event_type").agg(*aggs)
@@ -2474,8 +2470,8 @@ _BOOT_U_DUCK = (
     ),
     means AS (
       SELECT b,
-             ROUND(SUM({_poisson_case(_BOOT_U_DUCK)} * value)
-                   / SUM({_poisson_case(_BOOT_U_DUCK)}), 6) AS m
+             (ROUND((SUM({_poisson_case(_BOOT_U_DUCK)} * value)
+                   / SUM({_poisson_case(_BOOT_U_DUCK)})) * 1000000, 0) / 1000000.0) AS m
       FROM rep GROUP BY b
     ),
     ranked AS (
@@ -2483,7 +2479,7 @@ _BOOT_U_DUCK = (
     ),
     base AS (
       SELECT CAST(count(*) AS BIGINT) AS n_events,
-             ROUND(AVG(value), 6) AS est_mean
+             (ROUND((AVG(value)) * 1000000, 0) / 1000000.0) AS est_mean
       FROM events
     )
     SELECT n_events, CAST({BOOT_B} AS BIGINT) AS boot_b, est_mean,
@@ -2532,9 +2528,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", "value", F.expr(_poisson_case(_BOOT_U_SPARK)).alias("w")
     )
     means = rep.groupBy("b").agg(
-        F.round(
-            F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
-        ).alias("m")
+        (F.round((F.sum(F.col("w") * F.col("value")) / F.sum("w")) * 1000000, 0) / 1000000.0).alias("m")
     )
     ranked = means.select(
         "m", F.row_number().over(Window.orderBy("m", "b")).alias("r")
@@ -2547,7 +2541,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = events.agg(
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("est_mean"),
+        (F.round((F.avg("value")) * 1000000, 0) / 1000000.0).alias("est_mean"),
     ).select(
         "n_events",
         F.lit(BOOT_B).cast("long").alias("boot_b"),
@@ -2613,8 +2607,8 @@ _H0_DUCK = (
     ),
     means AS (
       SELECT b,
-             ROUND(SUM({_poisson_case(_fast_u("duck"))} * value)
-                   / SUM({_poisson_case(_fast_u("duck"))}), 6) AS m
+             (ROUND((SUM({_poisson_case(_fast_u("duck"))} * value)
+                   / SUM({_poisson_case(_fast_u("duck"))})) * 1000000, 0) / 1000000.0) AS m
       FROM rep GROUP BY b
     ),
     ranked AS (
@@ -2622,7 +2616,7 @@ _H0_DUCK = (
     ),
     base AS (
       SELECT CAST(count(*) AS BIGINT) AS n_events,
-             ROUND(AVG(value), 6) AS est_mean
+             (ROUND((AVG(value)) * 1000000, 0) / 1000000.0) AS est_mean
       FROM events
     )
     SELECT n_events, CAST({BOOT_B} AS BIGINT) AS boot_b, est_mean,
@@ -2661,9 +2655,7 @@ def q_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b", "value", F.expr(_poisson_case(_fast_u("spark"))).alias("w")
     )
     means = rep.groupBy("b").agg(
-        F.round(
-            F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
-        ).alias("m")
+        (F.round((F.sum(F.col("w") * F.col("value")) / F.sum("w")) * 1000000, 0) / 1000000.0).alias("m")
     )
     ranked = means.select(
         "m", F.row_number().over(Window.orderBy("m", "b")).alias("r")
@@ -2674,7 +2666,7 @@ def q_bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = events.agg(
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("est_mean"),
+        (F.round((F.avg("value")) * 1000000, 0) / 1000000.0).alias("est_mean"),
     ).select(
         "n_events",
         F.lit(BOOT_B).cast("long").alias("boot_b"),
@@ -2717,10 +2709,10 @@ CUPED_SPLIT = "2024-01-16"  # pre-period covariate | post-period metric
     )
     SELECT grp AS arm,
            CAST(count(*) AS BIGINT) AS n_users,
-           ROUND(AVG(y), 6) AS mean_y,
-           ROUND(AVG(y) - t.theta * (AVG(x) - t.mx), 6) AS mean_y_adj,
-           ROUND(t.theta, 6) AS theta,
-           ROUND(t.rho, 6) AS rho
+           (ROUND((AVG(y)) * 1000000, 0) / 1000000.0) AS mean_y,
+           (ROUND((AVG(y) - t.theta * (AVG(x) - t.mx)) * 1000000, 0) / 1000000.0) AS mean_y_adj,
+           (ROUND((t.theta) * 1000000, 0) / 1000000.0) AS theta,
+           (ROUND((t.rho) * 1000000, 0) / 1000000.0) AS rho
     FROM u, t
     GROUP BY grp, t.theta, t.mx, t.rho
     """,
@@ -2775,18 +2767,16 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("grp").alias("arm"), "theta", "mx", "rho")
         .agg(
             F.count("*").cast("long").alias("n_users"),
-            F.round(F.avg("y"), 6).alias("mean_y"),
-            F.round(
-                F.avg("y") - F.col("theta") * (F.avg("x") - F.col("mx")), 6
-            ).alias("mean_y_adj"),
+            (F.round((F.avg("y")) * 1000000, 0) / 1000000.0).alias("mean_y"),
+            (F.round((F.avg("y") - F.col("theta") * (F.avg("x") - F.col("mx"))) * 1000000, 0) / 1000000.0).alias("mean_y_adj"),
         )
         .select(
             "arm",
             "n_users",
             "mean_y",
             "mean_y_adj",
-            F.round("theta", 6).alias("theta"),
-            F.round("rho", 6).alias("rho"),
+            (F.round(F.col("theta") * 1000000, 0) / 1000000.0).alias("theta"),
+            (F.round(F.col("rho") * 1000000, 0) / 1000000.0).alias("rho"),
         )
     )
 
@@ -2816,9 +2806,9 @@ def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ends
     )
     SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-           ROUND(sx / n, 6) AS mean_end_degree,
+           (ROUND((sx / n) * 1000000, 0) / 1000000.0) AS mean_end_degree,
            CASE WHEN n = 0 OR (sxx - sx * sx / n) = 0 THEN NULL
-             ELSE ROUND((sxy - sx * sx / n) / (sxx - sx * sx / n), 6)
+             ELSE (ROUND(((sxy - sx * sx / n) / (sxx - sx * sx / n)) * 1000000, 0) / 1000000.0)
              END AS assortativity
     FROM s
     """,
@@ -2866,9 +2856,9 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy") - F.col("sx") * F.col("sx") / F.col("n")
     return s.select(
         (F.col("n") / 2).cast("long").alias("n_edges"),
-        F.round(F.col("sx") / F.col("n"), 6).alias("mean_end_degree"),
+        (F.round((F.col("sx") / F.col("n")) * 1000000, 0) / 1000000.0).alias("mean_end_degree"),
         F.when((F.col("n") == 0) | (varx == 0), F.lit(None).cast("double"))
-        .otherwise(F.round(cov / varx, 6))
+        .otherwise((F.round((cov / varx) * 1000000, 0) / 1000000.0))
         .alias("assortativity"),
     )
 
@@ -2922,7 +2912,7 @@ def _two_sided_p(z_expr: str) -> str:
     p AS (
       SELECT event_type, n_a, n_b, zz,
              CASE WHEN zz IS NULL THEN NULL
-               ELSE ROUND({_two_sided_p("zz")}, 6) END AS pv
+               ELSE (ROUND(({_two_sided_p("zz")}) * 1000000, 0) / 1000000.0) END AS pv
       FROM z
     ),
     r AS (
@@ -2932,7 +2922,7 @@ def _two_sided_p(z_expr: str) -> str:
       FROM p
     )
     SELECT event_type, n_a, n_b,
-           ROUND(zz, 4) AS z_stat, pv AS p_value, rnk AS rank,
+           (ROUND((zz) * 10000, 0) / 10000.0) AS z_stat, pv AS p_value, rnk AS rank,
            CAST(MAX(CASE WHEN pv IS NOT NULL
                           AND pv <= rnk * {FDR_Q} / m THEN 1 ELSE 0 END)
                 OVER (ORDER BY rnk DESC
@@ -2993,7 +2983,7 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pv",
         F.when(
             F.col("zz").isNull(), F.lit(None).cast("double")
-        ).otherwise(F.round(F.expr(_two_sided_p("zz")), 6)),
+        ).otherwise((F.round((F.expr(_two_sided_p("zz"))) * 1000000, 0) / 1000000.0)),
     )
     w_rank = Window.orderBy(F.col("pv").asc_nulls_last(), "event_type")
     r = pdf.select(
@@ -3013,7 +3003,7 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        F.round("zz", 4).alias("z_stat"),
+        (F.round(F.col("zz") * 10000, 0) / 10000.0).alias("z_stat"),
         F.col("pv").alias("p_value"),
         F.col("rnk").alias("rank"),
         F.max(passes).over(w_suffix).cast("int").alias("significant"),
@@ -3052,11 +3042,10 @@ SEASONAL_MA = 3  # centered 7-day moving average: +/- 3 days
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_days,
-           ROUND(VAR_POP(det), 4) AS var_detrended,
-           ROUND(VAR_POP(rem), 4) AS var_remainder,
+           (ROUND((VAR_POP(det)) * 10000, 0) / 10000.0) AS var_detrended,
+           (ROUND((VAR_POP(rem)) * 10000, 0) / 10000.0) AS var_remainder,
            CASE WHEN VAR_POP(det) = 0 THEN NULL
-             ELSE ROUND(GREATEST(0.0, 1.0 - VAR_POP(rem) / VAR_POP(det)),
-                        4) END AS seasonal_strength
+             ELSE (ROUND((GREATEST(0.0, 1.0 - VAR_POP(rem) / VAR_POP(det))) * 10000, 0) / 10000.0) END AS seasonal_strength
     FROM sea
     GROUP BY event_type
     """,
@@ -3108,10 +3097,10 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     vd, vr = F.var_pop("det"), F.var_pop("rem")
     return sea.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_days"),
-        F.round(vd, 4).alias("var_detrended"),
-        F.round(vr, 4).alias("var_remainder"),
+        (F.round((vd) * 10000, 0) / 10000.0).alias("var_detrended"),
+        (F.round((vr) * 10000, 0) / 10000.0).alias("var_remainder"),
         F.when(vd == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.greatest(F.lit(0.0), 1.0 - vr / vd), 4))
+        .otherwise((F.round((F.greatest(F.lit(0.0), 1.0 - vr / vd)) * 10000, 0) / 10000.0))
         .alias("seasonal_strength"),
     )
 
@@ -3145,12 +3134,12 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
       WHERE n_a > 1 AND n_b > 1
     )
-    SELECT n_a, n_b, ROUND(m_a, 6) AS mean_a, ROUND(m_b, 6) AS mean_b,
+    SELECT n_a, n_b, (ROUND((m_a) * 1000000, 0) / 1000000.0) AS mean_a, (ROUND((m_b) * 1000000, 0) / 1000000.0) AS mean_b,
            CASE WHEN (va + vb) = 0 THEN NULL
-             ELSE ROUND((m_a - m_b) / sqrt(va + vb), 4) END AS t_stat,
+             ELSE (ROUND(((m_a - m_b) / sqrt(va + vb)) * 10000, 0) / 10000.0) END AS t_stat,
            CASE WHEN va = 0 AND vb = 0 THEN NULL
-             ELSE ROUND((va + vb) * (va + vb)
-                  / (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 2)
+             ELSE (ROUND(((va + vb) * (va + vb)
+                  / (va * va / (n_a - 1) + vb * vb / (n_b - 1))) * 100, 0) / 100.0)
              END AS df
     FROM v
     """,
@@ -3202,21 +3191,18 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "n_a",
         "n_b",
-        F.round("m_a", 6).alias("mean_a"),
-        F.round("m_b", 6).alias("mean_b"),
+        (F.round(F.col("m_a") * 1000000, 0) / 1000000.0).alias("mean_a"),
+        (F.round(F.col("m_b") * 1000000, 0) / 1000000.0).alias("mean_b"),
         F.when((va + vb) == 0, F.lit(None).cast("double"))
         .otherwise(
-            F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(va + vb), 4)
+            (F.round(((F.col("m_a") - F.col("m_b")) / F.sqrt(va + vb)) * 10000, 0) / 10000.0)
         )
         .alias("t_stat"),
         F.when((va == 0) & (vb == 0), F.lit(None).cast("double"))
         .otherwise(
-            F.round(
-                (va + vb)
+            (F.round(((va + vb)
                 * (va + vb)
-                / (va * va / (n_a - 1) + vb * vb / (n_b - 1)),
-                2,
-            )
+                / (va * va / (n_a - 1) + vb * vb / (n_b - 1))) * 100, 0) / 100.0)
         )
         .alias("df"),
     )

@@ -133,7 +133,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     """
     SELECT p_brand,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -149,9 +149,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -161,7 +159,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multi",
     """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -192,9 +190,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
         )
     )
 
@@ -204,7 +200,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS spend
+           (ROUND((SUM(COALESCE(o_totalprice, 0))) * 100, 0) / 100.0) AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -218,7 +214,7 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+            (F.round((F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)))) * 100, 0) / 100.0).alias(
                 "spend"
             ),
         )
@@ -356,9 +352,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_agg_global",
     """
-    SELECT ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+    SELECT (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
+           (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_price,
+           (ROUND((AVG(l_discount)) * 1000000, 0) / 1000000.0) AS avg_disc,
            MIN(l_quantity) AS min_qty,
            MAX(l_extendedprice) AS max_price,
            CAST(count(*) AS BIGINT) AS n_rows
@@ -370,9 +366,9 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row final combine; no data-proportional shuffle."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        (F.round((F.sum("l_quantity")) * 100, 0) / 100.0).alias("sum_qty"),
+        (F.round((F.sum("l_extendedprice")) * 100, 0) / 100.0).alias("sum_price"),
+        (F.round((F.avg("l_discount")) * 1000000, 0) / 1000000.0).alias("avg_disc"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("n_rows"),
@@ -383,13 +379,13 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_group",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
+           (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_base_price,
+           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS sum_disc_price,
+           (ROUND((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100, 0) / 100.0) AS sum_charge,
+           (ROUND((AVG(l_quantity)) * 10000, 0) / 10000.0) AS avg_qty,
+           (ROUND((AVG(l_extendedprice)) * 10000, 0) / 10000.0) AS avg_price,
+           (ROUND((AVG(l_discount)) * 10000, 0) / 10000.0) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -406,13 +402,13 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.round((F.sum("l_quantity")) * 100, 0) / 100.0).alias("sum_qty"),
+            (F.round((F.sum("l_extendedprice")) * 100, 0) / 100.0).alias("sum_base_price"),
+            (F.round((F.sum(disc_price)) * 100, 0) / 100.0).alias("sum_disc_price"),
+            (F.round((F.sum(disc_price * (1 + F.col("l_tax")))) * 100, 0) / 100.0).alias("sum_charge"),
+            (F.round((F.avg("l_quantity")) * 10000, 0) / 10000.0).alias("avg_qty"),
+            (F.round((F.avg("l_extendedprice")) * 10000, 0) / 10000.0).alias("avg_price"),
+            (F.round((F.avg("l_discount")) * 10000, 0) / 10000.0).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -444,7 +440,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           (ROUND((SUM(value)) * 100, 0) / 100.0) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -467,7 +463,7 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.round(F.sum("psum"), 2).alias("sum_value"),
+        (F.round((F.sum("psum")) * 100, 0) / 100.0).alias("sum_value"),
     )
 
 
@@ -486,8 +482,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_quantile",
     """
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 4) AS p50,
-           ROUND(quantile_cont(value, 0.95), 4) AS p95
+           (ROUND((quantile_cont(value, 0.5)) * 10000, 0) / 10000.0) AS p50,
+           (ROUND((quantile_cont(value, 0.95)) * 10000, 0) / 10000.0) AS p95
     FROM events GROUP BY event_type
     """,
 )
@@ -497,8 +493,8 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires a per-group sort."""
     events = load(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        (F.round((F.expr("percentile(value, 0.5)")) * 10000, 0) / 10000.0).alias("p50"),
+        (F.round((F.expr("percentile(value, 0.95)")) * 10000, 0) / 10000.0).alias("p95"),
     )
 
 
@@ -506,7 +502,7 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -520,7 +516,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
                count(*) AS n
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -532,14 +528,14 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_price
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price")
+        (F.round((F.sum("l_extendedprice")) * 100, 0) / 100.0).alias("sum_price")
     )
 
 
@@ -610,9 +606,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     """
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
+           (ROUND((SUM(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100, 0) / 100.0) AS running_spend
     FROM orders
     """,
 )
@@ -626,7 +622,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        (F.round((F.sum("o_totalprice").over(w)) * 100, 0) / 100.0).alias("running_spend"),
     )
 
 
@@ -659,9 +655,9 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range_frame",
     """
     SELECT o_custkey, o_orderkey, day_num,
-           ROUND(AVG(o_totalprice) OVER (
+           (ROUND((AVG(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY day_num
-             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS mavg_30d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)) * 10000, 0) / 10000.0) AS mavg_30d
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day_num
@@ -684,7 +680,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "day_num",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("mavg_30d"),
+        (F.round((F.avg("o_totalprice").over(w)) * 10000, 0) / 10000.0).alias("mavg_30d"),
     )
 
 
@@ -720,8 +716,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot",
     """
     SELECT l_returnflag,
-           ROUND(COALESCE(SUM(l_quantity) FILTER (l_linestatus = 'F'), 0), 2) AS qty_F,
-           ROUND(COALESCE(SUM(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS qty_O
+           (ROUND((COALESCE(SUM(l_quantity) FILTER (l_linestatus = 'F'), 0)) * 100, 0) / 100.0) AS qty_F,
+           (ROUND((COALESCE(SUM(l_quantity) FILTER (l_linestatus = 'O'), 0)) * 100, 0) / 100.0) AS qty_O
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -733,7 +729,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+        .agg((F.round((F.coalesce(F.sum("l_quantity"), F.lit(0.0))) * 100, 0) / 100.0))
         .withColumnRenamed("F", "qty_F")
         .withColumnRenamed("O", "qty_O")
     )
@@ -744,8 +740,8 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_custkey,
            CAST(ntile(4) OVER w AS INT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cdist,
+           (ROUND((percent_rank() OVER w) * 1000000, 0) / 1000000.0) AS pct_rank,
+           (ROUND((cume_dist() OVER w) * 1000000, 0) / 1000000.0) AS cdist,
            first_value(o_orderkey) OVER w AS cheapest_key
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
@@ -760,8 +756,8 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        (F.round((F.percent_rank().over(w)) * 1000000, 0) / 1000000.0).alias("pct_rank"),
+        (F.round((F.cume_dist().over(w)) * 1000000, 0) / 1000000.0).alias("cdist"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
     )
 
@@ -792,7 +788,7 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_subquery_scalar",
     """
     SELECT o_orderkey, o_totalprice,
-           ROUND(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4)
+           (ROUND((o_totalprice - (SELECT AVG(o_totalprice) FROM orders)) * 10000, 0) / 10000.0)
              AS vs_avg
     FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
     """,
@@ -810,7 +806,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice,
-               ROUND(o_totalprice - avg_price, 4) AS vs_avg
+               (ROUND((o_totalprice - avg_price) * 10000, 0) / 10000.0) AS vs_avg
         FROM (
           SELECT o_orderkey, o_totalprice,
                  (SELECT AVG(o_totalprice) FROM sq_orders) AS avg_price
@@ -851,7 +847,7 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_shape",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -883,9 +879,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -902,7 +896,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_shape",
     """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -932,9 +926,7 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -1158,8 +1150,8 @@ def q_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            strftime(date_trunc('month', ts), '%Y-%m') AS month,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
-           ROUND(SUM(value) / count(*), 4) AS avg_value
+           (ROUND((SUM(value)) * 100, 0) / 100.0) AS sum_value,
+           (ROUND((SUM(value) / count(*)) * 10000, 0) / 10000.0) AS avg_value
     FROM events GROUP BY event_type, month
     """,
 )
@@ -1185,8 +1177,8 @@ def q_reagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "month",
             "n_events",
-            F.round("sv", 2).alias("sum_value"),
-            F.round(F.col("sv") / F.col("n_events"), 4).alias("avg_value"),
+            (F.round(F.col("sv") * 100, 0) / 100.0).alias("sum_value"),
+            (F.round((F.col("sv") / F.col("n_events")) * 10000, 0) / 10000.0).alias("avg_value"),
         )
     )
 
@@ -1230,9 +1222,9 @@ QROLLUP_QS = (0.5, 0.95, 0.99)
       WHERE cum >= q * n
     )
     SELECT event_type, q,
-           ROUND(CASE WHEN mx = mn THEN mn
+           (ROUND((CASE WHEN mx = mn THEN mn
                  ELSE mn + ((mx - mn) / {QROLLUP_BINS}.0)
-                      * (bin + (q * n - (cum - c)) / c) END, 4) AS est,
+                      * (bin + (q * n - (cum - c)) / c) END) * 10000, 0) / 10000.0) AS est,
            CAST(n AS BIGINT) AS n_events
     FROM hit WHERE rn = 1
     """,
@@ -1317,7 +1309,7 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "q",
-            F.round(est, 4).alias("est"),
+            (F.round((est) * 10000, 0) / 10000.0).alias("est"),
             F.col("n").cast("long").alias("n_events"),
         )
     )
@@ -1655,7 +1647,7 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_tpch_q5_shape",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1713,9 +1705,7 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -1800,8 +1790,8 @@ def q_agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring points at is itself a tested, benched surface."""
     events = load(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile_approx(value, 0.5, 10000)"), 4).alias("p50"),
-        F.round(F.expr("percentile_approx(value, 0.95, 10000)"), 4).alias("p95"),
+        (F.round((F.expr("percentile_approx(value, 0.5, 10000)")) * 10000, 0) / 10000.0).alias("p50"),
+        (F.round((F.expr("percentile_approx(value, 0.95, 10000)")) * 10000, 0) / 10000.0).alias("p95"),
     )
 
 
@@ -1816,7 +1806,7 @@ JOIN_SALT = 8
     """
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(SUM(e.value), 2) AS sum_value
+           (ROUND((SUM(e.value)) * 100, 0) / 100.0) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -1854,7 +1844,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round((F.sum("value")) * 100, 0) / 100.0).alias("sum_value"),
         )
     )
 
@@ -1919,7 +1909,7 @@ def _bloom_probe_sql(key: str, seed: int) -> str:
     """
     SELECT l.l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (ROUND((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100, 0) / 100.0) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
       AND o.o_orderdate >= TIMESTAMP '1995-01-01'
@@ -1972,9 +1962,7 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("long").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue"),
         )
     )
 
@@ -1988,7 +1976,7 @@ Q18_QTY_THRESHOLD = 250
     "q_tpch_q18_shape",
     f"""
     WITH qual AS (
-      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      SELECT l_orderkey, (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD}
     )
@@ -2020,7 +2008,7 @@ def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_sq"))
         .filter(F.col("_sq") > Q18_QTY_THRESHOLD)
-        .select("l_orderkey", F.round("_sq", 2).alias("sum_qty"))
+        .select("l_orderkey", (F.round(F.col("_sq") * 100, 0) / 100.0).alias("sum_qty"))
     )
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -2135,7 +2123,7 @@ Q17_BRAND = "Brand#4"
 @REG.add(
     "q_tpch_q17_shape",
     f"""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT (ROUND((SUM(l_extendedprice) / 7.0) * 100, 0) / 100.0) AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_small_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -2179,7 +2167,7 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced.createOrReplaceTempView("q17_slice")
     return spark.sql(
         """
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT (ROUND((SUM(l_extendedprice) / 7.0) * 100, 0) / 100.0) AS avg_yearly,
                CAST(COUNT(*) AS BIGINT) AS n_small_lines
         FROM q17_slice l1
         WHERE l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l_quantity)
@@ -2194,7 +2182,7 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey AS cntry,
            CAST(count(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           (ROUND((SUM(c_acctbal)) * 100, 0) / 100.0) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                        WHERE c_acctbal > 0.0)
@@ -2225,7 +2213,7 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_nationkey AS cntry,
                CAST(count(*) AS BIGINT) AS numcust,
-               ROUND(SUM(c_acctbal), 2) AS totacctbal
+               (ROUND((SUM(c_acctbal)) * 100, 0) / 100.0) AS totacctbal
         FROM q22_customer
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q22_customer
                            WHERE c_acctbal > 0.0)
@@ -2307,7 +2295,7 @@ Q20_HAVING_FACTOR = 1.05
                           WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
       GROUP BY l_suppkey
     )
-    SELECT s_name, n_nationkey AS nation, ROUND(s_acctbal, 2) AS acctbal
+    SELECT s_name, n_nationkey AS nation, (ROUND((s_acctbal) * 100, 0) / 100.0) AS acctbal
     FROM supplier, nation
     WHERE s_suppkey IN (SELECT l_suppkey FROM sl
                         WHERE qty > (SELECT {Q20_HAVING_FACTOR} * AVG(qty)
@@ -2351,7 +2339,7 @@ def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
           GROUP BY l_suppkey
         )
-        SELECT s_name, n_nationkey AS nation, ROUND(s_acctbal, 2) AS acctbal
+        SELECT s_name, n_nationkey AS nation, (ROUND((s_acctbal) * 100, 0) / 100.0) AS acctbal
         FROM q20_supplier, q20_nation
         WHERE s_suppkey IN (SELECT l_suppkey FROM sl
                             WHERE qty > (SELECT {Q20_HAVING_FACTOR} * AVG(qty)
@@ -2371,7 +2359,7 @@ Q15_END = "1996-04-01"
     f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+             (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
@@ -2409,9 +2397,7 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("total_revenue")
         )
         .localCheckpoint()  # feeds MAX and the winner join — one build
     )
@@ -2442,7 +2428,7 @@ Q2_TYPE = "PROMO"
                           WHERE p_type = '{Q2_TYPE}')
     )
     SELECT l_partkey AS partkey, l_suppkey AS cheapest_supp,
-           ROUND(l_extendedprice, 2) AS price
+           (ROUND((l_extendedprice) * 100, 0) / 100.0) AS price
     FROM sl l1
     WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM sl l2
                              WHERE l2.l_partkey = l1.l_partkey)
@@ -2483,7 +2469,7 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_partkey AS partkey, l_suppkey AS cheapest_supp,
-               ROUND(l_extendedprice, 2) AS price
+               (ROUND((l_extendedprice) * 100, 0) / 100.0) AS price
         FROM q2_slice l1
         WHERE l_extendedprice = (SELECT MIN(l2.l_extendedprice)
                                  FROM q2_slice l2
@@ -2619,9 +2605,9 @@ Q8_SHARE_NATION = "NATION_3"
       WHERE cn.n_regionkey = {Q8_REGIONKEY}
     )
     SELECT CAST(yr AS INT) AS yr,
-           ROUND(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
-                          THEN v ELSE 0 END) / SUM(v), 6) AS mkt_share,
-           ROUND(SUM(v), 2) AS total_vol
+           (ROUND((SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                          THEN v ELSE 0 END) / SUM(v)) * 1000000, 0) / 1000000.0) AS mkt_share,
+           (ROUND((SUM(v)) * 100, 0) / 100.0) AS total_vol
     FROM vol GROUP BY yr ORDER BY yr
     """,
 )
@@ -2661,9 +2647,9 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE cn.n_regionkey = {Q8_REGIONKEY}
         )
         SELECT CAST(yr AS INT) AS yr,
-               ROUND(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
-                              THEN v ELSE 0 END) / SUM(v), 6) AS mkt_share,
-               ROUND(SUM(v), 2) AS total_vol
+               (ROUND((SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                              THEN v ELSE 0 END) / SUM(v)) * 1000000, 0) / 1000000.0) AS mkt_share,
+               (ROUND((SUM(v)) * 100, 0) / 100.0) AS total_vol
         FROM vol GROUP BY yr ORDER BY yr
         """
     )
@@ -2688,7 +2674,7 @@ Q7_NATION_B = "NATION_2"
 @REG.add(
     "q_tpch_q6_shape",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT (ROUND((SUM(l_extendedprice * l_discount)) * 100, 0) / 100.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2714,9 +2700,7 @@ def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-        ).alias("revenue"),
+        (F.round((F.sum(F.col("l_extendedprice") * F.col("l_discount"))) * 100, 0) / 100.0).alias("revenue"),
         F.count("*").cast("long").alias("n_lines"),
     )
 
@@ -2740,7 +2724,7 @@ def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1998-01-01'
     )
     SELECT supp_nation, cust_nation, yr,
-           ROUND(SUM(volume), 2) AS revenue
+           (ROUND((SUM(volume)) * 100, 0) / 100.0) AS revenue
     FROM shipping GROUP BY supp_nation, cust_nation, yr
     ORDER BY supp_nation, cust_nation, yr
     """,
@@ -2795,10 +2779,7 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("yr"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
@@ -2819,7 +2800,7 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN orders   ON o_orderkey = l_orderkey
       WHERE p_name LIKE '%red%'
     )
-    SELECT nation, yr, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, yr, (ROUND((SUM(amount)) * 100, 0) / 100.0) AS sum_profit
     FROM profit GROUP BY nation, yr ORDER BY nation, yr DESC
     """,
 )
@@ -2861,7 +2842,7 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "yr")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg((F.round((F.sum("amount")) * 100, 0) / 100.0).alias("sum_profit"))
         .orderBy("nation", F.desc("yr"))
     )
 
@@ -3017,12 +2998,12 @@ def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_tpch_q14_shape",
     """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+    SELECT (ROUND((100.0 * SUM(CASE WHEN p_type = 'PROMO'
                              THEN l_extendedprice * (1 - l_discount)
                              ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+                 / SUM(l_extendedprice * (1 - l_discount))) * 10000, 0) / 10000.0)
              AS promo_revenue_pct,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0)
              AS total_revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -3049,15 +3030,12 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
+            (F.round((100.0
                 * F.sum(
                     F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
                 )
-                / F.sum(rev),
-                4,
-            ).alias("promo_revenue_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+                / F.sum(rev)) * 10000, 0) / 10000.0).alias("promo_revenue_pct"),
+            (F.round((F.sum(rev)) * 100, 0) / 100.0).alias("total_revenue"),
         )
     )
 
@@ -3065,7 +3043,7 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_tpch_q19_shape",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -3120,10 +3098,7 @@ def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("revenue"),
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue"),
             F.count("*").cast("long").alias("n_lines"),
         )
     )

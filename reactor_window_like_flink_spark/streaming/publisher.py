@@ -37,6 +37,8 @@ DataFrame and runs distributed (that is the 100 TB path).
 from __future__ import annotations
 
 import os
+import contextlib
+import logging
 import threading
 import uuid
 from collections.abc import Callable, Sequence
@@ -45,6 +47,8 @@ from typing import Any
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
+
+_LOG = logging.getLogger(__name__)
 
 
 def _progress_field(progress: Any, name: str) -> Any:
@@ -91,6 +95,7 @@ class FileStreamInput:
         self._capacity = queue_capacity
         self._lock = threading.Lock()
         self._published_rows = 0
+        self._arrow_fallbacks = 0
         self._query: StreamingQuery | None = None
         self._rows_by_batch: dict[int, int] = {}
         os.makedirs(directory, exist_ok=True)
@@ -118,6 +123,19 @@ class FileStreamInput:
         try:
             self._admit_arrow(rows)
         except Exception:  # noqa: BLE001 — arrow stricter than Spark
+            # Count + log every fallback: a SYSTEMATIC arrow-path failure
+            # (schema drift, pyarrow regression) silently reinstating the
+            # ~340 events/s per-publish-Spark-job bottleneck must be
+            # observable — the soak test asserts this stays 0 on the
+            # happy path, and progress_stats()/arrow_fallbacks expose it
+            # to operators (r14 ADVICE).
+            self._arrow_fallbacks += 1
+            _LOG.warning(
+                "arrow admission failed (fallback #%d) — using the "
+                "per-publish Spark-job path for this batch",
+                self._arrow_fallbacks,
+                exc_info=True,
+            )
             df = self._spark.createDataFrame(rows, self._schema)
             df.coalesce(1).write.mode("append").parquet(self._dir)
         self._published_rows += len(rows)
@@ -152,8 +170,15 @@ class FileStreamInput:
         table = pa.Table.from_pydict(cols, schema=aschema)
         name = f"part-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self._dir, f".{name}.tmp")
-        pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(self._dir, name))
+        try:
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(self._dir, name))
+        except BaseException:
+            # A half-written .tmp is invisible to Spark's listing (dot
+            # prefix) but must not accumulate on the fallback path.
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            raise
 
     def publish(self, rows: Sequence[Any]) -> None:
         """Durably admit a batch of rows (lossless, like sync publish)."""
@@ -251,6 +276,14 @@ class FileStreamInput:
         """The admission bound ``try_publish`` enforces (``None`` =
         unbounded) — the ``getQueueCapacity`` analog."""
         return self._capacity
+
+    def arrow_fallbacks(self) -> int:
+        """Publishes that fell off the pyarrow fast path onto the
+        per-publish Spark-job path. 0 in healthy operation; a steadily
+        rising count means admission throughput has silently regressed
+        to the pre-r14 ~340 events/s regime (r14 ADVICE observability
+        gap). The soak/probe suites assert it stays 0."""
+        return self._arrow_fallbacks
 
     def stream(self) -> DataFrame:
         reader = self._spark.readStream.schema(self._schema)

@@ -34,7 +34,7 @@ def _tumbling(df: DataFrame) -> DataFrame:
         df.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round((F.sum("value")) * 100, 0) / 100.0).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -51,7 +51,7 @@ def _tumbling(df: DataFrame) -> DataFrame:
     SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           (ROUND((SUM(value)) * 100, 0) / 100.0) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -74,7 +74,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           (ROUND((SUM(value)) * 100, 0) / 100.0) AS sum_value
     FROM ex GROUP BY 1, 2
     """,
 )
@@ -88,7 +88,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round((F.sum("value")) * 100, 0) / 100.0).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -118,7 +118,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
            CAST(floor(epoch(MAX(ts))) + 300 AS BIGINT) AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           (ROUND((SUM(value)) * 100, 0) / 100.0) AS sum_value
     FROM sessions GROUP BY user_id, sid
     """,
 )
@@ -132,7 +132,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round((F.sum("value")) * 100, 0) / 100.0).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -258,7 +258,7 @@ def stream_sliding(stream_df: DataFrame, watermark: str = "10 minutes") -> DataF
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round((F.sum("value")) * 100, 0) / 100.0).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
@@ -278,7 +278,7 @@ def stream_session(stream_df: DataFrame, watermark: str = "10 minutes") -> DataF
         .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.round((F.sum("value")) * 100, 0) / 100.0).alias("sum_value"),
         )
         .select(
             "user_id",

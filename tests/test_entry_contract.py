@@ -45,6 +45,37 @@ def test_sweep_rotation_puts_unrecorded_keys_first():
         assert last_new < first_old
 
 
+def test_no_unsafe_round_anywhere():
+    """Contract determinism rule (contract.py): ``ROUND(x, n)`` at n >= 1
+    is not engine-identical at representation boundaries — Spark rounds
+    the shortest decimal repr, DuckDB the binary double. The r15 audit
+    migrated every site (364 rewrites) to ``ROUND(x * 10^n, 0) / 10^n``;
+    this guard greps BOTH every registered oracle string and the package
+    source (Spark-side ``F.round`` + SQL strings) with the same
+    paren-matching detector the migration used, so the class is extinct
+    by construction, not by review."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from round_migrate import find_unsafe
+
+    bad: list[str] = []
+    for key, sql in entry_mod.oracle_sql().items():
+        bad += [f"oracle[{key}]: {h}" for h in find_unsafe(sql)]
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reactor_window_like_flink_spark",
+    )
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        with open(path) as f:
+            bad += [f"{os.path.basename(path)}: {h}" for h in find_unsafe(f.read())]
+    assert not bad, f"unsafe ROUND(x, n>=1) sites: {bad[:10]} (+{max(0, len(bad)-10)} more)"
+
+
 def test_no_bare_container_columns(spark, sf_dir):
     """Contract determinism rule (contract.py): oracle-checked outputs
     must not emit bare array/map/struct columns — the driver's

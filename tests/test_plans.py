@@ -524,6 +524,68 @@ def test_tpch_q19_broadcasts_pruned_part_and_never_shuffles_fact(q):
     assert any("l_quantity" in f for f in pushed_filters(df))
 
 
+def test_tpch_q7_broadcasts_both_nation_dims_and_pushes_dates(q):
+    """Q7's supplier⋈nation and customer⋈nation sides must broadcast
+    (the fact never shuffles for a dim), the two-year ship window must
+    reach the lineitem scan, and the disjunctive nation-pair predicate
+    must never degrade the plan to a nested loop."""
+    df = q("q_tpch_q7_shape")
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # lineitem is scanned exactly once (no self-join / re-scan)
+    li_scans = [c for c in read_schema_columns(df) if "l_suppkey" in c]
+    assert len(li_scans) == 1
+
+
+def test_tpch_q9_single_fact_scan_five_way_star(q):
+    """Q9's five-relation star must resolve to equi-joins only (no
+    nested loop from the LIKE), scan lineitem exactly once, and join
+    the fact on partkey/suppkey/orderkey."""
+    df = q("q_tpch_q9_shape")
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    li_scans = [c for c in read_schema_columns(df) if "l_extendedprice" in c]
+    assert len(li_scans) == 1
+    keys = {k for side in _join_key_lists(df) for k in side}
+    assert {"l_partkey", "l_suppkey", "l_orderkey"} <= keys
+
+
+def test_tpch_q12_pushes_year_and_joins_orderkey_only(q):
+    """Q12's fact-fact join must stay ONE equi-join on orderkey with the
+    ship-year range at the lineitem reader; the computed CASE bucket
+    must not block map-side partial aggregation."""
+    df = q("q_tpch_q12_shape")
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    keys = [side for side in _join_key_lists(df)]
+    assert all(set(side) <= {"l_orderkey", "o_orderkey"} for side in keys)
+    # partial + final HashAggregate pair = map-side combine before the
+    # 2-row group exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q14_prunes_part_to_two_columns_and_pushes_month(q):
+    """Q14's one-month window must push to the lineitem scan and the
+    part side must read exactly (p_partkey, p_type) — a scan that drags
+    the whole part row into a 2-column join is wrong at any scale."""
+    df = q("q_tpch_q14_shape")
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    part_scans = [c for c in read_schema_columns(df) if "p_type" in c]
+    assert part_scans and set(part_scans[0]) == {"p_partkey", "p_type"}
+    # conditional numerator + denominator fold in ONE aggregate: no
+    # self-join of lineitem
+    li_scans = [c for c in read_schema_columns(df) if "l_extendedprice" in c]
+    assert len(li_scans) == 1
+
+
 def test_tpch_q11_threshold_is_one_row_broadcast(q):
     """Q11's scalar threshold joins back as a 1-row broadcast cross —
     the O(parts) frame must not shuffle for it."""

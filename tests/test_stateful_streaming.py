@@ -134,6 +134,51 @@ def test_trickle_still_time_flushes(spark, tmp_path):
         query.stop()
 
 
+def test_trickle_timeout_is_data_path(spark, tmp_path):
+    """Pin the DATA-path flush-on-time (stateful.py: the `now_ms >=
+    opened_ms + timeout_ms` check on the arrival path, r14 ADVICE):
+    with ``maxFilesPerTrigger=1`` and a pre-published backlog of
+    single-row files, EVERY micro-batch carries rows for the key, so
+    ``hasTimedOut`` can never fire (the timer only fires in a batch
+    where the key has no new rows) — any 'timeout' flush observed while
+    backlog remains unprocessed must come from the data-path check.
+    ``test_trickle_still_time_flushes`` publishes with gaps and so
+    tolerates dataless timer batches; this one does not."""
+    src = FileStreamInput(
+        spark, SCHEMA, str(tmp_path / "in"), max_files_per_trigger=1
+    )
+    backlog = 120  # single-row files: >> duration worth of 1-file batches
+    for i in range(backlog):
+        src.publish(_rows(user=3, n=1, start=i))
+    out = count_or_time_stateful(
+        src.stream(), max_size=1000, duration_seconds=2.0
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_datapath")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        timed = _poll(
+            lambda: spark.sql(
+                "SELECT * FROM t_datapath WHERE flush_reason = 'timeout'"
+            ).collect()
+        )
+        assert timed, "no timeout flush fired under an every-batch trickle"
+        # the flush fired while unread backlog remained -> the batch that
+        # emitted it carried rows -> data path, not the hasTimedOut timer
+        assert src.queue_size() > 0, (
+            "backlog drained before the first timeout flush — the test "
+            "lost its every-batch-carries-rows guarantee"
+        )
+        # sub-max_size close: duration (2s) of 1-row batches, far from 1000
+        assert all(0 < r["n_events"] < 1000 for r in timed)
+    finally:
+        query.stop()
+
+
 def test_idle_state_ttl_evicts_and_resets_seq(spark, tmp_path):
     """With idle_state_ttl_seconds, a key idle past the TTL after its
     last flush is evicted from the state store — bounded state for

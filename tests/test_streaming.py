@@ -90,6 +90,65 @@ def test_publisher_no_loss_under_concurrent_producers(spark, tmp_path):
     assert ids == list(range(item_count))  # exactly-once, not at-least-once
 
 
+def test_arrow_fallback_is_counted_and_tmp_cleaned(spark, tmp_path, monkeypatch):
+    """The arrow fast path's failure mode must be OBSERVABLE (r14 ADVICE):
+    a systematic arrow failure silently reinstating the per-publish
+    Spark-job path (~340 events/s) was invisible. Healthy publishes keep
+    ``arrow_fallbacks() == 0``; a forced arrow failure increments it,
+    still delivers the rows (Spark-job fallback, same contract), and
+    leaves no half-written ``.tmp`` file behind."""
+    import os
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    src.publish(_rows(5))
+    assert src.arrow_fallbacks() == 0  # happy path never falls back
+
+    def boom(rows):
+        # simulate a pyarrow regression AFTER the tmp file exists
+        open(os.path.join(str(tmp_path / "in"), ".crash.parquet.tmp"), "w").close()
+        raise RuntimeError("synthetic arrow failure")
+
+    monkeypatch.setattr(src, "_admit_arrow", boom)
+    src.publish(_rows(5, start_minute=10))
+    monkeypatch.undo()
+    assert src.arrow_fallbacks() == 1
+    src.publish(_rows(5, start_minute=20))
+    assert src.arrow_fallbacks() == 1  # recovered: no further fallbacks
+
+    # all 15 rows delivered regardless of path; the only .tmp present is
+    # the synthetic one (the real writer unlinks its tmp on failure)
+    got = spark.read.schema(SCHEMA).parquet(str(tmp_path / "in")).count()
+    assert got == 15
+    assert src._published_rows == 15
+
+
+def test_admit_arrow_unlinks_tmp_on_write_failure(spark, tmp_path, monkeypatch):
+    """A failure between tmp-write and rename must not strand the tmp
+    file (r14 ADVICE: partially written .tmp left behind)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+
+    real_write = pq.write_table
+
+    def half_write(table, where, **kw):
+        real_write(table, where, **kw)  # tmp file now exists on disk
+        raise RuntimeError("synthetic failure after tmp write")
+
+    monkeypatch.setattr(pq, "write_table", half_write)
+    src.publish(_rows(3))  # falls back to the Spark-job path
+    monkeypatch.undo()
+    leftovers = [
+        f for f in os.listdir(str(tmp_path / "in")) if f.endswith(".tmp")
+    ]
+    assert leftovers == [], f"stranded tmp files: {leftovers}"
+    assert src.arrow_fallbacks() == 1
+    got = spark.read.schema(SCHEMA).parquet(str(tmp_path / "in")).count()
+    assert got == 3
+
+
 def test_publisher_error_channel(spark, tmp_path):
     """Errors route to the error consumer (``WindowPublisher.java:142-150``)
     instead of failing the query."""

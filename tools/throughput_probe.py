@@ -20,6 +20,23 @@ Single run, one JSON line on stdout — a parity probe, not a bench (no
 bar; re-run ad hoc when the publisher path changes).
 
 Usage: python tools/throughput_probe.py [n_events] [n_threads]
+       python tools/throughput_probe.py --sustained [seconds] [n_threads]
+
+``--sustained`` (r14 VERDICT directive 3) runs a duration-bounded soak
+(default 120 s, ~10x the reference-shape probe) alternating TRICKLE
+phases (many small publishes — worst case for file-count growth: one
+parquet file per publish) and BURST phases (rapid large batches), then:
+
+- records file-count growth and reader list-cost (dir listing + a cold
+  batch-read count) at phase boundaries;
+- asserts the arrow fast path never fell back (``arrow_fallbacks == 0``
+  — the r14 ADVICE observability counter);
+- verifies ``sources/layout.compact()`` composes with the publisher's
+  directory: after drain, one compaction pass rewrites the accumulated
+  small files at ~target size into a fresh directory with zero row loss
+  and a measured list+read-cost drop (the ledger pattern from
+  ``curate_incremental``'s ``compact_every``, applied to the A1-A5
+  admission dir).
 """
 
 from __future__ import annotations
@@ -46,7 +63,152 @@ def _rows(n: int):
     ]
 
 
+def sustained(soak_seconds: int, n_threads: int) -> int:
+    from reactor_window_like_flink_spark.session import get_spark
+    from reactor_window_like_flink_spark.sources.layout import compact
+    from reactor_window_like_flink_spark.streaming.publisher import (
+        FileStreamInput,
+        WindowedPublisher,
+    )
+
+    spark = get_spark(app_name="throughput_soak", shuffle_partitions=8)
+    tmp = tempfile.mkdtemp(prefix="throughput_soak_")
+    in_dir = os.path.join(tmp, "in")
+    src = FileStreamInput(spark, SCHEMA, in_dir)
+
+    delivered = 0
+    last_delivery = [0.0]
+    lock = threading.Lock()
+
+    def consumer(chunk) -> None:
+        nonlocal delivered
+        with lock:
+            delivered += len(chunk)
+            last_delivery[0] = time.perf_counter()
+
+    pub = WindowedPublisher(window_max_batch_size=500, window_duration_seconds=0.5)
+    query = pub.subscribe(
+        src.stream(), consumer=consumer, checkpoint_dir=os.path.join(tmp, "ckpt")
+    )
+
+    published = [0]
+    pub_lock = threading.Lock()
+    stop_at = time.perf_counter() + soak_seconds
+    # 20 s phase cycle: 10 s trickle (50-row publishes, 20 ms think time —
+    # one small parquet file each, the worst case for listing growth),
+    # then 10 s burst (2,500-row publishes back to back).
+    base = _rows(3600)
+
+    def produce(k: int) -> None:
+        i = 0
+        while time.perf_counter() < stop_at:
+            phase_burst = int(time.perf_counter() // 10) % 2 == 1
+            size = 2500 if phase_burst else 50
+            with pub_lock:
+                start = published[0]
+                published[0] += size
+            rows = [
+                (start + j, base[(start + j) % 3600][1], (start + j) % 97,
+                 "burst" if phase_burst else "trickle", float(j % 13))
+                for j in range(size)
+            ]
+            src.publish(rows)
+            if not phase_burst:
+                time.sleep(0.02)
+            i += 1
+
+    def list_cost() -> dict:
+        t0 = time.perf_counter()
+        n_files = sum(
+            1 for f in os.listdir(in_dir) if f.endswith(".parquet")
+        )
+        t_list = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_rows = spark.read.schema(SCHEMA).parquet(in_dir).count()
+        t_read = time.perf_counter() - t0
+        return {
+            "n_files": n_files,
+            "listdir_s": round(t_list, 4),
+            "batch_read_count_s": round(t_read, 2),
+            "n_rows": n_rows,
+        }
+
+    samples = []
+    threads = [threading.Thread(target=produce, args=(k,)) for k in range(n_threads)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    next_sample = t_start + 20
+    while any(t.is_alive() for t in threads):
+        if time.perf_counter() >= next_sample:
+            samples.append(list_cost())
+            next_sample += 20
+        time.sleep(0.25)
+    for t in threads:
+        t.join()
+    t_published = time.perf_counter()
+    n_events = published[0]
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            query.processAllAvailable()
+            with lock:
+                if delivered >= n_events:
+                    break
+            time.sleep(0.05)
+    finally:
+        query.stop()
+
+    pre = list_cost()
+    # Compaction composes with the publisher dir exactly like the
+    # curation ledger's compact_every: rewrite to a fresh directory
+    # (object stores have no atomic in-place rewrite), conservation
+    # asserted by row count. 8 MB target keeps >1 output file at soak
+    # scale so the file-derivation path is actually exercised.
+    cdir = os.path.join(tmp, "compacted")
+    t0 = time.perf_counter()
+    out_files = compact(spark, in_dir, cdir, target_file_bytes=8 * 1024 * 1024)
+    t_compact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compact_rows = spark.read.parquet(cdir).count()
+    post_read_s = time.perf_counter() - t0
+
+    total_s = last_delivery[0] - t_start
+    ok = (
+        delivered == n_events
+        and compact_rows == n_events
+        and src.arrow_fallbacks() == 0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "publisher_sustained_soak",
+                "soak_seconds": soak_seconds,
+                "n_producers": n_threads,
+                "n_events": n_events,
+                "exactly_delivered": delivered == n_events,
+                "events_per_s": round(n_events / total_s, 0) if total_s > 0 else None,
+                "drain_s": round(last_delivery[0] - t_published, 2),
+                "arrow_fallbacks": src.arrow_fallbacks(),
+                "list_cost_samples": samples,
+                "list_cost_final": pre,
+                "compact": {
+                    "out_files": out_files,
+                    "compact_s": round(t_compact, 2),
+                    "rows_conserved": compact_rows == n_events,
+                    "batch_read_count_s_after": round(post_read_s, 2),
+                },
+            }
+        )
+    )
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sustained":
+        soak_s = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+        n_thr = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        return sustained(soak_s, n_thr)
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_threads = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
