@@ -100,12 +100,12 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_math",
     """
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice, 1) AS price_r,
+           (ROUND((l_extendedprice) * 10, 0) / 10.0) AS price_r,
            abs(l_extendedprice - 50000) AS dev,
            CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
            CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
-           round(ln(l_extendedprice), 6) AS ln_price,
-           round(pow(l_discount, 2), 9) AS disc_sq,
+           (ROUND((ln(l_extendedprice)) * 1000000, 0) / 1000000.0) AS ln_price,
+           (ROUND((pow(l_discount, 2)) * 1000000000, 0) / 1000000000.0) AS disc_sq,
            l_orderkey % 7 AS mod7
     FROM lineitem
     """,

@@ -65,7 +65,7 @@ def test_no_unsafe_round_anywhere():
 
     bad: list[str] = []
     for key, sql in entry_mod.oracle_sql().items():
-        bad += [f"oracle[{key}]: {h}" for h in find_unsafe(sql)]
+        bad += [f"oracle[{key}]: {h}" for h in find_unsafe(sql, sql_only=True)]
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "reactor_window_like_flink_spark",

@@ -30,6 +30,10 @@ import re
 import sys
 
 CALL_RE = re.compile(r"(?<![\w.])(F\.round|ROUND)\s*\(")
+# For pure-SQL text (oracle strings) the Python-builtin ambiguity is gone,
+# so lowercase round( is also the engine function and must be flagged
+# (q_scalar_math's oracle hid 3 sites from the uppercase-only scan).
+SQL_CALL_RE = re.compile(r"(?<![\w.])(round)\s*\(", re.IGNORECASE)
 
 
 def _match_paren(src: str, open_idx: int) -> int:
@@ -67,15 +71,18 @@ def _split_top(arg_src: str) -> list[str]:
     return parts
 
 
-def find_unsafe(src: str) -> list[str]:
+def find_unsafe(src: str, sql_only: bool = False) -> list[str]:
     """Scan-only twin of ``migrate``: every ``F.round(x, n>=1)`` /
     ``ROUND(x, n>=1)`` occurrence, as a short snippet. Used by
     ``tests/test_entry_contract.py::test_no_unsafe_round_anywhere`` so the
     representation-boundary class cannot be reintroduced — same detector,
-    no drift (the r13 bad_cols lesson)."""
+    no drift (the r13 bad_cols lesson). ``sql_only=True`` (for oracle
+    strings) also matches lowercase ``round(`` — in pure SQL there is no
+    Python-builtin ambiguity."""
+    pattern = SQL_CALL_RE if sql_only else CALL_RE
     hits, pos = [], 0
     while True:
-        m = CALL_RE.search(src, pos)
+        m = pattern.search(src, pos)
         if m is None:
             return hits
         open_idx = src.index("(", m.end() - 1)
