@@ -1,15 +1,36 @@
-"""HALF_UP rounding for test expected-value models.
+"""Engine-exact rounding for test expected-value models.
 
-Spark's ``F.round`` on DOUBLE is ``BigDecimal.valueOf(d).setScale(n,
-HALF_UP)`` — ``BigDecimal.valueOf`` goes through ``Double.toString``'s
-shortest decimal representation, which Python's ``repr`` also produces.
-So ``Decimal(repr(x)).quantize(10**-n, ROUND_HALF_UP)`` is the exact
-model of the engine's rounding. Python's builtin ``round`` is banker's
-(HALF_EVEN) and disagrees at exact halves: round-13 judge found
-Hypothesis input sizes=[1,1,1,2,9,9,9] where max_share = 9/32 = 0.28125
-rounds to 0.2813 in Spark/DuckDB but 0.2812 under builtin ``round`` —
-the engine was right and the test model was the buggy side. Every test
-expected value therefore uses ``rhalf``, never bare ``round``.
+Since the r15 migration, every engine-side n>=1-decimal round is the
+contract.py safe form ``ROUND(x * 10^n, 0) / 10^n`` (in BOTH Spark and
+DuckDB — enforced by ``test_no_unsafe_round_anywhere``), so the test
+model must be that form, computed the way the engines compute it:
+
+- ``y = x * 10^n`` is one IEEE double multiply — identical in Spark,
+  DuckDB, and CPython;
+- the 0-decimal round is where the engines AGREE on every double:
+  Spark rounds the shortest decimal repr (``BigDecimal.valueOf``),
+  DuckDB the binary value, and at scale 0 these coincide — a double is
+  exactly a half-integer iff its shortest repr ends in ``.5`` (halves
+  below 2^52 are exactly representable), and otherwise the shortest
+  repr sits on the same side of the half as the binary value (shortest
+  reprs roundtrip uniquely and preserve ordering). Both round halves
+  away from zero. ``Decimal(repr(y)).quantize(1, HALF_UP)`` models it
+  exactly;
+- ``/ 10^n`` is one IEEE divide — identical everywhere.
+
+History: Python's builtin ``round`` is banker's (HALF_EVEN) and
+disagrees at exact halves — the round-13 judge found Hypothesis input
+sizes=[1,1,1,2,9,9,9] where max_share = 9/32 = 0.28125 rounds to
+0.2813 in the engines but 0.2812 under builtin ``round``; the engine
+was right and the test model was the buggy side. The r14 ``rhalf``
+modeled the engines' OLD ``ROUND(x, n)`` (shortest-repr HALF_UP at n
+decimals), which diverges from the scaled form exactly at the
+representation boundaries the r15 migration removed — so the model
+moved with the engines. At exact decimal halves (the pinned example)
+old and new agree; they differ only where a value's shortest repr and
+binary value straddle a half at the n-th decimal, which is the class
+the migration exists to pin down. Every test expected value uses
+``rhalf``, never bare ``round``.
 """
 
 from __future__ import annotations
@@ -18,11 +39,16 @@ from decimal import ROUND_HALF_UP, Decimal
 
 
 def rhalf(x: float, nd: int = 0) -> float:
-    """Round ``x`` to ``nd`` decimals, halves away from zero, matching
-    Spark ``F.round`` / DuckDB ``round`` on DOUBLE."""
+    """Round ``x`` to ``nd`` decimals exactly as the engines do since
+    the r15 migration: ``round(x * 10^nd, 0) / 10^nd`` with the
+    0-decimal round half-away-from-zero on the (binary) scaled value —
+    bit-identical to Spark ``F.round(x * 10^nd, 0) / 10^nd`` and DuckDB
+    ``ROUND(x * 10^nd, 0) / 10^nd.0``."""
     if x != x or x in (float("inf"), float("-inf")):
         return x
-    q = Decimal(repr(float(x))).quantize(
-        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
-    )
-    return float(q)
+    scale = float(10**nd)
+    y = float(x) * scale
+    if y in (float("inf"), float("-inf")):
+        return y
+    r = Decimal(repr(y)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    return float(r) / scale

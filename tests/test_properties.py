@@ -320,6 +320,22 @@ def test_misra_gries_superset_and_lower_bound(stream, capacity):
             assert t in survivors, (t, c, bound)
 
 
+def test_rhalf_is_the_engines_scaled_round():
+    """rhalf must model the r15 safe form ``round(x*10^n, 0)/10^n``
+    BIT-EXACTLY. The four specimens were verified against BOTH engines
+    (Spark F.round(x*10000,0)/10000.0 and DuckDB on DOUBLE operands —
+    beware: a bare DuckDB literal is DECIMAL and rounds differently):
+    the first three are boundary rationals where the OLD per-decimal
+    HALF_UP model (r14 rhalf) answers one ulp-of-a-decimal higher, the
+    fourth is the pinned r13 exact-half where old and new agree."""
+    assert rhalf(0.20325, 4) == 0.2032  # old model said 0.2033
+    assert rhalf(0.53875, 4) == 0.5387  # old model said 0.5388
+    assert rhalf(0.14275, 4) == 0.1427  # old model said 0.1428
+    assert rhalf(0.28125, 4) == 0.2813  # 9/32: exact half, away from 0
+    assert rhalf(-0.28125, 4) == -0.2813
+    assert rhalf(2.5, 0) == 3.0 and rhalf(-2.5, 0) == -3.0
+
+
 @given(
     sizes=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=12)
 )
