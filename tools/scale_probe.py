@@ -480,6 +480,108 @@ def cooccupancy(bucket_df, *keys) -> int:
     return int(row["pairs"] or 0)
 
 
+def probe_triangle_bucketed(spark, out_sf: str, result: dict) -> None:
+    """Measure the q_triangle_count docstring's 100 TB refinement —
+    'bucketing the edge list by source co-locates the wedge join' — as
+    data instead of argument, at the sf1 co-purchase graph.
+
+    Three measured paths over the SAME oriented edge list (the
+    operator's Schank forward orientation, operators/analytics.py
+    q_triangle_count):
+
+    - ``plain``: the registered plan shape — localCheckpointed eo,
+      wedge self-join + closing join, whatever exchanges Catalyst picks;
+    - ``bucketed``: eo persisted once as a table bucketed+sorted by
+      ``src`` (the Spark analog of the co-located layout a 100 TB
+      deployment maintains), wedge self-join reads the bucketed table
+      on both sides so the src-keyed exchange disappears from the
+      executed plan; the closing join still shuffles (its key is the
+      far endpoint pair, not src);
+    - the bucketed BUILD cost is reported separately: at production
+      scale the layout is paid once and amortized over every graph
+      query that joins on src (triangles, wedges, neighborhoods).
+
+    Exchange counts come from the EXECUTED plan (round-5 lesson:
+    static explain undercounts reuse effects)."""
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.operators.analytics import (
+        _basket_pairs,
+    )
+
+    li = spark.read.parquet(f"{out_sf}/lineitem.parquet")
+    e = _basket_pairs(li, "l_orderkey", "l_partkey").distinct().localCheckpoint()
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    ).localCheckpoint()
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    rk = lambda d, n: d * F.lit(2**32) + n  # noqa: E731
+    ed = e.join(du, "u").join(dv, "v")
+    eo = ed.select(
+        F.when(rk(F.col("du"), F.col("u")) < rk(F.col("dv"), F.col("v")),
+               F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(rk(F.col("du"), F.col("u")) < rk(F.col("dv"), F.col("v")),
+               rk(F.col("dv"), F.col("v")))
+        .otherwise(rk(F.col("du"), F.col("u")))
+        .alias("dst_rk"),
+        F.when(rk(F.col("du"), F.col("u")) < rk(F.col("dv"), F.col("v")),
+               F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+    def count_triangles(frame) -> tuple[int, float, int]:
+        w1, w2, cl = frame.alias("w1"), frame.alias("w2"), frame.alias("cl")
+        tri = (
+            w1.join(
+                w2,
+                (F.col("w1.src") == F.col("w2.src"))
+                & (F.col("w1.dst_rk") < F.col("w2.dst_rk")),
+            )
+            .join(
+                cl,
+                (F.col("cl.src") == F.col("w1.dst"))
+                & (F.col("cl.dst") == F.col("w2.dst")),
+            )
+            .agg(F.count("*").cast("long").alias("n_triangles"))
+        )
+        t0 = time.perf_counter()
+        n = tri.collect()[0]["n_triangles"]
+        wall = round(time.perf_counter() - t0, 2)
+        plan = tri._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        return n, wall, plan.count("Exchange")
+
+    eo_ck = eo.localCheckpoint()
+    n_plain, wall_plain, ex_plain = count_triangles(eo_ck)
+
+    spark.sql("DROP TABLE IF EXISTS eo_bucketed_probe")
+    t0 = time.perf_counter()
+    (
+        eo.write.mode("overwrite")
+        .bucketBy(32, "src")
+        .sortBy("src")
+        .saveAsTable("eo_bucketed_probe")
+    )
+    build_wall = round(time.perf_counter() - t0, 2)
+    eo_b = spark.table("eo_bucketed_probe")
+    n_buck, wall_buck, ex_buck = count_triangles(eo_b)
+
+    result["triangle_bucketed"] = {
+        "n_edges": eo_ck.count(),
+        "plain": {"wall_s": wall_plain, "exchanges": ex_plain, "n_triangles": n_plain},
+        "bucketed": {
+            "wall_s": wall_buck,
+            "exchanges": ex_buck,
+            "n_triangles": n_buck,
+            "layout_build_s": build_wall,
+        },
+        "counts_equal": n_plain == n_buck,
+    }
+    spark.sql("DROP TABLE IF EXISTS eo_bucketed_probe")
+
+
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraft_scale"
     family = sys.argv[2] if len(sys.argv) > 2 else "all"
@@ -514,6 +616,11 @@ def main() -> int:
         probe_general(spark, qs, out_sf, result)
     if family in ("autolsh", "all"):
         probe_auto_lsh(spark, qs, out_sf, result)
+    if family == "bucketed":
+        build_corpus_general(spark, out_sf)
+        probe_triangle_bucketed(spark, out_sf, result)
+        print(json.dumps(result))
+        return 0
     if family not in ("dedup", "all"):
         print(json.dumps(result))
         return 0
