@@ -26,7 +26,9 @@ REG = Registry()
     "q_udaf_pandas",
     """
     SELECT l_returnflag,
-           (ROUND((SUM(l_extendedprice * l_quantity) / SUM(l_quantity)) * 10000, 0) / 10000.0)
+           (ROUND((CAST(SUM(CAST(ROUND((l_extendedprice * l_quantity) * 100, 0)
+                                 AS BIGINT)) AS DOUBLE)
+                   / (SUM(l_quantity) * 100.0)) * 10000, 0) / 10000.0)
              AS wavg_price,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -42,7 +44,15 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def wavg(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        # exact integer-cent numerator (r15 drift hardening): price*qty
+        # is 2-decimal exact (2dp price x integral qty), so the scaled
+        # products are exact integers — np.rint's half-even tie rule
+        # never fires — and the int64 sum is order-free; one final IEEE
+        # divide matches the oracle's division bit-for-bit
+        import numpy as np
+
+        num = np.rint((price.to_numpy() * qty.to_numpy()) * 100).astype("int64").sum()
+        return float(num / (qty.to_numpy().sum() * 100.0))
 
     @pandas_udf("long")
     def n_rows(price: pd.Series) -> int:

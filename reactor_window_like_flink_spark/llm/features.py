@@ -28,23 +28,24 @@ TARGET_SMOOTHING = 100.0  # pseudo-observations of the global prior
     f"""
     WITH per_cust AS (
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
-             SUM(o_totalprice) AS s
+             SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) AS s_u2
       FROM orders GROUP BY o_custkey
     ),
     seg AS (
       SELECT c_mktsegment,
              CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_orders,
-             SUM(s) AS s_seg
+             CAST(SUM(s_u2) AS BIGINT) AS s_u2
       FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
       GROUP BY c_mktsegment
     ),
     prior AS (
-      SELECT SUM(s_seg) / SUM(n_orders) AS mu FROM seg
+      SELECT CAST(SUM(s_u2) AS DOUBLE) / 100.0 / SUM(n_orders) AS mu FROM seg
     )
     SELECT c_mktsegment,
            n_orders,
-           (ROUND((s_seg / n_orders) * 1000000, 0) / 1000000.0) AS seg_mean,
-           (ROUND(((COALESCE(s_seg, 0.0) + {TARGET_SMOOTHING} * mu)
+           (ROUND((CAST(s_u2 AS DOUBLE) / 100.0 / n_orders) * 1000000, 0) / 1000000.0)
+             AS seg_mean,
+           (ROUND(((COALESCE(CAST(s_u2 AS DOUBLE), 0.0) / 100.0 + {TARGET_SMOOTHING} * mu)
                  / (n_orders + {TARGET_SMOOTHING})) * 1000000, 0) / 1000000.0) AS encoded
     FROM seg, prior
     """,
@@ -68,9 +69,14 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract rules."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
+    # integer-cent partials end to end (r15 drift hardening): per-segment
+    # sums are exact, so mean/prior/shrinkage see identical inputs in
+    # both engines; the division chains mirror the oracle op-for-op
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("o_totalprice").alias("s"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("s_u2"),
     )
     seg = (
         customer.join(
@@ -79,18 +85,18 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orders"),
-            F.sum("s").alias("s_seg"),
+            F.sum("s_u2").alias("s_u2"),
         )
     )
     prior = seg.agg(
-        (F.sum("s_seg") / F.sum("n_orders")).alias("mu")
+        (F.sum("s_u2").cast("double") / 100.0 / F.sum("n_orders")).alias("mu")
     )
     m = F.lit(TARGET_SMOOTHING)
     return seg.crossJoin(F.broadcast(prior)).select(
         "c_mktsegment",
         "n_orders",
-        (F.round((F.col("s_seg") / F.col("n_orders")) * 1000000, 0) / 1000000.0).alias("seg_mean"),
-        (F.round(((F.coalesce(F.col("s_seg"), F.lit(0.0)) + m * F.col("mu"))
+        (F.round((F.col("s_u2").cast("double") / 100.0 / F.col("n_orders")) * 1000000, 0) / 1000000.0).alias("seg_mean"),
+        (F.round(((F.coalesce(F.col("s_u2").cast("double"), F.lit(0.0)) / 100.0 + m * F.col("mu"))
             / (F.col("n_orders") + m)) * 1000000, 0) / 1000000.0).alias("encoded"),
     )
 
@@ -261,7 +267,7 @@ OOF_FOLDS = 5
              CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
                   AS BIGINT) % {OOF_FOLDS} AS fold,
              CAST(count(*) AS BIGINT) AS n_f,
-             SUM(o_totalprice) AS s_f
+             SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) AS s_f
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2
     ),
@@ -277,9 +283,9 @@ OOF_FOLDS = 5
     )
     SELECT c_mktsegment, CAST(fold AS INT) AS fold,
            CAST(n_seg - n_f AS BIGINT) AS n_oof,
-           (ROUND((((s_seg - s_f)
-                  + {TARGET_SMOOTHING} * (s_all - s_fold)
-                    / (n_all - n_fold))
+           (ROUND(((CAST(s_seg - s_f AS DOUBLE) / 100.0
+                  + {TARGET_SMOOTHING} * ((CAST(s_all - s_fold AS DOUBLE) / 100.0)
+                    / (n_all - n_fold)))
                  / ((n_seg - n_f) + {TARGET_SMOOTHING})) * 1000000, 0) / 1000000.0) AS encoded_oof
     FROM w
     """,
@@ -319,18 +325,24 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "fold")
         .agg(
             F.count("*").cast("long").alias("n_f"),
-            F.sum("o_totalprice").alias("s_f"),
+            # exact integer cents (r15): window totals below are then
+            # BIGINT-exact, so leave-one-out subtraction is exact too
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("s_f"),
         )
     )
     w_seg = Window.partitionBy("c_mktsegment")
     w_fold = Window.partitionBy("fold")
     w_all = Window.partitionBy()
     m = F.lit(TARGET_SMOOTHING)
-    prior_oof = (F.sum("s_f").over(w_all) - F.sum("s_f").over(w_fold)) / (
-        F.sum("n_f").over(w_all) - F.sum("n_f").over(w_fold)
-    )
+    prior_oof = (
+        (F.sum("s_f").over(w_all) - F.sum("s_f").over(w_fold)).cast("double")
+        / 100.0
+    ) / (F.sum("n_f").over(w_all) - F.sum("n_f").over(w_fold))
     enc = (
-        (F.sum("s_f").over(w_seg) - F.col("s_f")) + m * prior_oof
+        (F.sum("s_f").over(w_seg) - F.col("s_f")).cast("double") / 100.0
+        + m * prior_oof
     ) / ((F.sum("n_f").over(w_seg) - F.col("n_f")) + m)
     return per.select(
         "c_mktsegment",

@@ -116,7 +116,11 @@ def histogram(df: DataFrame, col: str, lo: float, width: float, n: int) -> DataF
         df.groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").cast("long").alias("n_rows"),
-            (F.round((F.sum(x)) * 100, 0) / 100.0).alias("sum_val"),
+            # exact integer-cent sum (r15 drift hardening): the fixture's
+            # monetary/metric columns are 2-decimal exact, so the bucket
+            # sums are exact under any partitioning
+            (F.round(F.sum(F.round(x * 100, 0).cast("long"))
+                     .cast("double"), 0) / 100.0).alias("sum_val"),
         )
         .select(
             "bucket",
@@ -133,7 +137,8 @@ def histogram(df: DataFrame, col: str, lo: float, width: float, n: int) -> DataF
     SELECT bucket,
            (ROUND(({HIST_LO} + bucket * {HIST_WIDTH}) * 100, 0) / 100.0) AS bucket_lo,
            CAST(count(*) AS BIGINT) AS n_rows,
-           (ROUND((sum(CAST(l_extendedprice AS DOUBLE))) * 100, 0) / 100.0) AS sum_val
+           (ROUND(CAST(sum(CAST(ROUND((CAST(l_extendedprice AS DOUBLE)) * 100, 0)
+                                AS BIGINT)) AS DOUBLE), 0) / 100.0) AS sum_val
     FROM (
       SELECT l_extendedprice,
              GREATEST(0, LEAST({HIST_BUCKETS - 1},
@@ -334,8 +339,8 @@ WINSOR_HI = 0.99
     f"""
     WITH q AS (
       SELECT event_type,
-             quantile_cont(value, {WINSOR_LO}) AS p01,
-             quantile_cont(value, {WINSOR_HI}) AS p99
+             quantile_disc(value, {WINSOR_LO}) AS p01,
+             quantile_disc(value, {WINSOR_HI}) AS p99
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
@@ -367,9 +372,21 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped rows instead of the audit is the same plan minus the final
     aggregate."""
     events = load(spark, sf_dir, "events")
+    # DISCRETE (nearest-rank) thresholds, not interpolated: percentile_disc
+    # picks an ACTUAL data value, so both engines take the same element of
+    # the same sorted multiset and the clip compare sees bit-identical
+    # thresholds. Interpolated quantiles diverged by an ulp at the sf1
+    # differential (10x-replicated values pile ties on the cut), and a
+    # 1-ulp threshold shift moves a whole tie-block across the `>` —
+    # n_clipped_hi jumped 2000 -> 2010 (r15). Winsorizing at observed
+    # values is the standard robust-statistics form anyway.
     q = events.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {WINSOR_LO})").alias("p01"),
-        F.expr(f"percentile(value, {WINSOR_HI})").alias("p99"),
+        F.expr(
+            f"percentile_disc({WINSOR_LO}) WITHIN GROUP (ORDER BY value)"
+        ).alias("p01"),
+        F.expr(
+            f"percentile_disc({WINSOR_HI}) WITHIN GROUP (ORDER BY value)"
+        ).alias("p99"),
     )
     clipped = F.greatest(
         F.col("p01"), F.least(F.col("p99"), F.col("value"))
@@ -385,6 +402,10 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
             .cast("long")
             .alias("n_clipped_hi"),
+            # means stay plain AVG: at value magnitude ~1e2 the drift
+            # margin sits ~7 orders below the 1e-4 rounding grid, and
+            # quantizing a generic metric column to cents would narrow
+            # the operator's semantics to the fixture (r15 review)
             (F.round((F.avg("value")) * 10000, 0) / 10000.0).alias("mean_raw"),
             (F.round((F.avg(clipped)) * 10000, 0) / 10000.0).alias("mean_winsor"),
         )

@@ -25,6 +25,31 @@ from reactor_window_like_flink_spark.sources.tables import load
 REG = Registry()
 
 
+def exact_units(expr: F.Column, scale: int) -> F.Column:
+    """Quantize an exact-decimal-valued double expression to BIGINT
+    units of 10^-scale — the q11 integer-cents pattern generalized
+    (r15: the sf1 differential caught q5/q9 revenue one cent off from
+    parallel-summation drift crossing a cent boundary; rounding the
+    FINAL sum cannot fix order-dependent drift, only exact integer
+    summation can). The fixture's monetary columns are 2-decimal exact,
+    quantities integer, so price*(1-disc) is exact at 4 decimals and
+    price*(1-disc)*(1+tax) at 6: the per-row double product is
+    bit-identical in both engines, the scaled 0-decimal round maps it
+    to the EXACT integer in both, and the BIGINT sum is then exact
+    under ANY partitioning/order. int64 headroom: 1e-4 units of a
+    2.4e11-dollar total is 2.4e15 << 2^63; at true 100 TB scale swap
+    the long sum for DECIMAL(38, scale) — same plan, wider lanes."""
+    return F.round(expr * (10**scale), 0).cast("long")
+
+
+def units_to_currency(sum_units: F.Column, scale: int) -> F.Column:
+    """Exact BIGINT 10^-scale units -> dollars at 2 decimals: one
+    int->double conversion (deterministic round-to-nearest in every
+    engine), one IEEE divide to cents, the engine-identical 0-decimal
+    round, one divide — bit-identical across engines by construction."""
+    return F.round(sum_units.cast("double") / float(10 ** (scale - 2)), 0) / 100.0
+
+
 # ---------------------------------------------------------------- scans
 
 @REG.add(
@@ -133,7 +158,8 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     """
     SELECT p_brand,
-           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -149,7 +175,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue"),
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -159,7 +185,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multi",
     """
     SELECT n_name,
-           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -190,7 +217,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("revenue")
         )
     )
 
@@ -200,7 +227,8 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           (ROUND((SUM(COALESCE(o_totalprice, 0))) * 100, 0) / 100.0) AS spend
+           (ROUND(CAST(SUM(CAST(ROUND((COALESCE(o_totalprice, 0)) * 100, 0)
+                                AS BIGINT)) AS DOUBLE), 0) / 100.0) AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     """,
@@ -214,9 +242,12 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            (F.round((F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)))) * 100, 0) / 100.0).alias(
-                "spend"
-            ),
+            units_to_currency(
+                F.sum(
+                    exact_units(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2)
+                ),
+                2,
+            ).alias("spend"),
         )
     )
 
@@ -353,8 +384,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_global",
     """
     SELECT (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
-           (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_price,
-           (ROUND((AVG(l_discount)) * 1000000, 0) / 1000000.0) AS avg_disc,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                       AS DOUBLE), 0) / 100.0) AS sum_price,
+           (ROUND((CAST(SUM(CAST(ROUND((l_discount) * 100, 0) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) / 100.0) * 1000000, 0) / 1000000.0)
+             AS avg_disc,
            MIN(l_quantity) AS min_qty,
            MAX(l_extendedprice) AS max_price,
            CAST(count(*) AS BIGINT) AS n_rows
@@ -367,8 +401,11 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
         (F.round((F.sum("l_quantity")) * 100, 0) / 100.0).alias("sum_qty"),
-        (F.round((F.sum("l_extendedprice")) * 100, 0) / 100.0).alias("sum_price"),
-        (F.round((F.avg("l_discount")) * 1000000, 0) / 1000000.0).alias("avg_disc"),
+        units_to_currency(
+            F.sum(exact_units(F.col("l_extendedprice"), 2)), 2
+        ).alias("sum_price"),
+        (F.round((F.sum(exact_units(F.col("l_discount"), 2)).cast("double")
+                  / F.count("*") / 100.0) * 1000000, 0) / 1000000.0).alias("avg_disc"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("n_rows"),
@@ -380,12 +417,20 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
-           (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_base_price,
-           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS sum_disc_price,
-           (ROUND((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100, 0) / 100.0) AS sum_charge,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                       AS DOUBLE), 0) / 100.0) AS sum_base_price,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS sum_disc_price,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                                      * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                  / 10000.0, 0) / 100.0) AS sum_charge,
            (ROUND((AVG(l_quantity)) * 10000, 0) / 10000.0) AS avg_qty,
-           (ROUND((AVG(l_extendedprice)) * 10000, 0) / 10000.0) AS avg_price,
-           (ROUND((AVG(l_discount)) * 10000, 0) / 10000.0) AS avg_disc,
+           (ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) / 100.0) * 10000, 0) / 10000.0)
+             AS avg_price,
+           (ROUND((CAST(SUM(CAST(ROUND((l_discount) * 100, 0) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) / 100.0) * 10000, 0) / 10000.0)
+             AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -398,17 +443,25 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition before the shuffle."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer-unit sums (r15 summation-drift hardening): prices are
+    # 2-decimal exact, disc_price 4-decimal, charge 6-decimal; quantities
+    # are integral so their double sums are already exact. Averages
+    # derive from the exact unit sums (one division chain, identical op
+    # order in both engines). At 100 TB swap long for DECIMAL(38,n).
+    price_u2 = exact_units(F.col("l_extendedprice"), 2)
+    disc_u2 = exact_units(F.col("l_discount"), 2)
+    charge_u6 = exact_units(disc_price * (1 + F.col("l_tax")), 6)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             (F.round((F.sum("l_quantity")) * 100, 0) / 100.0).alias("sum_qty"),
-            (F.round((F.sum("l_extendedprice")) * 100, 0) / 100.0).alias("sum_base_price"),
-            (F.round((F.sum(disc_price)) * 100, 0) / 100.0).alias("sum_disc_price"),
-            (F.round((F.sum(disc_price * (1 + F.col("l_tax")))) * 100, 0) / 100.0).alias("sum_charge"),
+            units_to_currency(F.sum(price_u2), 2).alias("sum_base_price"),
+            units_to_currency(F.sum(exact_units(disc_price, 4)), 4).alias("sum_disc_price"),
+            units_to_currency(F.sum(charge_u6), 6).alias("sum_charge"),
             (F.round((F.avg("l_quantity")) * 10000, 0) / 10000.0).alias("avg_qty"),
-            (F.round((F.avg("l_extendedprice")) * 10000, 0) / 10000.0).alias("avg_price"),
-            (F.round((F.avg("l_discount")) * 10000, 0) / 10000.0).alias("avg_disc"),
+            (F.round((F.sum(price_u2).cast("double") / F.count("*") / 100.0) * 10000, 0) / 10000.0).alias("avg_price"),
+            (F.round((F.sum(disc_u2).cast("double") / F.count("*") / 100.0) * 10000, 0) / 10000.0).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -440,7 +493,8 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           (ROUND((SUM(value)) * 100, 0) / 100.0) AS sum_value
+           (ROUND(CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT))
+                       AS DOUBLE), 0) / 100.0) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -459,11 +513,17 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "salt", (F.xxhash64("event_id") % salt_buckets).cast("int")
         )
         .groupBy("event_type", "salt")
-        .agg(F.count("*").alias("pn"), F.sum("value").alias("psum"))
+        .agg(
+            F.count("*").alias("pn"),
+            # integer-cent partials (r15): exact under salting AND under
+            # the phase-2 merge, so salted == direct is arithmetic
+            # identity, not a float coincidence
+            F.sum(exact_units(F.col("value"), 2)).alias("psum_u2"),
+        )
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        (F.round((F.sum("psum")) * 100, 0) / 100.0).alias("sum_value"),
+        units_to_currency(F.sum("psum_u2"), 2).alias("sum_value"),
     )
 
 
@@ -528,14 +588,17 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     """
     SELECT l_returnflag, l_linestatus,
-           (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_price
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                       AS DOUBLE), 0) / 100.0) AS sum_price
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        (F.round((F.sum("l_extendedprice")) * 100, 0) / 100.0).alias("sum_price")
+        units_to_currency(
+            F.sum(exact_units(F.col("l_extendedprice"), 2)), 2
+        ).alias("sum_price")
     )
 
 
@@ -788,9 +851,14 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_subquery_scalar",
     """
     SELECT o_orderkey, o_totalprice,
-           (ROUND((o_totalprice - (SELECT AVG(o_totalprice) FROM orders)) * 10000, 0) / 10000.0)
+           (ROUND((o_totalprice - (SELECT CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0)
+                                                        AS BIGINT)) AS DOUBLE)
+                                          / 100.0 / COUNT(*) FROM orders))
+                  * 10000, 0) / 10000.0)
              AS vs_avg
-    FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    FROM orders WHERE o_totalprice > (SELECT CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0)
+                                                           AS BIGINT)) AS DOUBLE)
+                                             / 100.0 / COUNT(*) FROM orders)
     """,
 )
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,7 +877,9 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                (ROUND((o_totalprice - avg_price) * 10000, 0) / 10000.0) AS vs_avg
         FROM (
           SELECT o_orderkey, o_totalprice,
-                 (SELECT AVG(o_totalprice) FROM sq_orders) AS avg_price
+                 (SELECT CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT))
+                              AS DOUBLE) / 100.0 / COUNT(*)
+                  FROM sq_orders) AS avg_price
           FROM sq_orders
         )
         WHERE o_totalprice > avg_price
@@ -847,7 +917,8 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_shape",
     """
     SELECT l_orderkey,
-           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -879,7 +950,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -896,7 +967,8 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_shape",
     """
     SELECT c_custkey, c_name,
-           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -926,7 +998,7 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -1150,8 +1222,10 @@ def q_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            strftime(date_trunc('month', ts), '%Y-%m') AS month,
            CAST(count(*) AS BIGINT) AS n_events,
-           (ROUND((SUM(value)) * 100, 0) / 100.0) AS sum_value,
-           (ROUND((SUM(value) / count(*)) * 10000, 0) / 10000.0) AS avg_value
+           (ROUND(CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT))
+                       AS DOUBLE), 0) / 100.0) AS sum_value,
+           (ROUND((CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100.0) * 10000, 0) / 10000.0) AS avg_value
     FROM events GROUP BY event_type, month
     """,
 )
@@ -1164,21 +1238,28 @@ def q_reagg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraic aggregates (sum/count/min/max) re-aggregate — avg must be
     stored as (sum, count), never as a ratio."""
     events = load(spark, sf_dir, "events")
+    # integer-cent daily partials (r15): sum-of-sums is then exact, so
+    # "serve coarse windows from the daily rollup" holds as arithmetic
+    # identity at any window size, not approximately
     daily = events.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(exact_units(F.col("value"), 2)).alias("s_u2"),
+    )
     return (
         daily.groupBy(
             "event_type",
             F.date_format(F.date_trunc("month", "day"), "yyyy-MM").alias("month"),
         )
-        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("sv"))
+        .agg(F.sum("n").alias("n_events"), F.sum("s_u2").alias("sv_u2"))
         .select(
             "event_type",
             "month",
             "n_events",
-            (F.round(F.col("sv") * 100, 0) / 100.0).alias("sum_value"),
-            (F.round((F.col("sv") / F.col("n_events")) * 10000, 0) / 10000.0).alias("avg_value"),
+            units_to_currency(F.col("sv_u2"), 2).alias("sum_value"),
+            (F.round((F.col("sv_u2").cast("double") / F.col("n_events") / 100.0)
+                     * 10000, 0) / 10000.0).alias("avg_value"),
         )
     )
 
@@ -1647,7 +1728,9 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_tpch_q5_shape",
     """
-    SELECT n_name, (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue
+    SELECT n_name,
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                             AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1705,7 +1788,14 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
+            units_to_currency(
+                F.sum(
+                    exact_units(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    )
+                ),
+                4,
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -1962,7 +2052,7 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("long").alias("n_items"),
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue"),
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("revenue"),
         )
     )
 
@@ -2123,7 +2213,8 @@ Q17_BRAND = "Brand#4"
 @REG.add(
     "q_tpch_q17_shape",
     f"""
-    SELECT (ROUND((SUM(l_extendedprice) / 7.0) * 100, 0) / 100.0) AS avg_yearly,
+    SELECT (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                AS DOUBLE) / 7.0, 0) / 100.0) AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_small_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -2167,7 +2258,8 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced.createOrReplaceTempView("q17_slice")
     return spark.sql(
         """
-        SELECT (ROUND((SUM(l_extendedprice) / 7.0) * 100, 0) / 100.0) AS avg_yearly,
+        SELECT (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                AS DOUBLE) / 7.0, 0) / 100.0) AS avg_yearly,
                CAST(COUNT(*) AS BIGINT) AS n_small_lines
         FROM q17_slice l1
         WHERE l_quantity < (SELECT CAST(0.2 AS DOUBLE) * AVG(l_quantity)
@@ -2182,10 +2274,13 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey AS cntry,
            CAST(count(*) AS BIGINT) AS numcust,
-           (ROUND((SUM(c_acctbal)) * 100, 0) / 100.0) AS totacctbal
+           (ROUND(CAST(SUM(CAST(ROUND((c_acctbal) * 100, 0) AS BIGINT))
+                AS DOUBLE), 0) / 100.0) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(ROUND((c_acctbal) * 100, 0)
+                                                   AS BIGINT)) AS DOUBLE)
+                              / (COUNT(*) * 100.0)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND c_custkey NOT IN (SELECT o_custkey FROM orders
                             WHERE o_orderstatus = 'F')
     GROUP BY c_nationkey
@@ -2213,10 +2308,13 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_nationkey AS cntry,
                CAST(count(*) AS BIGINT) AS numcust,
-               (ROUND((SUM(c_acctbal)) * 100, 0) / 100.0) AS totacctbal
+               (ROUND(CAST(SUM(CAST(ROUND((c_acctbal) * 100, 0) AS BIGINT))
+                AS DOUBLE), 0) / 100.0) AS totacctbal
         FROM q22_customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q22_customer
-                           WHERE c_acctbal > 0.0)
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(ROUND((c_acctbal) * 100, 0)
+                                                       AS BIGINT)) AS DOUBLE)
+                                  / (COUNT(*) * 100.0)
+                           FROM q22_customer WHERE c_acctbal > 0.0)
           AND c_custkey NOT IN (SELECT o_custkey FROM q22_orders
                                 WHERE o_orderstatus = 'F')
         GROUP BY c_nationkey
@@ -2359,7 +2457,8 @@ Q15_END = "1996-04-01"
     f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0)
+             (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
@@ -2397,7 +2496,7 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("total_revenue")
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("total_revenue")
         )
         .localCheckpoint()  # feeds MAX and the winner join — one build
     )
@@ -2594,7 +2693,8 @@ Q8_SHARE_NATION = "NATION_3"
     f"""
     WITH vol AS (
       SELECT EXTRACT(year FROM o_orderdate) AS yr,
-             l_extendedprice * (1 - l_discount) AS v,
+             CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS v,
              sn.n_name AS supp_nation
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -2605,9 +2705,10 @@ Q8_SHARE_NATION = "NATION_3"
       WHERE cn.n_regionkey = {Q8_REGIONKEY}
     )
     SELECT CAST(yr AS INT) AS yr,
-           (ROUND((SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
-                          THEN v ELSE 0 END) / SUM(v)) * 1000000, 0) / 1000000.0) AS mkt_share,
-           (ROUND((SUM(v)) * 100, 0) / 100.0) AS total_vol
+           (ROUND((CAST(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                          THEN v ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(v) AS DOUBLE)) * 1000000, 0) / 1000000.0) AS mkt_share,
+           (ROUND(CAST(SUM(v) AS DOUBLE) / 100.0, 0) / 100.0) AS total_vol
     FROM vol GROUP BY yr ORDER BY yr
     """,
 )
@@ -2636,7 +2737,8 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH vol AS (
           SELECT year(o_orderdate) AS yr,
-                 l_extendedprice * (1 - l_discount) AS v,
+                 CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS v,
                  sn.n_name AS supp_nation
           FROM q8_lineitem
           JOIN q8_orders ON l_orderkey = o_orderkey
@@ -2647,9 +2749,10 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE cn.n_regionkey = {Q8_REGIONKEY}
         )
         SELECT CAST(yr AS INT) AS yr,
-               (ROUND((SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
-                              THEN v ELSE 0 END) / SUM(v)) * 1000000, 0) / 1000000.0) AS mkt_share,
-               (ROUND((SUM(v)) * 100, 0) / 100.0) AS total_vol
+               (ROUND((CAST(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
+                              THEN v ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(v) AS DOUBLE)) * 1000000, 0) / 1000000.0) AS mkt_share,
+               (ROUND(CAST(SUM(v) AS DOUBLE) / 100.0, 0) / 100.0) AS total_vol
         FROM vol GROUP BY yr ORDER BY yr
         """
     )
@@ -2674,7 +2777,8 @@ Q7_NATION_B = "NATION_2"
 @REG.add(
     "q_tpch_q6_shape",
     """
-    SELECT (ROUND((SUM(l_extendedprice * l_discount)) * 100, 0) / 100.0) AS revenue,
+    SELECT (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000, 0)
+                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2700,7 +2804,10 @@ def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        (F.round((F.sum(F.col("l_extendedprice") * F.col("l_discount"))) * 100, 0) / 100.0).alias("revenue"),
+        units_to_currency(
+            F.sum(exact_units(F.col("l_extendedprice") * F.col("l_discount"), 4)),
+            4,
+        ).alias("revenue"),
         F.count("*").cast("long").alias("n_lines"),
     )
 
@@ -2724,7 +2831,8 @@ def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1998-01-01'
     )
     SELECT supp_nation, cust_nation, yr,
-           (ROUND((SUM(volume)) * 100, 0) / 100.0) AS revenue
+           (ROUND(CAST(SUM(CAST(ROUND((volume) * 10000, 0) AS BIGINT))
+                       AS DOUBLE) / 100.0, 0) / 100.0) AS revenue
     FROM shipping GROUP BY supp_nation, cust_nation, yr
     ORDER BY supp_nation, cust_nation, yr
     """,
@@ -2779,7 +2887,7 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("yr"),
         )
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue")
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
@@ -2800,7 +2908,9 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN orders   ON o_orderkey = l_orderkey
       WHERE p_name LIKE '%red%'
     )
-    SELECT nation, yr, (ROUND((SUM(amount)) * 100, 0) / 100.0) AS sum_profit
+    SELECT nation, yr,
+           (ROUND(CAST(SUM(CAST(ROUND((amount) * 10000, 0) AS BIGINT))
+                       AS DOUBLE) / 100.0, 0) / 100.0) AS sum_profit
     FROM profit GROUP BY nation, yr ORDER BY nation, yr DESC
     """,
 )
@@ -2839,10 +2949,14 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("yr"),
-            amount.alias("amount"),
+            # amount is exact at 4 decimals (price*(1-disc) 4dp;
+            # 0.1*(retail*qty) 2dp) -> exact 1e-4-unit BIGINT sum (r15
+            # sf1 differential: 5 nation-years drifted one cent under
+            # the double sum)
+            exact_units(amount, 4).alias("amount_u4"),
         )
         .groupBy("nation", "yr")
-        .agg((F.round((F.sum("amount")) * 100, 0) / 100.0).alias("sum_profit"))
+        .agg(units_to_currency(F.sum("amount_u4"), 4).alias("sum_profit"))
         .orderBy("nation", F.desc("yr"))
     )
 
@@ -2998,12 +3112,16 @@ def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_tpch_q14_shape",
     """
-    SELECT (ROUND((100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                             THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount))) * 10000, 0) / 10000.0)
+    SELECT (ROUND((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(ROUND((l_extendedprice * (1 - l_discount))
+                                             * 10000, 0) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount))
+                                       * 10000, 0) AS BIGINT)) AS DOUBLE))
+                  * 10000, 0) / 10000.0)
              AS promo_revenue_pct,
-           (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0)
+           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0)
              AS total_revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -3019,23 +3137,29 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the month filter prunes lineitem at the scan (at
     production scale, a partition-pruned month); the part join carries
     only (p_partkey, p_type); both CASE sum and total fold in ONE
-    aggregate. Ratio rounds at 4 after the division; the raw total
-    rounds at 2 — same drift budget as every revenue key."""
+    aggregate. Arithmetic: exact 1e-4-dollar BIGINT units per line
+    (exact_units), so numerator, denominator, and total are exact
+    integers under any partitioning — zero summation drift (r15)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4-dollar units per line (r15 class hardening): the promo
+    # share becomes a ratio of two EXACT integers — no summation drift
+    # in numerator or denominator at any group size
+    rev_u4 = exact_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.round((100.0
                 * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
-                )
-                / F.sum(rev)) * 10000, 0) / 10000.0).alias("promo_revenue_pct"),
-            (F.round((F.sum(rev)) * 100, 0) / 100.0).alias("total_revenue"),
+                    F.when(F.col("p_type") == "PROMO", rev_u4).otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / F.sum(rev_u4).cast("double")) * 10000, 0) / 10000.0).alias("promo_revenue_pct"),
+            units_to_currency(F.sum(rev_u4), 4).alias("total_revenue"),
         )
     )
 
@@ -3043,7 +3167,8 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_tpch_q19_shape",
     """
-    SELECT (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
+    SELECT (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -3098,7 +3223,7 @@ def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
-            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100, 0) / 100.0).alias("revenue"),
+            units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("revenue"),
             F.count("*").cast("long").alias("n_lines"),
         )
     )

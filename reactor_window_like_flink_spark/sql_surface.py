@@ -49,13 +49,20 @@ SQL_TWINS: dict[str, str] = {
     "q_agg_group": """
         SELECT l_returnflag, l_linestatus,
                (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
-               (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_base_price,
-               (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS sum_disc_price,
-               (ROUND((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100, 0) / 100.0)
-                 AS sum_charge,
+               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                           AS DOUBLE), 0) / 100.0) AS sum_base_price,
+               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS sum_disc_price,
+               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                                          * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                      / 10000.0, 0) / 100.0) AS sum_charge,
                (ROUND((AVG(l_quantity)) * 10000, 0) / 10000.0) AS avg_qty,
-               (ROUND((AVG(l_extendedprice)) * 10000, 0) / 10000.0) AS avg_price,
-               (ROUND((AVG(l_discount)) * 10000, 0) / 10000.0) AS avg_disc,
+               (ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                            AS DOUBLE) / COUNT(*) / 100.0) * 10000, 0) / 10000.0)
+                 AS avg_price,
+               (ROUND((CAST(SUM(CAST(ROUND((l_discount) * 100, 0) AS BIGINT))
+                            AS DOUBLE) / COUNT(*) / 100.0) * 10000, 0) / 10000.0)
+                 AS avg_disc,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -67,7 +74,8 @@ SQL_TWINS: dict[str, str] = {
     """,
     "q_join_broadcast": """
         SELECT /*+ BROADCAST(part) */ p_brand,
-               (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
+               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -91,7 +99,8 @@ SQL_TWINS: dict[str, str] = {
     """,
     "q_rollup": """
         SELECT l_returnflag, l_linestatus,
-               (ROUND((SUM(l_extendedprice)) * 100, 0) / 100.0) AS sum_price
+               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                           AS DOUBLE), 0) / 100.0) AS sum_price
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "q_cube": """
@@ -114,7 +123,8 @@ SQL_TWINS: dict[str, str] = {
     """,
     "q_tpch_q3_shape": """
         SELECT l_orderkey,
-               (ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100, 0) / 100.0) AS revenue,
+               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
+                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
                date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
                o_orderpriority
         FROM customer

@@ -257,12 +257,17 @@ def test_winsorize_clip_counts_and_mean_shift(spark):
     out = _with_table(spark, rows, EVENT_SCHEMA, "q_winsorize", ["profiling"])
     assert len(out) == 1
     r = out[0]
-    # p01 of 1..100 (interpolated) = 1.99, p99 = 99.01
-    assert abs(r["p01"] - 1.99) < 1e-9 and abs(r["p99"] - 99.01) < 1e-9
-    assert r["n_clipped_lo"] == 1 and r["n_clipped_hi"] == 1
+    # DISCRETE (nearest-rank) percentiles since r15 — SQL-standard
+    # percentile_disc: first value with cume_dist >= p. For 1..100:
+    # p01 -> 1st value = 1.0, p99 -> 99th value = 99.0. (Interpolated
+    # thresholds diverged between engines by an ulp at sf1 tie density;
+    # disc thresholds are data values, bit-identical by construction.)
+    assert r["p01"] == 1.0 and r["p99"] == 99.0
+    # nothing sits strictly below 1.0; only 100.0 sits above 99.0
+    assert r["n_clipped_lo"] == 0 and r["n_clipped_hi"] == 1
     assert r["mean_raw"] == 50.5
-    # clipping is symmetric here: mean unchanged up to the clip deltas
-    assert abs(r["mean_winsor"] - 50.5) < 0.01
+    # clipping pulls only 100 -> 99: mean shifts by exactly -0.01
+    assert abs(r["mean_winsor"] - 50.49) < 1e-9
 
 
 def test_skew_profile_gini_hand_computed(spark, sf_dir):
@@ -610,9 +615,11 @@ def test_winsorize_matches_numpy_model(spark):
     rows = [(i, t0, 1, "pay", float(v), "{}") for i, v in enumerate(values)]
     out = _with_table(spark, rows, EVENT_SCHEMA, "q_winsorize", ["profiling"])
     r = out[0]
-    p01, p99 = np.percentile(values, [1, 99], method="linear")
-    assert abs(r["p01"] - rhalf(p01, 4)) < 1e-9
-    assert abs(r["p99"] - rhalf(p99, 4)) < 1e-9
+    # disc convention since r15: SQL-standard percentile_disc = first
+    # value with cume_dist >= p = numpy's inverted_cdf method
+    p01, p99 = np.percentile(values, [1, 99], method="inverted_cdf")
+    assert abs(r["p01"] - rhalf(float(p01), 4)) < 1e-9
+    assert abs(r["p99"] - rhalf(float(p99), 4)) < 1e-9
     assert r["n_clipped_lo"] == int((values < p01).sum())
     assert r["n_clipped_hi"] == int((values > p99).sum())
     wins = np.clip(values, p01, p99)

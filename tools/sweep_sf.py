@@ -35,6 +35,9 @@ def main() -> int:
     args = [a for a in sys.argv[1:]]
     sf_dir = "/root/testdata/sf0.1"
     chunk_size, from_chunk = 20, 0
+    chunk_timeout: int | None = None  # seconds; None = wait forever
+    exclude: set[str] = set()
+    only: set[str] = set()
     rest = []
     it = iter(args)
     for a in it:
@@ -42,6 +45,12 @@ def main() -> int:
             chunk_size = int(next(it))
         elif a == "--from-chunk":
             from_chunk = int(next(it))
+        elif a == "--exclude":
+            exclude = set(next(it).split(","))
+        elif a == "--only":
+            only = set(next(it).split(","))
+        elif a == "--chunk-timeout":
+            chunk_timeout = int(next(it))
         else:
             rest.append(a)
     if rest:
@@ -51,6 +60,16 @@ def main() -> int:
     import __spark_entry__ as e
 
     keys = list(e.queries())
+    unknown = (exclude | only) - set(keys)
+    if unknown:
+        print(f"unknown keys in --exclude/--only: {sorted(unknown)}")
+        return 2
+    if only:
+        keys = [k for k in keys if k in only]
+    if exclude:
+        dropped = [k for k in keys if k in exclude]
+        keys = [k for k in keys if k not in exclude]
+        print(f"excluded {len(dropped)} key(s): {','.join(dropped)}")
     chunks = [keys[i : i + chunk_size] for i in range(0, len(keys), chunk_size)]
     line_re = re.compile(r"^(PASS|FAIL|ROWS-ONLY) (\S+?):?\s")
 
@@ -62,9 +81,18 @@ def main() -> int:
             continue
         cmd = [sys.executable, os.path.join(REPO, "tools", "verify_oracle.py"), sf_dir, *chunk]
         t_chunk = time.time()
-        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=REPO, timeout=chunk_timeout
+            )
+            stdout = proc.stdout
+        except subprocess.TimeoutExpired as exc:
+            # a hung/quadratic key: keep whatever keys already reported
+            # (they printed before the hog), NORECORD the rest
+            stdout = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+            print(f"chunk {ci + 1}: TIMEOUT after {chunk_timeout}s", flush=True)
         current = None
-        for line in proc.stdout.splitlines():
+        for line in stdout.splitlines():
             m = line_re.match(line)
             if m:
                 status, key = m.group(1), m.group(2)

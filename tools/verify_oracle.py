@@ -20,14 +20,21 @@ import pandas as pd
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # synthetic sf1 probe corpus); DuckDB needs the glob form there.
+        # The shipped fixtures are single files — keep the exact path so
+        # a missing fixture still errors loudly.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
