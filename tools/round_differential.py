@@ -22,7 +22,18 @@ stress actually probes the class the migration removed; those same
 rows must STILL agree under the scaled form.
 
 Usage: python tools/round_differential.py [n_rows] (default 2_000_000)
+       python tools/round_differential.py --sums [n_rows] [n_groups]
 Prints one JSON line; exit 1 on any engine mismatch.
+
+``--sums`` demonstrates the r15 sf1 finding (q_tpch_q5/q9) as a
+controlled experiment: N exact-2-decimal "prices" summed per group as
+(a) a plain double SUM — Spark's 32-partition partial aggregation adds
+in a different order than DuckDB's sequential scan, so the group sums
+drift apart and some drift past a half-cent (the ROUND(,2) guard
+breaks) — and (b) the exact integer-cent SUM (the
+``exact_units`` pattern), which must agree bit-for-bit. The report
+counts groups where (a) differs raw, where (a) still differs AFTER the
+cent rounding (the driver-visible class), and asserts (b) has zero.
 """
 
 from __future__ import annotations
@@ -55,7 +66,82 @@ def old_duck_round(x: float, nd: int) -> float:
     )
 
 
+def sums_experiment(n_rows: int, n_groups: int) -> int:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(915)
+    # exact-2dp "prices" in TPC-H's magnitude range, heavy group sums
+    cents = rng.integers(90_000, 10_500_000, size=n_rows)
+    price = cents.astype("float64") / 100.0
+    grp = rng.integers(0, n_groups, size=n_rows)
+    tmp = tempfile.mkdtemp(prefix="sum_diff_")
+    path = os.path.join(tmp, "t.parquet")
+    pq.write_table(pa.table({"g": grp, "x": price}), path)
+
+    t0 = time.time()
+    from pyspark.sql import functions as F
+
+    from reactor_window_like_flink_spark.session import get_spark
+
+    spark = get_spark(app_name="sum_differential", shuffle_partitions=32)
+    # 32 input partitions => 32-way partial aggregation, the execution
+    # shape a real cluster has (repartition by row hash, NOT by group)
+    df = spark.read.parquet(path).repartition(32)
+    s_pdf = (
+        df.groupBy("g")
+        .agg(
+            F.sum("x").alias("raw"),
+            (F.round(F.sum("x") * 100, 0) / 100.0).alias("rounded"),
+            F.sum(F.round(F.col("x") * 100, 0).cast("long")).alias("u2"),
+        )
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    d_pdf = (
+        con.sql(
+            f"""SELECT g, SUM(x) AS raw,
+                       (ROUND(SUM(x) * 100, 0) / 100.0) AS rounded,
+                       CAST(SUM(CAST(ROUND((x) * 100, 0) AS BIGINT)) AS BIGINT) AS u2
+                FROM '{path}' GROUP BY g ORDER BY g"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    raw_diff = int((s_pdf["raw"].to_numpy() != d_pdf["raw"].to_numpy()).sum())
+    rounded_diff = int(
+        (s_pdf["rounded"].to_numpy() != d_pdf["rounded"].to_numpy()).sum()
+    )
+    u2_diff = int(
+        (s_pdf["u2"].to_numpy().astype("int64") != d_pdf["u2"].to_numpy().astype("int64")).sum()
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sum_differential",
+                "n_rows": n_rows,
+                "n_groups": n_groups,
+                "rows_per_group": n_rows // n_groups,
+                "raw_double_sum_groups_differ": raw_diff,
+                "cent_rounded_sum_groups_differ": rounded_diff,
+                "exact_unit_sum_groups_differ": u2_diff,
+                "wall_s": round(time.time() - t0, 1),
+            }
+        )
+    )
+    return 1 if u2_diff else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sums":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        n_groups = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+        return sums_experiment(n_rows, n_groups)
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     import numpy as np
     import pyarrow as pa
