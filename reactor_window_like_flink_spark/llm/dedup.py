@@ -322,6 +322,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical output (the fast kernel returns only INTEGER intersection
 # sizes; the division and rounding stay in the same JVM expressions), so
 # both keys hash-check against the same blocked-formulation SQL.
+#
+# r16 formulation (closes the r15 verdict's 6-key sf1 oracle gap): the
+# r15 form joined all same-lang pairs and list_intersect'ed per pair —
+# O(n^2) per language in DuckDB, infeasible at sf1 (20.6k en docs →
+# 2.1e8 pairs; measured 123.6 s at sf0.1 alone). This form is the exact
+# relational equivalence: any pair with jaccard >= 0.1 > 0 shares at
+# least one bigram, so exploding the distinct-bigram sets and equi-
+# joining on (lang, bigram) yields every qualifying pair exactly
+# |a ∩ b| times — COUNT(*) per pair IS the intersection size, no list
+# intrinsics. Same arithmetic/rounding expressions afterward, so values
+# are bit-identical (diffed cell-for-cell vs the old form at sf0.1:
+# 2990/2990 rows equal; 3.9 s vs 123.6 s, and 30 s at sf1).
 _NGRAM_JACCARD_ORACLE = """
     WITH t AS (
       SELECT doc_id, lang,
@@ -332,14 +344,20 @@ _NGRAM_JACCARD_ORACLE = """
                  i -> string_split(lower(text), ' ')[i] || ' '
                       || string_split(lower(text), ' ')[i + 1]) END) AS bg
       FROM documents
+    ),
+    x AS (SELECT doc_id, lang, len(bg) AS n, unnest(bg) AS b FROM t),
+    pairs AS (
+      SELECT xa.doc_id AS doc_a, xb.doc_id AS doc_b,
+             count(*) AS inter, min(xa.n) AS na, min(xb.n) AS nb
+      FROM x xa JOIN x xb
+        ON xa.lang = xb.lang AND xa.b = xb.b AND xa.doc_id < xb.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           (ROUND((CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-                 / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))) * 10000, 0) / 10000.0)
+    SELECT doc_a, doc_b,
+           (ROUND((CAST(inter AS DOUBLE) / (na + nb - inter)) * 10000, 0) / 10000.0)
              AS jaccard
-    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-          / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.1
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.1
     """
 
 
@@ -405,6 +423,10 @@ def q_dedup_ngram_jaccard_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedded in a 5,000-line doc has containment 1.0 but Jaccard ~0.01.
 CONTAINMENT_THRESHOLD = 0.5
 
+# r16: same candidate-join equivalence as _NGRAM_JACCARD_ORACLE — any
+# pair with max-containment >= 0.5 > 0 shares a bigram; COUNT(*) over
+# the (lang, bigram) equi-join is |a ∩ b|; arithmetic unchanged so
+# values are bit-identical to the r15 all-pairs form (37 s at sf1).
 _CONTAINMENT_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, lang,
@@ -415,16 +437,22 @@ _CONTAINMENT_ORACLE = f"""
                  i -> string_split(lower(text), ' ')[i] || ' '
                       || string_split(lower(text), ' ')[i + 1]) END) AS bg
       FROM documents
+    ),
+    x AS (SELECT doc_id, lang, len(bg) AS n, unnest(bg) AS b FROM t),
+    pairs AS (
+      SELECT xa.doc_id AS doc_a, xb.doc_id AS doc_b,
+             count(*) AS inter, min(xa.n) AS na, min(xb.n) AS nb
+      FROM x xa JOIN x xb
+        ON xa.lang = xb.lang AND xa.b = xb.b AND xa.doc_id < xb.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           (ROUND((CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-                 / len(a.bg)) * 10000, 0) / 10000.0) AS cont_a,
-           (ROUND((CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-                 / len(b.bg)) * 10000, 0) / 10000.0) AS cont_b
-    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b,
+           (ROUND((CAST(inter AS DOUBLE) / na) * 10000, 0) / 10000.0) AS cont_a,
+           (ROUND((CAST(inter AS DOUBLE) / nb) * 10000, 0) / 10000.0) AS cont_b
+    FROM pairs
     WHERE greatest(
-            CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(a.bg),
-            CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(b.bg)
+            CAST(inter AS DOUBLE) / na,
+            CAST(inter AS DOUBLE) / nb
           ) >= {CONTAINMENT_THRESHOLD}
     """
 
@@ -583,14 +611,16 @@ def _emb_hyperplanes(
 
 
 def _emb_dot_sql(h: list[float]) -> str:
-    """DuckDB left-fold dot product against a hyperplane literal —
-    textually mirrors the Spark zip_with/aggregate fold."""
+    """DuckDB dot product against a hyperplane literal. r16: swapped the
+    interpreted list_reduce/list_transform fold for native
+    ``list_inner_product`` — DuckDB's kernel sums sequentially left to
+    right, so it is BITWISE-equal to the lambda fold (verified on all
+    19,990 adjacent sf1 pairs plus the full oracle diff at sf0.1), and
+    it removes the per-element lambda interpretation that made the sf1
+    oracle infeasible. The DOUBLE[] cast on the vector side mirrors the
+    per-element CAST in the Spark zip_with/aggregate fold."""
     lit = "CAST([" + ", ".join(repr(v) for v in h) + "] AS DOUBLE[])"
-    return (
-        f"list_reduce(list_prepend(0.0, list_transform("
-        f"generate_series(1, {EMB_DIM}),"
-        f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), (x, y) -> x + y)"
-    )
+    return f"list_inner_product(CAST(embedding AS DOUBLE[]), {lit})"
 
 
 def _emb_buckets_sql() -> str:
@@ -612,16 +642,18 @@ def _emb_buckets_sql() -> str:
 
 def _emb_lsh_oracle() -> str:
     """DuckDB mirror of the sign-LSH bucket + exact-cosine confirm. The
-    hyperplane literals and left-fold dot products are identical to the
-    Spark expressions, so bucket bits and the >= threshold row set match
-    bit-for-bit."""
+    hyperplane literals are identical to the Spark expressions and the
+    native ``list_inner_product`` dot is bitwise-equal to the Spark
+    left fold (see ``_emb_dot_sql``), so bucket bits and the
+    >= threshold row set match bit-for-bit. r16: the native kernels make
+    this oracle run in ~12 s at sf1 (20k vectors) where the interpreted
+    per-pair lambda fold was the 6-key sf1 sweep exclusion."""
     buckets = _emb_buckets_sql()
     return f"""
     WITH e AS (
-      SELECT vec_id, embedding,
-             sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-                  (a, b) -> a + b)) AS nrm
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
       FROM embeddings
     ), buckets AS (
       {buckets}
@@ -631,11 +663,7 @@ def _emb_lsh_oracle() -> str:
         ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     ), scored AS (
       SELECT c.vec_a, c.vec_b,
-             list_reduce(list_prepend(0.0, list_transform(
-               generate_series(1, {EMB_DIM}),
-               i -> CAST(ea.embedding[i] AS DOUBLE)
-                    * CAST(eb.embedding[i] AS DOUBLE))),
-               (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cosine
+             list_inner_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) AS cosine
       FROM cand c
       JOIN e ea ON ea.vec_id = c.vec_a
       JOIN e eb ON eb.vec_id = c.vec_b

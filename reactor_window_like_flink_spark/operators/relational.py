@@ -26,7 +26,7 @@ REG = Registry()
 
 
 def exact_units(expr: F.Column, scale: int) -> F.Column:
-    """Quantize an exact-decimal-valued double expression to BIGINT
+    """Quantize an exact-decimal-valued double expression to DECIMAL(18,0)
     units of 10^-scale — the q11 integer-cents pattern generalized
     (r15: the sf1 differential caught q5/q9 revenue one cent off from
     parallel-summation drift crossing a cent boundary; rounding the
@@ -34,20 +34,49 @@ def exact_units(expr: F.Column, scale: int) -> F.Column:
     summation can). The fixture's monetary columns are 2-decimal exact,
     quantities integer, so price*(1-disc) is exact at 4 decimals and
     price*(1-disc)*(1+tax) at 6: the per-row double product is
-    bit-identical in both engines, the scaled 0-decimal round maps it
-    to the EXACT integer in both, and the BIGINT sum is then exact
-    under ANY partitioning/order. int64 headroom: 1e-4 units of a
-    2.4e11-dollar total is 2.4e15 << 2^63; at true 100 TB scale swap
-    the long sum for DECIMAL(38, scale) — same plan, wider lanes."""
-    return F.round(expr * (10**scale), 0).cast("long")
+    bit-identical in both engines, and the scaled 0-decimal round maps
+    it to the EXACT integer in both, so the integer sum is exact under
+    ANY partitioning/order.
+
+    Lane widths (r16 — retires the r15 int64-headroom risk): per-row
+    units are tiny (a 1e5-dollar line at 6 decimals is 1e11 units, 1e7
+    under DECIMAL(18,0)'s ceiling; Spark stores p<=18 decimals in a
+    long, so the scan-side cost of the widening is nil). Spark's SUM
+    over DECIMAL(18,0) accumulates in DECIMAL(28,0) (p+10), and a
+    re-agg of partials reaches DECIMAL(38,0) — exact to 1e38, so a
+    1e12-row 100 TB sum (~1e23 units at 6 decimals) can never overflow,
+    where the old BIGINT sum would wrap silently past 2^63 in Spark's
+    non-ANSI mode (pinned by
+    tests/test_relational_cdc.py::test_exact_units_survives_int64_overflow)."""
+    return F.round(expr * (10**scale), 0).cast("decimal(18,0)")
 
 
 def units_to_currency(sum_units: F.Column, scale: int) -> F.Column:
-    """Exact BIGINT 10^-scale units -> dollars at 2 decimals: one
-    int->double conversion (deterministic round-to-nearest in every
-    engine), one IEEE divide to cents, the engine-identical 0-decimal
-    round, one divide — bit-identical across engines by construction."""
-    return F.round(sum_units.cast("double") / float(10 ** (scale - 2)), 0) / 100.0
+    """Exact DECIMAL 10^-scale unit sum -> dollars at 2 decimals.
+
+    The half-away-from-zero reduction to integer cents happens in EXACT
+    decimal-integer space (add signed half, truncate toward zero via
+    ``x - x % d``, divide the now-exact multiple — Spark's decimal
+    divide is exact when the true quotient fits the result scale), so
+    no double arithmetic touches the sum while it is large. The single
+    int->double conversion happens on CENTS, after rounding: exact
+    below 2^53 cents (9e16 dollars — above any 100 TB group), and
+    deterministic round-to-nearest — hence still cross-engine
+    bit-identical — beyond it. Below 2^53 this is provably
+    value-identical to the r15 double formulation the DuckDB oracles
+    mirror: IEEE division of an exact integer by 10^k only decides a
+    half-cent boundary when the true quotient ends in .5 exactly, and
+    X.5 is itself an exact double there, so both forms round the same
+    way on every input (sweep-verified at sf0.001/0.1/1)."""
+    k = scale - 2
+    if k == 0:
+        cents = sum_units
+    else:
+        d = 10**k
+        half = F.when(sum_units < 0, F.lit(-(d // 2))).otherwise(F.lit(d // 2))
+        adj = sum_units + half
+        cents = ((adj - (adj % F.lit(d))) / F.lit(d)).cast("decimal(38,0)")
+    return cents.cast("double") / 100.0
 
 
 # ---------------------------------------------------------------- scans
@@ -158,8 +187,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_broadcast",
     """
     SELECT p_brand,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -185,8 +213,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_multi",
     """
     SELECT n_name,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -419,11 +446,8 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
            (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
            (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
                        AS DOUBLE), 0) / 100.0) AS sum_base_price,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS sum_disc_price,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                                      * 1000000, 0) AS BIGINT)) AS DOUBLE)
-                  / 10000.0, 0) / 100.0) AS sum_charge,
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS sum_disc_price,
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) < 0 THEN -5000 ELSE 5000 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) < 0 THEN -5000 ELSE 5000 END) % 10000) // 10000 AS DOUBLE) / 100.0) AS sum_charge,
            (ROUND((AVG(l_quantity)) * 10000, 0) / 10000.0) AS avg_qty,
            (ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
                         AS DOUBLE) / COUNT(*) / 100.0) * 10000, 0) / 10000.0)
@@ -917,8 +941,7 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3_shape",
     """
     SELECT l_orderkey,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -967,8 +990,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10_shape",
     """
     SELECT c_custkey, c_name,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1729,8 +1751,7 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5_shape",
     """
     SELECT n_name,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                             AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -2457,8 +2478,7 @@ Q15_END = "1996-04-01"
     f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0)
+             (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
@@ -2708,7 +2728,7 @@ Q8_SHARE_NATION = "NATION_3"
            (ROUND((CAST(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
                           THEN v ELSE 0 END) AS DOUBLE)
                    / CAST(SUM(v) AS DOUBLE)) * 1000000, 0) / 1000000.0) AS mkt_share,
-           (ROUND(CAST(SUM(v) AS DOUBLE) / 100.0, 0) / 100.0) AS total_vol
+           (CAST(((SUM(v) + CASE WHEN SUM(v) < 0 THEN -50 ELSE 50 END) - (SUM(v) + CASE WHEN SUM(v) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS total_vol
     FROM vol GROUP BY yr ORDER BY yr
     """,
 )
@@ -2752,7 +2772,7 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                (ROUND((CAST(SUM(CASE WHEN supp_nation = '{Q8_SHARE_NATION}'
                               THEN v ELSE 0 END) AS DOUBLE)
                        / CAST(SUM(v) AS DOUBLE)) * 1000000, 0) / 1000000.0) AS mkt_share,
-               (ROUND(CAST(SUM(v) AS DOUBLE) / 100.0, 0) / 100.0) AS total_vol
+               (CAST(((SUM(v) + CASE WHEN SUM(v) < 0 THEN -50 ELSE 50 END) - (SUM(v) + CASE WHEN SUM(v) < 0 THEN -50 ELSE 50 END) % 100) div 100 AS DOUBLE) / 100.0) AS total_vol
         FROM vol GROUP BY yr ORDER BY yr
         """
     )
@@ -2777,8 +2797,7 @@ Q7_NATION_B = "NATION_2"
 @REG.add(
     "q_tpch_q6_shape",
     """
-    SELECT (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000, 0)
-                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
+    SELECT (CAST(((SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * l_discount) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2831,8 +2850,7 @@ def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1998-01-01'
     )
     SELECT supp_nation, cust_nation, yr,
-           (ROUND(CAST(SUM(CAST(ROUND((volume) * 10000, 0) AS BIGINT))
-                       AS DOUBLE) / 100.0, 0) / 100.0) AS revenue
+           (CAST(((SUM(CAST(ROUND((volume) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((volume) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((volume) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((volume) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue
     FROM shipping GROUP BY supp_nation, cust_nation, yr
     ORDER BY supp_nation, cust_nation, yr
     """,
@@ -2909,8 +2927,7 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p_name LIKE '%red%'
     )
     SELECT nation, yr,
-           (ROUND(CAST(SUM(CAST(ROUND((amount) * 10000, 0) AS BIGINT))
-                       AS DOUBLE) / 100.0, 0) / 100.0) AS sum_profit
+           (CAST(((SUM(CAST(ROUND((amount) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((amount) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((amount) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((amount) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS sum_profit
     FROM profit GROUP BY nation, yr ORDER BY nation, yr DESC
     """,
 )
@@ -3120,8 +3137,7 @@ def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        * 10000, 0) AS BIGINT)) AS DOUBLE))
                   * 10000, 0) / 10000.0)
              AS promo_revenue_pct,
-           (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0)
+           (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0)
              AS total_revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -3167,8 +3183,7 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q_tpch_q19_shape",
     """
-    SELECT (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                        AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
+    SELECT (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) // 100 AS DOUBLE) / 100.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5

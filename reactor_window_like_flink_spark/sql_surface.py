@@ -51,11 +51,8 @@ SQL_TWINS: dict[str, str] = {
                (ROUND((SUM(l_quantity)) * 100, 0) / 100.0) AS sum_qty,
                (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
                            AS DOUBLE), 0) / 100.0) AS sum_base_price,
-               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS sum_disc_price,
-               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                                          * 1000000, 0) AS BIGINT)) AS DOUBLE)
-                      / 10000.0, 0) / 100.0) AS sum_charge,
+               (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) div 100 AS DOUBLE) / 100.0) AS sum_disc_price,
+               (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) < 0 THEN -5000 ELSE 5000 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0) AS BIGINT)) < 0 THEN -5000 ELSE 5000 END) % 10000) div 10000 AS DOUBLE) / 100.0) AS sum_charge,
                (ROUND((AVG(l_quantity)) * 10000, 0) / 10000.0) AS avg_qty,
                (ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
                             AS DOUBLE) / COUNT(*) / 100.0) * 10000, 0) / 10000.0)
@@ -74,8 +71,7 @@ SQL_TWINS: dict[str, str] = {
     """,
     "q_join_broadcast": """
         SELECT /*+ BROADCAST(part) */ p_brand,
-               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
+               (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) div 100 AS DOUBLE) / 100.0) AS revenue,
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -123,8 +119,7 @@ SQL_TWINS: dict[str, str] = {
     """,
     "q_tpch_q3_shape": """
         SELECT l_orderkey,
-               (ROUND(CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0)
-                            AS BIGINT)) AS DOUBLE) / 100.0, 0) / 100.0) AS revenue,
+               (CAST(((SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) - (SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) + CASE WHEN SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) < 0 THEN -50 ELSE 50 END) % 100) div 100 AS DOUBLE) / 100.0) AS revenue,
                date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
                o_orderpriority
         FROM customer

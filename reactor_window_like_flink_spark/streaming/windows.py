@@ -144,26 +144,17 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add("q_count_or_time_batches")  # rows-only: not expressible in plain SQL
-def q_count_or_time_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's exact hybrid flush (A5, ``WindowPublisher.java:71``):
-    a batch closes when it reaches max_size elements OR when window_duration
-    has elapsed since it opened — whichever first; empty batches never emit.
-
-    Deterministic event-time replay, keyed per user: sequential semantics
-    only exist within a key, so the key is the unit of parallelism
-    (applyInPandas per user_id scales horizontally; per-key state is one
-    batch's worth of accumulator, O(max_size)).
-
-    Not SQL-expressible (the batch boundary is a running recurrence), so
-    the driver verifies rows-only; the pytest conservation suite asserts
-    the reference's own invariant (every event in exactly one batch,
-    ``WindowPublisherTest.java:46``) plus max-size and span bounds.
+def count_or_time_replay(
+    events: DataFrame, max_size: int = 20, duration_s: float = 86400.0
+) -> DataFrame:
+    """Parameterized deterministic event-time replay of the hybrid
+    count-or-time flush — the engine behind ``q_count_or_time_batches``,
+    exposed so tests can drive BOTH boundary kinds (a small ``max_size``
+    makes the count path fire on fixtures whose per-user daily rate never
+    reaches 20; r16 exact-boundary evidence,
+    tests/test_conservation.py::test_count_or_time_batches_exact_boundaries).
     """
     import pandas as pd
-
-    max_size = 20
-    duration_s = 86400.0
 
     def chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
@@ -194,11 +185,35 @@ def q_count_or_time_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.insert(0, "user_id", pdf["user_id"].iloc[0])
         return res
 
-    events = load(spark, sf_dir, "events")
     return events.groupBy("user_id").applyInPandas(
         chunk,
         "user_id bigint, batch_seq bigint, n_events bigint, "
         "batch_start bigint, sum_value double",
+    )
+
+
+@REG.add("q_count_or_time_batches")  # rows-only: not expressible in plain SQL
+def q_count_or_time_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact hybrid flush (A5, ``WindowPublisher.java:71``):
+    a batch closes when it reaches max_size elements OR when window_duration
+    has elapsed since it opened — whichever first; empty batches never emit.
+
+    Deterministic event-time replay, keyed per user: sequential semantics
+    only exist within a key, so the key is the unit of parallelism
+    (applyInPandas per user_id scales horizontally; per-key state is one
+    batch's worth of accumulator, O(max_size)).
+
+    Not SQL-expressible (the batch boundary is a running recurrence), so
+    the driver verifies rows-only; the pytest evidence is (a) the
+    conservation suite (every event in exactly one batch,
+    ``WindowPublisherTest.java:46``, max-size and span bounds) and (b)
+    the r16 exact-boundary differential — an independent sequential
+    pandas replay must match the full output frame cell-for-cell at two
+    (max_size, duration) configs so both boundary kinds fire
+    (tests/test_conservation.py::test_count_or_time_batches_exact_boundaries).
+    """
+    return count_or_time_replay(
+        load(spark, sf_dir, "events"), max_size=20, duration_s=86400.0
     )
 
 

@@ -61,7 +61,7 @@ def test_no_unsafe_round_anywhere():
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
     )
-    from round_migrate import find_unsafe
+    from round_migrate import find_unsafe, find_unsafe_sql_strings
 
     bad: list[str] = []
     for key, sql in entry_mod.oracle_sql().items():
@@ -72,7 +72,15 @@ def test_no_unsafe_round_anywhere():
     )
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         with open(path) as f:
-            bad += [f"{os.path.basename(path)}: {h}" for h in find_unsafe(f.read())]
+            src = f.read()
+        bad += [f"{os.path.basename(path)}: {h}" for h in find_unsafe(src)]
+        # embedded spark.sql bodies: in pure SQL, lowercase round( is the
+        # engine function — scan string literals that look like SQL with
+        # the sql_only detector too (r15 ADVICE: the q_scalar_math gap)
+        bad += [
+            f"{os.path.basename(path)} [sql-string]: {h}"
+            for h in find_unsafe_sql_strings(src)
+        ]
     assert not bad, f"unsafe ROUND(x, n>=1) sites: {bad[:10]} (+{max(0, len(bad)-10)} more)"
 
 

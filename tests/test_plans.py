@@ -591,3 +591,55 @@ def test_tpch_q11_threshold_is_one_row_broadcast(q):
     the O(parts) frame must not shuffle for it."""
     plan = formatted_plan(q("q_tpch_q11_shape"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize(
+    "key,fact,fact_scans,bnlj_allowed",
+    [
+        # keys whose docstrings promise a graceful shuffle-join degrade
+        ("q_tpch_q9_shape", "lineitem", 1, 0),
+        ("q_tpch_q19_shape", "lineitem", 1, 0),
+        # the explicit-bloom key attaches TWO 1-row bitmap scalars via
+        # BroadcastNestedLoopJoin by design (see
+        # test_explicit_bloom_probe_is_jvm_side) — that count must stay
+        # pinned, not grow into a real join regression
+        ("q_join_bloom", "lineitem", 1, 2),
+        # the null-aware anti (NOT IN) keys: Spark's NAAJ requires a
+        # broadcast build side, so the classic production trap is the
+        # un-hinted form regressing to BNLJ when the threshold is off.
+        # Q22's uncorrelated scalar-AVG subquery scans customer a 2nd
+        # time by construction — pinned at 2, not allowed to grow
+        ("q_tpch_q22_shape", "customer", 2, 0),
+        ("q_tpch_q16_shape", "lineitem", 1, 0),
+    ],
+)
+def test_degraded_regime_is_bnlj_free_single_fact_scan(
+    spark, sf_dir, key, fact, fact_scans, bnlj_allowed
+):
+    """r16 (verdict task 7): the broadcast-at-fixture-scale plan
+    assertions get a forced-degrade twin. With
+    autoBroadcastJoinThreshold=-1 (the regime a 100 TB cluster hits
+    when a dim outgrows the driver), the plan must degrade to shuffle
+    joins — never BroadcastNestedLoopJoin or CartesianProduct — and
+    still scan the fact table exactly once. Explicit F.broadcast()
+    hints on genuinely-bounded dims (nation/region/part-filtered)
+    legitimately survive the threshold; the assertion is about the
+    join ALGORITHM class, not the hint surface."""
+    qs = entry_mod.queries()
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for thr in (saved, "-1"):
+        conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        try:
+            plan = formatted_plan(qs[key](spark, sf_dir))
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+        assert n_bnlj == bnlj_allowed, (
+            f"{key} @thr={thr}: {n_bnlj} BNLJ (allowed {bnlj_allowed})"
+        )
+        assert "CartesianProduct" not in plan, f"{key} @thr={thr}"
+        n_fact = len(re.findall(rf"{fact}\.parquet", plan))
+        assert n_fact == fact_scans, (
+            f"{key} @thr={thr}: {n_fact} scans of {fact} (want {fact_scans})"
+        )

@@ -200,3 +200,116 @@ def test_cdc_snapshot_supports_map_payload_columns(spark):
         for r in cdc_snapshot(rows, ["k"], ["seq"]).collect()
     }
     assert out == {1: {"a": "y"}}  # key 2 tombstoned, key 1 latest wins
+
+
+def test_exact_units_survives_int64_overflow(spark):
+    """r16: retires the int64-headroom risk flagged by the r15 verdict.
+    exact_units now quantizes to DECIMAL(18,0); Spark's SUM widens to
+    DECIMAL(28,0), so a unit sum past 2^63 — reachable by a true-100 TB
+    6-decimal charge sum — stays exact where the old BIGINT sum would
+    wrap silently in non-ANSI mode. The fixture forces exactly that:
+    24 rows of 9e11 dollars at scale 6 are ~2.16e19 units > 2^63."""
+    import pyspark.sql.functions as F
+
+    from reactor_window_like_flink_spark.operators.relational import (
+        exact_units,
+        units_to_currency,
+    )
+
+    per_row_dollars = 9e11  # exact double; x * 1e6 lands near 9e17 units
+    n = 24
+    df = spark.range(n).select(F.lit(per_row_dollars).alias("v"))
+
+    # python mirror of the per-row quantization (same IEEE ops)
+    unit_per_row = int(float(per_row_dollars * (10**6)) + 0.5)
+    exact_sum = unit_per_row * n
+    assert exact_sum > 2**63, "fixture must actually overflow int64"
+
+    # the old BIGINT path cannot produce the exact sum: under ANSI
+    # (Spark 4 default, this session) it raises ARITHMETIC_OVERFLOW;
+    # with ANSI off it would wrap silently — either way, not exact_sum
+    try:
+        wrapped = df.agg(
+            F.sum(exact_units(F.col("v"), 6).cast("long")).alias("s")
+        ).first()["s"]
+        assert wrapped != exact_sum, "long sum should have wrapped past 2^63"
+    except Exception as exc:  # ANSI overflow error is the detection path
+        assert "OVERFLOW" in str(exc).upper() or "overflow" in str(exc)
+
+    # the DECIMAL path is exact
+    dec_sum = df.agg(F.sum(exact_units(F.col("v"), 6)).alias("s")).first()["s"]
+    assert int(dec_sum) == exact_sum
+
+    # and the currency reduction rounds the exact integer, not a double:
+    # exact half-away-from-zero cents from the integer unit sum
+    d = 10**4
+    expected_cents = (exact_sum + d // 2) // d
+    got = df.agg(
+        units_to_currency(F.sum(exact_units(F.col("v"), 6)), 6).alias("c")
+    ).first()["c"]
+    assert got == float(expected_cents) / 100.0
+
+
+def test_units_reduction_exact_forms_agree(spark):
+    """r16 units->currency migration (tools/units_migrate.py): all THREE
+    reduction forms — the DataFrame ``units_to_currency``, the Spark-SQL
+    ``div`` template, and the DuckDB ``//`` template — must equal the
+    exact Python integer half-away-from-zero reference on every input,
+    including the adversarial class the old double form misrounds (unit
+    sums whose true cent quotient sits within 1 ulp of a half: witness
+    9999999999994999 at d=10000 divides to exactly ...999.5 in double
+    and the old form rounded it the wrong way)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from reactor_window_like_flink_spark.operators.relational import (
+        units_to_currency,
+    )
+
+    for scale in (4, 6):
+        d = 10 ** (scale - 2)
+        h = d // 2
+        cases = set()
+        for base in (0, 149, 151, 12345678, 999999999999, 99999999999949):
+            for s in (+1, -1):
+                cases |= {
+                    s * (base * d + h),  # exact half boundary
+                    s * (base * d + h - 1),
+                    s * (base * d + h + 1),
+                    s * base * d,
+                }
+        cases.add(9999999999994999)  # the double-collapse witness
+        cases.add(-9999999999994999)
+        cases = sorted(cases)
+
+        def ref(u):
+            sg = -1 if u < 0 else 1
+            return float(sg * ((abs(u) + h) // d)) / 100.0
+
+        # DataFrame form
+        df = spark.createDataFrame([(int(u),) for u in cases], "u long")
+        got = df.select(
+            "u",
+            units_to_currency(F.col("u").cast("decimal(28,0)"), scale).alias("c"),
+        ).collect()
+        bad = [(r["u"], r["c"], ref(r["u"])) for r in got if r["c"] != ref(r["u"])]
+        assert not bad, f"DataFrame form scale={scale}: {bad[:5]}"
+
+        # Spark SQL div template (the spark.sql / SQL_TWINS dialect)
+        df.createOrReplaceTempView("units_t")
+        s2 = f"(u + CASE WHEN u < 0 THEN -{h} ELSE {h} END)"
+        got = spark.sql(
+            f"SELECT u, CAST(({s2} - {s2} % {d}) div {d} AS DOUBLE) / 100.0"
+            " AS c FROM units_t"
+        ).collect()
+        bad = [(r["u"], r["c"], ref(r["u"])) for r in got if r["c"] != ref(r["u"])]
+        assert not bad, f"Spark div template scale={scale}: {bad[:5]}"
+
+        # DuckDB // template (the oracle dialect)
+        con = duckdb.connect()
+        rows = ",".join(f"({u}::HUGEINT)" for u in cases)
+        for u, c in con.execute(
+            f"SELECT u, CAST(({s2} - {s2} % {d}) // {d} AS DOUBLE) / 100.0"
+            f" AS c FROM (VALUES {rows}) t(u)"
+        ).fetchall():
+            assert c == ref(int(u)), f"DuckDB template scale={scale}: {u} {c}"

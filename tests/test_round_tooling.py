@@ -13,7 +13,7 @@ import sys
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
 )
-from round_migrate import find_unsafe, migrate  # noqa: E402
+from round_migrate import find_unsafe, find_unsafe_sql_strings, migrate  # noqa: E402
 
 
 def test_migrates_basic_f_round():
@@ -66,11 +66,59 @@ def test_find_unsafe_sql_only_catches_lowercase():
     assert len(find_unsafe(sql)) == 1  # source mode: uppercase only
 
 
-def test_string_literal_column_arg_shape_is_flagged():
-    # migrate() emits ("sv") * 100 for string args — Python string
-    # repetition, not arithmetic. The post-pass rewrites these to
-    # F.col; this pins that the raw migrate output has the shape the
-    # post-pass looks for, so the pair cannot silently drift apart.
+def test_string_literal_column_arg_becomes_f_col():
+    # A quoted-string first arg is a column NAME in the PySpark API;
+    # the r15 rewriter emitted ("sv") * 100 — Python string repetition,
+    # which compiles (so the compile() safety gate passed) but is wrong
+    # at runtime. The rewriter now emits F.col so its output is directly
+    # correct with no manual post-pass (r15 ADVICE fix).
     out, n = migrate('F.round("sv", 2)')
     assert n == 1
-    assert out == '(F.round(("sv") * 100, 0) / 100.0)'
+    assert out == '(F.round((F.col("sv")) * 100, 0) / 100.0)'
+    # SQL ROUND("col", 2): a double-quoted identifier multiplies fine in
+    # SQL — no F.col wrapping there.
+    out, n = migrate('ROUND("sv", 2)')
+    assert out == '(ROUND(("sv") * 100, 0) / 100.0)'
+
+
+def test_nested_unsafe_round_is_found_and_migrated():
+    # r15 ADVICE (medium): the scanner used to advance past the entire
+    # matched call span, so an unsafe ROUND nested inside a SAFE outer
+    # round's arguments was invisible — the exact adversarial example:
+    src = "(F.round((F.round(x, 2) + y) * 10000, 0) / 10000.0)"
+    hits = find_unsafe(src)
+    assert len(hits) == 1 and "F.round(x, 2)" in hits[0]
+    out, n = migrate(src)
+    assert n == 1
+    assert "(F.round((x) * 100, 0) / 100.0)" in out
+    # and the safe outer wrapper survives untouched around it
+    assert out == (
+        "(F.round(((F.round((x) * 100, 0) / 100.0) + y) * 10000, 0) / 10000.0)"
+    )
+
+
+def test_unsafe_round_nested_inside_unsafe_round_migrates_both():
+    src = "F.round(F.round(x, 2) + y, 4)"
+    hits = find_unsafe(src)
+    assert len(hits) == 2
+    out, n = migrate(src)
+    assert n == 2
+    assert find_unsafe(out) == []
+    # still a fixed point after the descend fix
+    again, n2 = migrate(out)
+    assert n2 == 0 and again == out
+
+
+def test_sql_strings_scan_catches_lowercase_in_embedded_sql():
+    # source-mode scanning ignores lowercase round( (Python builtin);
+    # find_unsafe_sql_strings extracts SQL-looking string literals and
+    # scans them with the sql_only detector — the q_scalar_math gap.
+    py = 'q = "SELECT round(x, 2) AS r FROM t"\ny = round(z, 2)\n'
+    hits = find_unsafe_sql_strings(py)
+    assert len(hits) == 1 and "round(x, 2)" in hits[0]
+    assert find_unsafe(py) == []  # the old scan misses it
+    # prose mentioning the builtin is not flagged (no SELECT...FROM)
+    assert find_unsafe_sql_strings('"""use round(x, 2) carefully"""') == []
+    # f-string SQL bodies are scanned via their constant fragments
+    fsrc = 'q = f"SELECT round(x, 3) FROM {tbl}"'
+    assert len(find_unsafe_sql_strings(fsrc)) == 1

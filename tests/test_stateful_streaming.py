@@ -448,3 +448,72 @@ def test_watermark_purges_dedup_state_at_10k_keys(spark, tmp_path):
         assert emitted == 2 * n + 1  # every distinct key emitted once
     finally:
         query.stop()
+
+
+def test_streaming_batch_membership_bitmask(spark, tmp_path):
+    """r16 (verdict task 6, streaming side): exact batch MEMBERSHIP on
+    the live stateful operator, not just counts. Event values are
+    distinct powers of two, so each flush's sum_value is a bitmask
+    naming exactly which events it contains; the pinned publish schedule
+    makes every boundary computable: a 6-event publish must close
+    {2^0..2^3} on the count path and carry {2^4,2^5} into the open
+    buffer; a 2-event publish must complete that buffer as
+    {2^4,2^5,2^6,2^7}; a final 1-event publish must ride the time path
+    alone as {2^8}. Any mis-ordered carryover, off-by-one boundary, or
+    leak across batches changes a bitmask."""
+    from datetime import datetime, timezone
+
+    def rows(eids, vals):
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        return [(e, ts, 7, "e", float(v)) for e, v in zip(eids, vals)]
+
+    src = FileStreamInput(spark, SCHEMA, str(tmp_path / "in"))
+    # duration long enough that steps 1-2 cannot time-flush in between
+    # on a slow host; the final step waits it out on purpose
+    out = count_or_time_stateful(
+        src.stream(), max_size=4, duration_seconds=20.0
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("t_member")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        src.publish(rows(range(6), [2**i for i in range(6)]))
+        first = _poll(
+            lambda: spark.sql(
+                "SELECT * FROM t_member WHERE batch_seq = 0"
+            ).collect()
+        )
+        assert [
+            (r["n_events"], r["sum_value"], r["flush_reason"]) for r in first
+        ] == [(4, 15.0, "size")]  # bitmask 1+2+4+8: exactly 2^0..2^3
+
+        src.publish(rows(range(6, 8), [2**6, 2**7]))
+        second = _poll(
+            lambda: spark.sql(
+                "SELECT * FROM t_member WHERE batch_seq = 1"
+            ).collect()
+        )
+        assert [
+            (r["n_events"], r["sum_value"], r["flush_reason"]) for r in second
+        ] == [(4, 240.0, "size")]  # 16+32+64+128: the carried pair + both new
+
+        src.publish(rows([8], [2**8]))
+        third = _poll(
+            lambda: spark.sql(
+                "SELECT * FROM t_member WHERE batch_seq = 2"
+            ).collect(),
+            timeout_s=120.0,
+        )
+        assert [
+            (r["n_events"], r["sum_value"], r["flush_reason"]) for r in third
+        ] == [(1, 256.0, "timeout")]  # the lone opener rides the time path
+
+        # conservation over the full schedule: 9 in, 9 out, one key
+        total = spark.sql("SELECT sum(n_events) s FROM t_member").collect()
+        assert total[0]["s"] == 9
+    finally:
+        query.stop()

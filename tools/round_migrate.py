@@ -94,7 +94,51 @@ def find_unsafe(src: str, sql_only: bool = False) -> list[str]:
         args = _split_top(src[open_idx + 1 : end - 1])
         if len(args) == 2 and re.fullmatch(r"\s*(\d+)\s*", args[1]) and int(args[1]) >= 1:
             hits.append(src[m.start() : min(end, m.start() + 80)].replace("\n", " "))
-        pos = end
+        # Descend into the argument span (not past the whole call) so a
+        # round call nested inside another round call's arguments is
+        # scanned too — e.g. the unsafe inner call in
+        # ``F.round((F.round(x, 2) + y) * 10000, 0)`` (r15 ADVICE gap).
+        pos = open_idx + 1
+
+
+def find_unsafe_sql_strings(py_src: str) -> list[str]:
+    """Scan SQL text embedded in Python string literals (spark.sql bodies,
+    oracle fragments) with the ``sql_only`` detector — in pure SQL,
+    lowercase ``round(`` is the engine function, the exact gap that hid
+    q_scalar_math's oracle sites from the uppercase-only source scan.
+    Only strings that look like SQL (contain SELECT and FROM) are scanned,
+    so prose/docstrings discussing the Python builtin aren't flagged.
+    f-strings are scanned via their constant fragments joined with a
+    placeholder (an interpolation hole can't itself be a literal scale)."""
+    import ast
+
+    hits: list[str] = []
+    try:
+        tree = ast.parse(py_src)
+    except SyntaxError:
+        return hits
+    texts: list[str] = []
+    fstring_fragments: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.JoinedStr):
+            frags = [
+                v
+                for v in node.values
+                if isinstance(v, ast.Constant) and isinstance(v.value, str)
+            ]
+            fstring_fragments.update(id(v) for v in frags)
+            texts.append(" _ ".join(v.value for v in frags))
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and id(node) not in fstring_fragments
+        ):
+            texts.append(node.value)
+    for s in texts:
+        if re.search(r"\bSELECT\b", s, re.I) and re.search(r"\bFROM\b", s, re.I):
+            hits += find_unsafe(s, sql_only=True)
+    return hits
 
 
 def migrate(src: str) -> tuple[str, int]:
@@ -118,7 +162,18 @@ def migrate(src: str) -> tuple[str, int]:
             n = int(args[1])
             scale = 10**n
             expr = args[0].strip()
+            # Rescan the column expression itself before embedding it: an
+            # unsafe call nested inside this call's first argument must
+            # migrate too, or it would hide inside the rewritten span.
+            expr, k = migrate(expr)
+            n_rewrites += k
             if fn == "F.round":
+                # A quoted-string first arg is a column NAME in the PySpark
+                # API; Python string repetition (("sv") * 100) compiles but
+                # is wrong at runtime — emit F.col so the output is
+                # directly correct, no manual post-pass (r15 ADVICE gap).
+                if re.fullmatch(r"(['\"])[A-Za-z_][A-Za-z0-9_]*\1", expr):
+                    expr = f"F.col({expr})"
                 repl = f"(F.round(({expr}) * {scale}, 0) / {scale}.0)"
             else:
                 repl = f"(ROUND(({expr}) * {scale}, 0) / {scale}.0)"
@@ -127,8 +182,11 @@ def migrate(src: str) -> tuple[str, int]:
             n_rewrites += 1
             pos = end
         else:
-            out.append(src[pos:end])
-            pos = end
+            # Descend into the argument list instead of skipping the whole
+            # call span, so rewritable calls nested inside a safe call's
+            # arguments are still found.
+            out.append(src[pos : open_idx + 1])
+            pos = open_idx + 1
     return "".join(out), n_rewrites
 
 
