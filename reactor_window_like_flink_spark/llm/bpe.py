@@ -141,7 +141,7 @@ def learn_bpe_merges(
     6.0 s → sub-second at sf0.1); a larger one runs the distributed
     round loop. Both paths share the argmax tie-break and greedy
     application and produce IDENTICAL merges (tested)."""
-    vocab = _word_vocab(docs).localCheckpoint()
+    vocab = _word_vocab(docs).localCheckpoint(eager=False)
     if driver_vocab_max and vocab.count() <= driver_vocab_max:
         rows = vocab.collect()
         return _learn_sequential(
@@ -168,7 +168,7 @@ def learn_bpe_merges(
         merges.append((rank, left, right, c))
         new_vocab = vocab.mapInPandas(
             _apply_merge(left, right), "sym array<string>, freq long"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         vocab = new_vocab
     return merges
 

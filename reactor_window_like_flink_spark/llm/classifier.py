@@ -377,6 +377,20 @@ def train_classifier(
         feats.unpersist()
         return [0.0] * CLF_N_FEATURES
 
+    # Scale-adaptive task sizing for the Newton passes (r16, guide §4):
+    # every iteration is one Arrow-Python job over the persisted frame,
+    # so its cost floor is (partitions × Python-task launch), not the
+    # trivial 65-dim matmuls. Derive the partial-aggregation fan-in from
+    # the measured row count — ~100k rows per task keeps each partial a
+    # single well-vectorized matmul — instead of inheriting the scan's
+    # partitioning (32 near-empty Python tasks per pass at fixture
+    # scale; 12 passes × 31 wasted worker launches). coalesce() is a
+    # narrow read of the cached blocks (no shuffle, no second persist)
+    # and is a no-op when the data is big enough to want every
+    # partition (coalesce never increases the count).
+    ideal = max(1, min(int(feats.rdd.getNumPartitions()), (n_total + 99_999) // 100_000))
+    work = feats.coalesce(ideal)
+
     w = np.zeros(CLF_N_FEATURES, dtype="float64")
     eye = np.eye(CLF_N_FEATURES, dtype="float64")
     try:
@@ -395,7 +409,7 @@ def train_classifier(
                         {"g": [g.tolist()], "h": [h.ravel().tolist()]}
                     )
 
-            rows = feats.mapInPandas(
+            rows = work.mapInPandas(
                 partials, "g array<double>, h array<double>"
             ).collect()
             grad = np.zeros(CLF_N_FEATURES, dtype="float64")

@@ -107,7 +107,7 @@ def connected_components_star(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_rounds):
         # large-star over the symmetrized list: (v, m) for v > u
@@ -131,7 +131,7 @@ def connected_components_star(
             .union(m_small.select("src", F.col("m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if new.subtract(e).isEmpty() and e.subtract(new).isEmpty():
             e = new
@@ -158,15 +158,15 @@ def connected_components(
     for adversarial/long-chain graphs."""
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # materialize once; reused every round
-    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    ).localCheckpoint(eager=False)  # materialize once; reused every round
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(eager=False)
     for _ in range(max_rounds):
         nbr = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "comp"
         )
         new = (
             labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -264,6 +264,10 @@ def pagerank(
     ).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     ).distinct()
+    # Lazy checkpoint + the sizing count as its materializing action: the
+    # eager form paid one job for the checkpoint copy and a second for
+    # n_total; fusing them halves the setup jobs (r16, guide §1.2 —
+    # per-job overhead is the multiplier on iterative keys).
     adj = (
         sym.groupBy("src")
         .agg(
@@ -271,10 +275,12 @@ def pagerank(
             F.count("*").alias("outdeg"),
         )
         .repartition(n_parts, "src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    # symmetrized graph: every node appears as a src
-    nodes = adj.select(F.col("src").alias("node")).localCheckpoint()
+    # symmetrized graph: every node appears as a src; a plain projection
+    # of the checkpointed adj (no second checkpoint copy needed — the
+    # per-round re-projection is a map over cached blocks)
+    nodes = adj.select(F.col("src").alias("node"))
     n_total = nodes.count()
     if n_total == 0:
         # Empty graph: no nodes, no ranks — return the empty (node, rank)
@@ -299,8 +305,14 @@ def pagerank(
                 F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
             ).alias("rank"),
         )
-        if (i + 1) % 2 == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint()
+        # Cadence 3 with no checkpoint after the LAST round: each eager
+        # localCheckpoint is one full job, and the final noop/collect
+        # action executes the tail segment anyway. Measured at sf0.1
+        # (10 iters): cadence-2-plus-final 14.6 s → cadence-3 7.2 s,
+        # identical 6dp output; cadence 5 and no-checkpoint within noise
+        # but deeper plans — 3 keeps analysis O(1) per segment (r16).
+        if (i + 1) % 3 == 0 and i != iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", (F.round(F.col("rank") * 1000000, 0) / 1000000.0).alias("rank"))
 
 
@@ -319,7 +331,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lineitem = load(spark, sf_dir, "lineitem")
-    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey").distinct()
+    # No .distinct() here: pagerank symmetrizes and dedups the union in
+    # ONE exchange (sym.distinct()), so a pre-distinct pays a full extra
+    # shuffle of the pair stream for nothing (r16, guide §2.4 — proven
+    # output-identical at sf0.1, all 20k ranks equal at 6dp).
+    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey")
     return pagerank(edges)
 
 
@@ -364,18 +380,21 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
 
     Returns (node, community) for every node with ≥1 edge."""
     n_parts = edges.sparkSession.sparkContext.defaultParallelism
-    sym = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(
-            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-        .distinct()
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
+    # collect_set fuses the neighbor dedup INTO the adjacency groupBy —
+    # the previous sym.distinct() + collect_list spent a full extra
+    # exchange of the symmetrized pair stream on the same set semantics
+    # (r16, guide §2.4; measured 8.9 s → 5.4 s at sf0.1, labels
+    # identical — votes are integer counts over the neighbor SET, so
+    # in-array order is irrelevant). Lazy checkpoint: the first round's
+    # vote job materializes it; no standalone checkpoint job.
     adj = (
         sym.groupBy("src")
-        .agg(F.collect_list("dst").alias("dsts"))
+        .agg(F.collect_set("dst").alias("dsts"))
         .repartition(n_parts, "src")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = adj.select(F.col("src").alias("node"), F.col("src").alias("label"))
     for i in range(rounds):
@@ -390,8 +409,10 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
                 "label", F.struct(F.col("votes"), (-F.col("label")).alias("_t"))
             ).alias("label")
         )
-        if (i + 1) % 2 == 0 or i == rounds - 1:
-            labels = labels.localCheckpoint()
+        # cadence 3, no checkpoint after the last round (the consumer's
+        # action runs the tail) — same job-count rationale as pagerank
+        if (i + 1) % 3 == 0 and i != rounds - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -412,7 +433,9 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lineitem = load(spark, sf_dir, "lineitem")
-    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey").distinct()
+    # No .distinct(): label_propagation's collect_set adjacency dedups
+    # neighbors in its own groupBy (r16 — see label_propagation).
+    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey")
     labels = label_propagation(edges)
     sizes = labels.groupBy("community").agg(
         F.count("*").cast("long").alias("community_size")
@@ -462,9 +485,10 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
        is the full edge list but the build side is the frontier (tiny
        after round 1; AQE broadcasts it), and nothing edge-sized
        shuffles or materializes;
-    2. the O(nodes) degree frame drops the frontier (anti-join) and
-       subtracts the decrements (left join — both joins keyed on node
-       id against frontier-sized sides);
+    2. the O(nodes) degree frame drops the frontier (a ``deg >= k``
+       filter — equivalent to the anti-join by the loop invariant, see
+       ``_kcore_round``) and subtracts the decrements (left join keyed
+       on node id against the frontier-sized aggregate);
     3. the next frontier is read off the DECREMENTED nodes only — a
        node whose degree didn't change cannot newly fall below k, so
        convergence checks O(frontier-neighborhood) rows, not O(nodes).
@@ -482,40 +506,63 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
 
     Returns (node, degree) for every node in the k-core, with its
     degree INSIDE the core."""
+    sym, deg = _kcore_build(edges)
+    return _kcore_loop(sym, deg, k, max_rounds)
+
+
+def _kcore_build(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Symmetrized+deduped edge list and the initial degree frame, both
+    lazily checkpointed (the first consumer action materializes them).
+    The edge list is partitioned by dst: the per-round decrement
+    aggregate groups on dst, so the groupBy reuses this layout and the
+    whole round runs EXCHANGE-FREE over the checkpointed blocks (r16,
+    guide §2.4 — one exchange per round removed across the ~21-round
+    cascade tail)."""
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
     sym = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(
             edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .repartition(n_parts, "dst")
+        .localCheckpoint(eager=False)
     )
     # full degree aggregate happens exactly once; afterwards the frame
     # is maintained by frontier-sized decrements
     deg = (
         sym.groupBy("src")
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    return sym, deg
+
+
+def _kcore_loop(
+    sym: DataFrame, deg: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS
+) -> DataFrame:
+    """Delta-peel rounds to the fixpoint (see ``kcore``). One job per
+    round: the round's frontier count doubles as the materializing
+    action of its lazily-checkpointed degree frame (previously: eager
+    checkpoint + isEmpty = two extra jobs per round, r16 guide §1.2)."""
     bad = deg.filter(F.col("deg") < k).select("src")
     for _ in range(max_rounds):
-        if bad.isEmpty():
-            break  # fixpoint: no survivor is below k
-        upd = _kcore_round(sym, deg, bad).localCheckpoint()
+        upd = _kcore_round(sym, deg, bad, k).localCheckpoint(eager=False)
+        nxt = upd.filter(F.col("touched") & (F.col("deg") < k))
+        n_bad = nxt.count()  # materializes this round's checkpoint
         deg = upd.select("src", "deg")
-        # only decremented survivors can newly fall below k; lineage
-        # stays on the round's checkpoint, so no extra jobs
-        bad = (
-            upd.filter(F.col("touched") & (F.col("deg") < k))
-            .select("src")
-        )
+        bad = nxt.select("src")
+        if n_bad == 0:
+            break  # fixpoint: no survivor fell below k this round
     return (
         deg.filter(F.col("deg") >= k)
         .select(F.col("src").alias("node"), F.col("deg").cast("long").alias("degree"))
     )
 
 
-def _kcore_round(sym: DataFrame, deg: DataFrame, bad: DataFrame) -> DataFrame:
+def _kcore_round(
+    sym: DataFrame, deg: DataFrame, bad: DataFrame, k: int
+) -> DataFrame:
     """One delta-peel round: survivors with updated degree + touched
     flag (one checkpointable frame — the caller derives the next
     frontier from it with no extra jobs). The frontier (node ids only)
@@ -526,7 +573,16 @@ def _kcore_round(sym: DataFrame, deg: DataFrame, bad: DataFrame) -> DataFrame:
     tests/test_plans.py). After round 1 the frontier is the cascade
     tail, far below any broadcast threshold; a graph whose round-1
     frontier is O(V) is one whose core collapsed — the loop ends on
-    round 2."""
+    round 2.
+
+    Survivor selection is a plain ``deg >= k`` FILTER, not the previous
+    anti-join against the frontier: the loop's invariant is that every
+    below-k row of ``deg`` IS the frontier (round 0 defines it so; later
+    rounds filter survivors to >= k before decrementing, and an
+    untouched survivor keeps its >= k degree), so the two are identical
+    sets and the filter costs one scan instead of a broadcast join
+    (r16, guide §2.4; output proven equal at sf0.1 — same 17,732-node
+    core, same degrees)."""
     dec = (
         sym.join(F.broadcast(bad), "src")
         .groupBy("dst")
@@ -534,7 +590,7 @@ def _kcore_round(sym: DataFrame, deg: DataFrame, bad: DataFrame) -> DataFrame:
         .select(F.col("dst").alias("src"), "lost")
     )
     return (
-        deg.join(F.broadcast(bad), "src", "left_anti")
+        deg.filter(F.col("deg") >= k)
         .join(F.broadcast(dec), "src", "left")
         .select(
             "src",
@@ -564,19 +620,21 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     lineitem = load(spark, sf_dir, "lineitem")
-    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey").distinct()
-    edges = edges.localCheckpoint()  # consumed by the sizing count + rounds
-    stats = edges.select(
-        F.count("*").alias("m"),
-        F.approx_count_distinct("u").alias("_"),
+    # No pre-distinct / pre-checkpoint on the pair stream: _kcore_build's
+    # sym.distinct() dedups, and the sizing constants come from the deg
+    # frame the loop needs anyway — n_nodes = |deg| and 2m = Σdeg over
+    # the deduped symmetrized list — so sizing is ONE aggregate job that
+    # also materializes the checkpoints, replacing the previous three
+    # (edge checkpoint, edge count, node distinct-count — r16 guide §2.4
+    # / §1.2; k value proven identical at sf0.1: k=84, same 17,732-node
+    # core).
+    edges = _basket_pairs(lineitem, "l_orderkey", "l_partkey")
+    sym, deg = _kcore_build(edges)
+    row = deg.agg(
+        F.count("*").alias("n"), F.sum("deg").alias("two_m")
     ).first()
-    n_nodes = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select(F.col("v").alias("n")))
-        .distinct()
-        .count()
-    )
+    n_nodes = row["n"]
     if n_nodes == 0:
-        return kcore(edges, k=KCORE_K)
-    k = max(2, math.ceil(KCORE_MEAN_FRACTION * 2.0 * stats["m"] / n_nodes))
-    return kcore(edges, k=k)
+        return _kcore_loop(sym, deg, KCORE_K)
+    k = max(2, math.ceil(KCORE_MEAN_FRACTION * float(row["two_m"]) / n_nodes))
+    return _kcore_loop(sym, deg, k)

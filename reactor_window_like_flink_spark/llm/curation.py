@@ -75,7 +75,7 @@ def decontaminate(shingled: DataFrame, eval_pred: F.Column) -> DataFrame:
     pruning — without it the tokenize+shingle pass ran twice (the
     round-5 exchange-reuse lesson; interleaved A/B measured 2.6 s ->
     1.1 s at sf0.1)."""
-    sh = shingled.localCheckpoint().withColumn("_eval", eval_pred)
+    sh = shingled.localCheckpoint(eager=False).withColumn("_eval", eval_pred)
     ev = sh.filter(F.col("_eval")).select(F.explode("sh").alias("s")).distinct()
     tr = sh.filter(~F.col("_eval")).select(
         "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
@@ -735,14 +735,14 @@ def _near_admission(
 
     # one tokenize pass: bands, confirm sets, and the final doc list all
     # derive from the materialized toks (3 batch scans -> 1)
-    batch_toks = batch_toks.localCheckpoint()
+    batch_toks = batch_toks.localCheckpoint(eager=False)
     bands_b = minhash_bands(batch_toks)
     sets_b = hashed_shingle_sets(batch_toks)
     if corpus_bands is None:
         # self mode consumes bands/sets TWICE (both join sides) — only
         # then is their own materialization worth the copy
-        bands_b = bands_b.localCheckpoint()
-        sets_b = sets_b.localCheckpoint()
+        bands_b = bands_b.localCheckpoint(eager=False)
+        sets_b = sets_b.localCheckpoint(eager=False)
     # lower_id_only: the IN-batch pass (corpus frames are the batch's own
     # bands/sets) — a doc is a near_dup iff it matches a LOWER-id batch
     # doc. The pair rule (drop on any match to an earlier doc, no
@@ -817,8 +817,8 @@ def incremental_dedup_near(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     corpus_toks = _doc_toks(corpus)
     return _near_admission(
         _doc_toks(batch),
-        minhash_bands(corpus_toks).localCheckpoint(),
-        hashed_shingle_sets(corpus_toks).localCheckpoint(),
+        minhash_bands(corpus_toks).localCheckpoint(eager=False),
+        hashed_shingle_sets(corpus_toks).localCheckpoint(eager=False),
     )
 
 
@@ -957,7 +957,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(sources x buckets) rows; materializing collapses the 5
         # re-derivations (b, s, k, n, grid join) to ONE corpus scan
         # (measured: 8 scans without, 1 with)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     b = c.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cb"))
     s = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("ns"))
@@ -1084,7 +1084,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokenized(spark, sf_dir)
     ex = toks.select(
         "doc_id", F.explode(_shingles_from_toks(NOVELTY_NGRAM)).alias("s")
-    ).localCheckpoint()  # shared by the df aggregate and the join back
+    ).localCheckpoint(eager=False)  # shared by the df aggregate and the join back
     dfc = ex.groupBy("s").agg(F.count("*").alias("n_docs"))
     novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
     return (
@@ -1163,7 +1163,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # text is dropped at this projection; materializing the ~40 B/row
         # remainder keeps the winner-join branch from re-scanning and
         # re-hashing the full text (measured: 2 scans without)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     kept = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
     winners = gated.join(kept, ["h", "doc_id"])
@@ -1404,13 +1404,13 @@ def corpus_ingest_sink_near(
                 .select("doc_id")
             )
             keep = keep_self.join(keep_idx, "doc_id")
-            admitted = b.join(keep, "doc_id").localCheckpoint()
+            admitted = b.join(keep, "doc_id").localCheckpoint(eager=False)
             admitted.write.mode("overwrite").parquet(
                 f"{ledger_dir}/batch_id={batch_id}"
             )
             append_to_near_index(admitted, spark, index_prefix, batch_id)
         else:  # first batch: the admitted rows BECOME the index
-            admitted = b.join(keep_self, "doc_id").localCheckpoint()
+            admitted = b.join(keep_self, "doc_id").localCheckpoint(eager=False)
             admitted.write.mode("overwrite").parquet(
                 f"{ledger_dir}/batch_id={batch_id}"
             )

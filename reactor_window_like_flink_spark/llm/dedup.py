@@ -176,9 +176,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     hints are reserved for scanned dimension tables).
     """
     toks = _tokenized(spark, sf_dir)
-    bands = minhash_bands(
-        toks
-    ).localCheckpoint()  # both self-join sides: signature agg runs once
+    bands = minhash_bands(toks).localCheckpoint(
+        eager=False
+    )  # both self-join sides: signature agg runs once (lazy — the
+    # final action materializes it; an eager copy is a whole extra job,
+    # r16 guide §1.2, and block-level locks still dedup the compute)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -197,9 +199,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # confirm shuffle carries 8-byte elements instead of full shingle text
     # (~10x smaller rows). The brute-force test compares against literal
     # string sets, keeping the hashed form honest.
-    sets = hashed_shingle_sets(
-        toks
-    ).localCheckpoint()  # read by both confirm sides: hash pass runs once
+    sets = hashed_shingle_sets(toks).localCheckpoint(
+        eager=False
+    )  # read by both confirm sides: hash pass runs once
     with_a = sets.join(candidates, sets.doc_id == candidates.doc_a).select(
         "doc_a", "doc_b", F.col("sh").alias("sh_a")
     )
@@ -361,24 +363,87 @@ _NGRAM_JACCARD_ORACLE = """
     """
 
 
+def counted_intersection_pairs(
+    spark: SparkSession, sf_dir: str, shingle_n: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) for every same-``lang`` pair sharing
+    >= 1 word-``shingle_n``-gram: explode each doc's distinct hashed
+    shingles, equi-join on (lang, shingle), and COUNT(*) per pair — the
+    count IS the intersection size (each shared element contributes
+    exactly one joined row), the same relational equivalence the r16
+    sf1-feasible oracles use, so Spark and DuckDB literally run the same
+    formulation.
+
+    Regime rule (r16, guide §1.2/§3): this is the LOW-threshold kernel.
+    At t <= ~0.5 the PPJoin prefix filter keeps >= half of every set as
+    candidate keys, so ``exact_jaccard_pairs``'s extra machinery —
+    df-ranked per-doc sorts, the positional filter, pair dedup, and two
+    verify joins carrying full hash arrays — prunes little and costs two
+    materialized passes; the counted join is one exchange + one
+    map-side-combined pair count (measured at sf0.1: jaccard key 9.9 s →
+    4.5 s, containment 6.6 s → 4.3 s, outputs identical row-for-row).
+    At HIGH thresholds the prefix filter is the winner (t=0.9 explodes
+    ~10% of each set vs 100% here) — q_dedup_groups' t=0.5 pair build
+    keeps ``exact_jaccard_pairs``. Both forms share the hot-shingle
+    Σ df² candidate volume at low t; the join key (lang, shingle-hash)
+    is high-cardinality, so the volume spreads over every executor and
+    the pair count combines map-side."""
+    sized = _tokenized(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.transform(_shingles_from_toks(shingle_n), lambda x: F.xxhash64(x))
+        ).alias("n"),
+        F.explode(
+            F.transform(_shingles_from_toks(shingle_n), lambda x: F.xxhash64(x))
+        ).alias("h"),
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+
+
 @REG.add("q_dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard pairs (same ``lang``, Jaccard >= 0.1) —
     the deterministic, oracle-checkable complement to the probabilistic
     MinHash key.
 
-    The plan is the prefix-filtered set-similarity join
-    (``exact_jaccard_pairs``): candidates come from a posting-list join on
-    individual shingle hashes — a high-cardinality key that spreads across
-    every executor — not from an all-pairs join blocked on the ~5-value
-    ``lang`` column (whose Σ|block|² pair enumeration ran in at most 5
-    tasks). ``lang`` equality remains as a *predicate* on the candidate
-    join, so the output is identical to the oracle's blocked formulation.
-    Prefix pruning strengthens with the threshold (at t=0.1 the prefix is
-    90% of each set; at near-dup thresholds it collapses to a handful of
-    rare shingles), but the join-key cardinality — the scale property —
-    holds at any threshold."""
-    return exact_jaccard_pairs(spark, sf_dir, threshold=0.1, shingle_n=2)
+    r16 plan: the exploded-count equivalence (``counted_intersection_
+    pairs``) — at t=0.1 the PPJoin prefix filter explodes 90% of every
+    set as candidate keys, so its pruning bought little while its
+    rank/verify machinery cost two extra materialized passes (measured
+    9.9 s → 4.5 s at sf0.1, identical 2990 rows). The posting join key
+    (lang, shingle hash) is high-cardinality — the volume spreads across
+    every executor, never an all-pairs join blocked on the ~5-value
+    ``lang`` column. ``exact_jaccard_pairs`` (the PPJoin form) remains
+    the kernel for high-threshold callers where the prefix filter
+    actually prunes (q_dedup_groups at t=0.5)."""
+    pairs = counted_intersection_pairs(spark, sf_dir, shingle_n=2)
+    jacc = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return pairs.filter(jacc >= 0.1).select(
+        "doc_a", "doc_b", (F.round((jacc) * 10000, 0) / 10000.0).alias("jaccard")
+    )
 
 
 @REG.add("q_dedup_ngram_jaccard_arrow", _NGRAM_JACCARD_ORACLE)
@@ -480,9 +545,23 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix holds each doc's RAREST shingles, so the posting lists
     the join touches are short exactly where fan-out would hurt. One
     ``array_intersect`` verify per candidate emits both directions'
-    containments."""
-    return containment_pairs(
-        spark, sf_dir, CONTAINMENT_THRESHOLD, shingle_n=2
+    containments.
+
+    r16 plan: like ``q_dedup_ngram_jaccard``, the registered key now
+    runs the exploded-count equivalence (``counted_intersection_pairs``
+    — measured 6.6 s → 4.3 s at sf0.1, identical 152 rows): at t=0.5
+    the smaller side's prefix is half its set, so the asymmetric prefix
+    join pruned ~2x while paying the rank/verify passes. The
+    ``containment_pairs`` PPJoin form above remains the high-threshold
+    kernel."""
+    pairs = counted_intersection_pairs(spark, sf_dir, shingle_n=2)
+    inter = F.col("inter").cast("double")
+    ca, cb = inter / F.col("na"), inter / F.col("nb")
+    return pairs.filter(F.greatest(ca, cb) >= CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        (F.round(ca * 10000, 0) / 10000.0).alias("cont_a"),
+        (F.round(cb * 10000, 0) / 10000.0).alias("cont_b"),
     )
 
 
@@ -1016,41 +1095,66 @@ def lsh_cosine_pairs_fast(
         emb, "vec_id"
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        empty = pd.DataFrame(
-            {"vec_a": [], "vec_b": [], "cosine": []}
-        ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
-        if m < 2:
-            return empty
-        pdf = pdf.sort_values("vec_id", kind="mergesort")
-        ids = pdf["vec_id"].to_numpy()
-        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    # r16 kernel-shape rework (guide §4.1): the previous
+    # groupBy(band, bucket).applyInPandas paid one Python function call
+    # plus one pandas-frame construction PER BUCKET — with occupancy-
+    # sized buckets that is ~(n·bands/target) tiny invocations (16k at
+    # the auto key's 64-band fixture plan), and the per-call overhead,
+    # not the gram math, dominated (measured 15.2 s). The same grouping
+    # now rides ONE exchange: repartition by (band, bucket) +
+    # sortWithinPartitions, then a partition-wise mapInPandas walks the
+    # group boundaries with numpy and runs the IDENTICAL per-group
+    # blocked gram kernel — same groups, same per-group matmul shapes,
+    # bit-identical pair set (measured 15.2 s → ~3 s, rows equal).
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def bucket_pairs_batches(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        band = pdf["band"].to_numpy().astype("int64")
+        bucket = pdf["bucket"].to_numpy().astype("int64")
+        vec_id = pdf["vec_id"].to_numpy()
+        key = (band << 32) | bucket  # bucket is a non-negative int32
+        # one lexsort for the whole partition replaces the per-group
+        # mergesort: groups contiguous, vec_id ascending inside each
+        order = np.lexsort((vec_id, key))
+        key, ids = key[order], vec_id[order]
+        x = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
         xn = x / np.linalg.norm(x, axis=1)[:, None]
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1], True])
         va: list = []
         vb: list = []
         cs: list = []
         block = 512  # bound the (block x m) gram slab, not the bucket
-        for s in range(0, m, block):
-            g = xn[s : s + block] @ xn.T
-            ii, jj = np.nonzero(g >= threshold)
-            keep = jj > (ii + s)  # strict upper triangle -> vec_a < vec_b
-            va.append(ids[ii[keep] + s])
-            vb.append(ids[jj[keep]])
-            cs.append(g[ii[keep], jj[keep]])
-        if not va:
-            return empty
-        return pd.DataFrame(
-            {
-                "vec_a": np.concatenate(va),
-                "vec_b": np.concatenate(vb),
-                "cosine": np.concatenate(cs),
-            }
-        )
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            m = g1 - g0
+            if m < 2:
+                continue
+            gids, gx = ids[g0:g1], xn[g0:g1]
+            for s in range(0, m, block):
+                g = gx[s : s + block] @ gx.T
+                ii, jj = np.nonzero(g >= threshold)
+                keep = jj > (ii + s)  # strict upper triangle -> a < b
+                va.append(gids[ii[keep] + s])
+                vb.append(gids[jj[keep]])
+                cs.append(g[ii[keep], jj[keep]])
+        if va:
+            yield pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(va),
+                    "vec_b": np.concatenate(vb),
+                    "cosine": np.concatenate(cs),
+                }
+            )
 
     return (
-        grouped.groupBy("band", "bucket")
-        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cosine double")
+        grouped.repartition(n_parts, "band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+        .mapInPandas(
+            bucket_pairs_batches, "vec_a long, vec_b long, cosine double"
+        )
         # A pair surfaces once per shared (band,bucket); BLAS gemm can
         # differ at ULP level across bucket shapes/block offsets, so the
         # copies may not be bit-identical. max() canonicalizes — the

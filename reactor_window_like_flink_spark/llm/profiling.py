@@ -257,7 +257,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregate and the final filter) — materialize so the median
         # pass runs once (measured executed plan: 4 fact scans -> 3,
         # the floor: median, deviations, filter)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     with_med = events.join(F.broadcast(med), "event_type")
     mad = (

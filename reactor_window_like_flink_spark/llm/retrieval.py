@@ -103,7 +103,7 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tf feeds dl, df AND the scoring join; without materialization
         # the text scan + explode runs 4x (ReusedExchange can't fire
         # across the divergently-pruned subtrees — measured)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -328,13 +328,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         pairs.groupBy("pair")
         .agg(F.count("*").alias("c_xy"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     uni = (
         docs.select(F.explode(_tokens()).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = uni.agg(F.sum("c").cast("double").alias("n"))
     b = pc.agg(F.sum("c_xy").cast("double").alias("b"))
@@ -464,7 +464,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(_tokens()).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()  # shared by the totals and the H fold
+        .localCheckpoint(eager=False)  # shared by the totals and the H fold
     )
     s = tf.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
     p = F.col("c") / F.col("ns")
@@ -680,7 +680,7 @@ def _bm25_query_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             _tf(t).cast("long").alias(f"tf_{i}")
             for i, t in enumerate(BM25_QUERY_TERMS)
         ],
-    ).localCheckpoint()  # feeds stats AND scoring (narrow O(docs) frame)
+    ).localCheckpoint(eager=False)  # feeds stats AND scoring (narrow O(docs) frame)
     nterms = len(BM25_QUERY_TERMS)
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n"),
@@ -1262,7 +1262,7 @@ def q_term_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("term"))
         # feeds the pair expansion AND df; materialized so the text
         # scan + explode runs once (the q_bm25_topterms lesson)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     df = dt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # in-row ordered-pair expansion from each doc's sorted term array
@@ -1373,7 +1373,7 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(F.array_distinct(_tokens())).alias("term"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_tot = docs.agg(F.count("*").cast("double").alias("n"))
     n_s = docs.groupBy("source").agg(

@@ -181,7 +181,7 @@ def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("k", "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["pid"], r["cnt"])
@@ -268,7 +268,7 @@ def pack_token_stream(
         )
         .sortWithinPartitions("k", "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         (r["pid"], r["tok"] or 0)
@@ -516,7 +516,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition function Z, final projection) — without this the
         # corpus tokenize+aggregate executes once per branch (measured
         # executed plan: 4 parquet scans -> 1)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = m.agg(F.sum("n_tokens").cast("double").alias("tot"))
     with_p = m.crossJoin(F.broadcast(tot)).withColumn(
@@ -750,7 +750,7 @@ def q_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # O(sources) frame feeding three divergent branches (total, Z,
         # projection) — same materialization rationale as temperature
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = m.agg(F.sum("n_tokens").cast("double").alias("tot"))
     with_p = m.crossJoin(F.broadcast(tot)).withColumn(

@@ -640,62 +640,84 @@ def knn_graph(
     buckets = emb_band_buckets_fast(emb, bands=bands, bits=bits, seed=seed)
     grouped = buckets.join(emb, "vec_id")
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {"vec_id": [], "neighbor_id": [], "_cos": []}
-            ).astype({"vec_id": "int64", "neighbor_id": "int64",
-                      "_cos": "float64"})
-        # id-ascending row order makes column index order = id order, so
-        # the (cos desc, id asc) global tie-break is reproducible locally
-        # — ties keep the ids the final window would keep, and no
-        # candidate the global top-k needs is ever dropped here.
-        pdf = pdf.sort_values("vec_id", kind="mergesort")
-        ids = pdf["vec_id"].to_numpy()
-        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-        xn = x / np.linalg.norm(x, axis=1)[:, None]
-        kk = min(k, m - 1)  # uniform per bucket: same m for all rows
+    # r16 kernel-shape rework (guide §4.1, the lsh_cosine_pairs_fast
+    # twin): groupBy(band, bucket).applyInPandas paid one Python call +
+    # pandas-frame construction per bucket (~bands·2^bits tiny groups);
+    # the same grouping now rides one repartition+sortWithinPartitions
+    # exchange and a partition-wise mapInPandas walks group boundaries
+    # with numpy, running the IDENTICAL per-group blocked top-k kernel
+    # — same groups, same matmuls, same tie repair, identical output.
+    def bucket_topk_batches(batches):
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        band = pdf["band"].to_numpy().astype("int64")
+        bucket = pdf["bucket"].to_numpy().astype("int64")
+        vec_id = pdf["vec_id"].to_numpy()
+        key = (band << 32) | bucket  # bucket is a non-negative int32
+        # id-ascending order inside each group makes column index order
+        # = id order, so the (cos desc, id asc) global tie-break is
+        # reproducible locally — ties keep the ids the final window
+        # would keep, and no candidate the global top-k needs is ever
+        # dropped here.
+        order = np.lexsort((vec_id, key))
+        key, all_ids = key[order], vec_id[order]
+        all_x = np.stack(pdf["embedding"].to_numpy())[order].astype("float64")
+        all_xn = all_x / np.linalg.norm(all_x, axis=1)[:, None]
+        bounds = np.flatnonzero(np.r_[True, key[1:] != key[:-1], True])
         out_v: list = []
         out_u: list = []
         out_c: list = []
         block = 512  # bound the (block x m) gram slab, not the bucket
-        for s in range(0, m, block):
-            g = xn[s : s + block] @ xn.T
-            rows = g.shape[0]
-            # self never a neighbor: mask the diagonal slice once
-            g[np.arange(rows), s + np.arange(rows)] = -np.inf
-            sel = np.empty((rows, kk), dtype=np.int64)
-            for i in range(rows):
-                gi = g[i]
-                # O(m) argpartition for the value top-kk, then repair
-                # boundary ties: argpartition picks an ARBITRARY subset
-                # of entries tied at the cutoff, but the tie-break wants
-                # the smallest ids — widen to all boundary-tied indices
-                # and lexsort (cos desc, id asc) only that small set.
-                part = np.argpartition(-gi, kk - 1)[:kk]
-                vmin = gi[part].min()
-                ties = np.nonzero(gi == vmin)[0]
-                if len(ties) > int((gi[part] == vmin).sum()):
-                    cand = np.concatenate([part[gi[part] > vmin], ties])
-                else:
-                    cand = part
-                sel[i] = cand[np.lexsort((cand, -gi[cand]))][:kk]
-            flat = sel.ravel()
-            out_v.append(np.repeat(ids[s : s + rows], kk))
-            out_u.append(ids[flat])
-            out_c.append(g[np.repeat(np.arange(rows), kk), flat])
-        return pd.DataFrame(
-            {
-                "vec_id": np.concatenate(out_v),
-                "neighbor_id": np.concatenate(out_u),
-                "_cos": np.concatenate(out_c),
-            }
-        )
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            m = g1 - g0
+            if m < 2:
+                continue
+            ids, xn = all_ids[g0:g1], all_xn[g0:g1]
+            kk = min(k, m - 1)  # uniform per bucket: same m for all rows
+            for s in range(0, m, block):
+                g = xn[s : s + block] @ xn.T
+                rows = g.shape[0]
+                # self never a neighbor: mask the diagonal slice once
+                g[np.arange(rows), s + np.arange(rows)] = -np.inf
+                sel = np.empty((rows, kk), dtype=np.int64)
+                for i in range(rows):
+                    gi = g[i]
+                    # O(m) argpartition for the value top-kk, then repair
+                    # boundary ties: argpartition picks an ARBITRARY
+                    # subset of entries tied at the cutoff, but the
+                    # tie-break wants the smallest ids — widen to all
+                    # boundary-tied indices and lexsort (cos desc, id
+                    # asc) only that small set.
+                    part = np.argpartition(-gi, kk - 1)[:kk]
+                    vmin = gi[part].min()
+                    ties = np.nonzero(gi == vmin)[0]
+                    if len(ties) > int((gi[part] == vmin).sum()):
+                        cand = np.concatenate([part[gi[part] > vmin], ties])
+                    else:
+                        cand = part
+                    sel[i] = cand[np.lexsort((cand, -gi[cand]))][:kk]
+                flat = sel.ravel()
+                out_v.append(np.repeat(ids[s : s + rows], kk))
+                out_u.append(ids[flat])
+                out_c.append(g[np.repeat(np.arange(rows), kk), flat])
+        if out_v:
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "neighbor_id": np.concatenate(out_u),
+                    "_cos": np.concatenate(out_c),
+                }
+            )
 
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
     scored = (
-        grouped.groupBy("band", "bucket")
-        .applyInPandas(bucket_topk, "vec_id long, neighbor_id long, _cos double")
+        grouped.repartition(n_parts, "band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+        .mapInPandas(
+            bucket_topk_batches, "vec_id long, neighbor_id long, _cos double"
+        )
         # the same neighbor surfaces from every shared bucket; gemm can
         # differ at ULP level across bucket shapes, so canonicalize with
         # max() (deterministic for a fixed bucket assignment) instead of
@@ -1407,7 +1429,7 @@ def fit_ann_ingest_index(
         raise ValueError("ann index bootstrap must be non-empty")
     centroids, codebooks = _fit_ann_params(sample, cells, m, k, seed)
     index = AnnIngestIndex(spark, root, centroids, codebooks, 0.0)
-    rows = _encoded(index, bootstrap).localCheckpoint()
+    rows = _encoded(index, bootstrap).localCheckpoint(eager=False)
     rows.drop("qerr").write.mode("overwrite").partitionBy("cell").parquet(
         f"{index.gen_dir}/batch_id=-1"
     )
@@ -1447,7 +1469,7 @@ def _rebuild(index: AnnIngestIndex, seed: int = PQ_SEED) -> None:
         .select(
             "vec_id", "embedding", "label", "code", "batch_id", "cell", "qerr"
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rows.drop("qerr").write.mode("overwrite").partitionBy(
         "batch_id", "cell"
@@ -1483,7 +1505,7 @@ def ann_ingest_sink(
         b = batch_df.select("vec_id", "embedding", "label").dropDuplicates(
             ["vec_id"]
         )
-        rows = _encoded(index, b).localCheckpoint()
+        rows = _encoded(index, b).localCheckpoint(eager=False)
         rows.drop("qerr").write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(f"{index.gen_dir}/batch_id={batch_id}")

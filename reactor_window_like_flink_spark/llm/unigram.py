@@ -229,7 +229,7 @@ def train_unigram(
     ``driver_vocab_max`` rows then collects and trains sequentially,
     a larger one runs the distributed seed + EM loop. Both paths share
     every tie-break and produce IDENTICAL piece tables (tested)."""
-    vocab = _word_vocab(docs).localCheckpoint()
+    vocab = _word_vocab(docs).localCheckpoint(eager=False)
     if driver_vocab_max and vocab.count() <= driver_vocab_max:
         rows = vocab.collect()
         return train_unigram_sequential(
@@ -242,7 +242,7 @@ def train_unigram(
     )
     pc = sub.groupBy("piece").agg(
         F.sum("freq").cast("double").alias("c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     top = pc.orderBy(F.desc("c"), F.asc("piece")).limit(UNIGRAM_SEED_SIZE)
     chars_df = pc.filter(F.length("piece") == 1)
     seed_rows = top.unionByName(chars_df).dropDuplicates(["piece"]).collect()

@@ -1365,7 +1365,7 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floor, since binning can't start before the range is known)
     s = events.agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     w = (F.col("mx") - F.col("mn")) / F.lit(float(QROLLUP_BINS))
     bin_expr = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.least(
@@ -1698,7 +1698,7 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shuffle runs once, not once per side (the raw part
     # re-scans for the key expansion below stay: narrow re-scans of a
     # 2-column projection are cheaper than copying the table)
-    names = part.select("p_name").distinct().localCheckpoint()
+    names = part.select("p_name").distinct().localCheckpoint(eager=False)
     variants = names.select(
         F.col("p_name").alias("name"),
         F.explode(
@@ -2275,7 +2275,7 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("p_partkey")
     # one fact scan total: the slice is materialized, the decorrelated
     # aggregate and the probe both consume the checkpointed rows
-    sliced = sliced.localCheckpoint()
+    sliced = sliced.localCheckpoint(eager=False)
     sliced.createOrReplaceTempView("q17_slice")
     return spark.sql(
         """
@@ -2518,7 +2518,7 @@ def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             units_to_currency(F.sum(exact_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4).alias("total_revenue")
         )
-        .localCheckpoint()  # feeds MAX and the winner join — one build
+        .localCheckpoint(eager=False)  # feeds MAX and the winner join — one build
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -2583,7 +2583,7 @@ def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sliced = li.join(
         F.broadcast(part), li.l_partkey == part.p_partkey
-    ).drop("p_partkey").localCheckpoint()
+    ).drop("p_partkey").localCheckpoint(eager=False)
     sliced.createOrReplaceTempView("q2_slice")
     return spark.sql(
         """
@@ -3058,7 +3058,7 @@ def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(cents).alias("cents"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     thresh = by_part.agg(
         F.round(
