@@ -973,10 +973,21 @@ def similarity_join(
         bands, bits = auto_lsh_plan(corpus.count(), EMB_COSINE_THRESHOLD)
     elif bits is None:
         bits = auto_lsh_bits(corpus.count())
-    qb = bander(queries, bands=bands, bits=bits).withColumnRenamed(
+    # band the WHOLE table once and split after: banding is row-local,
+    # so banding(union) == banding(each side), but as two calls the
+    # banding pass (a Python mapInPandas for the fast kernel, a
+    # bands×bits HOF fold per row for the exact one) runs twice over
+    # the same parquet — once per side. One pass + a lazy checkpoint
+    # serves both filters (r16; ReusedExchange can't fire across the
+    # Python boundary, hence the explicit materialization).
+    banded = bander(emb, bands=bands, bits=bits).localCheckpoint(
+        eager=False
+    )
+    banded_is_query = F.col("vec_id") % SIMJOIN_QUERY_MOD == 0
+    qb = banded.filter(banded_is_query).withColumnRenamed(
         "vec_id", "query_id"
     )
-    cb = bander(corpus, bands=bands, bits=bits)
+    cb = banded.filter(~banded_is_query)
     cand = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .select("query_id", F.col("vec_id").alias("corpus_id"))

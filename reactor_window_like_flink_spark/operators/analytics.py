@@ -846,14 +846,16 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     or tiers to a coarser grid."""
     events = load(spark, sf_dir, "events")
     hr = F.date_trunc("hour", F.col("ts"))
-    w_last = Window.partitionBy("user_id", "hr").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    # per-(user, hour) LAST value as max(struct(ts, event_id, value)):
+    # struct comparison is lexicographic and (ts, event_id) is unique,
+    # so the max IS the row_number()=1 row of the (ts DESC, event_id
+    # DESC) window — but as an aggregate it map-side combines, where
+    # the window shipped and sorted every raw event (r16, guide §2.3)
     hv = (
         events.select("user_id", hr.alias("hr"), "ts", "event_id", "value")
-        .withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "hr", "value")
+        .groupBy("user_id", "hr")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("s"))
+        .select("user_id", "hr", F.col("s.value").alias("value"))
         # O(users x active-hours) rows, consumed by both the span
         # aggregate and the grid join — materialize once (the branches
         # prune differently, so exchange reuse alone won't fire;
@@ -2848,7 +2850,11 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one basket-keyed shuffle; degrees are a re-aggregate of the
     adjacency; the ends join keys on the node (the degree side is
     O(nodes) — broadcasts under AQE); the statistic folds to one row.
-    Integral degrees sum exactly; round(6) on the final ratios."""
+    Integral degrees sum exactly; round(6) on the final ratios.
+    The adjacency and degree frames are localCheckpointed (lazy):
+    adj feeds the ends join AND both degree lookups, deg feeds both
+    join sides — without the truncation the basket-expansion subtree
+    is planned SIX times (r16 plan audit: 6 parquet scans -> 1)."""
     li = load(spark, sf_dir, "lineitem")
     edges = (
         _basket_pairs(
@@ -2857,12 +2863,14 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("u", "v")
         .distinct()  # _basket_pairs dedups per basket, not globally
     )
-    adj = edges.selectExpr("u AS node", "v AS nbr").unionAll(
-        edges.selectExpr("v AS node", "u AS nbr")
+    adj = (
+        edges.selectExpr("u AS node", "v AS nbr")
+        .unionAll(edges.selectExpr("v AS node", "u AS nbr"))
+        .localCheckpoint(eager=False)  # read by deg AND the ends join
     )
     deg = adj.groupBy("node").agg(
         F.count("*").cast("double").alias("d")
-    )
+    ).localCheckpoint(eager=False)  # read by both end-degree lookups
     du = deg.select(F.col("node").alias("node"), F.col("d").alias("x"))
     dv = deg.select(F.col("node").alias("nbr"), F.col("d").alias("y"))
     ends = adj.join(du, "node").join(dv, "nbr")

@@ -162,22 +162,48 @@ def daily_kll_sketches(events: DataFrame, k: int = KLL_K) -> DataFrame:
     """The materialized daily-sketch table: one KLL sketch per
     (event_type, day) over ``value``, built in canonical (ts, event_id)
     order. This is the frame a production pipeline WRITES daily; every
-    coarser rollup merges these rows without re-reading events."""
+    coarser rollup merges these rows without re-reading events.
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        s = KLLSketch(k)
-        s.extend(pdf["value"].to_numpy())
-        n, levels, coins = s.to_row()
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "day": [pdf["day"].iloc[0]],
-                "n": [n],
-                "levels": [levels],
-                "coins": [coins],
-            }
+    Kernel shape (r16, guide §4.1): the previous
+    ``groupBy(event_type, day).applyInPandas`` paid one Python call +
+    one pandas-frame construction + one per-group mergesort PER GROUP.
+    The same grouping now rides one repartition(event_type, day) +
+    sortWithinPartitions(..., ts, event_id) exchange — every group
+    lands whole and pre-sorted in canonical order — and a
+    partition-wise ``mapInPandas`` walks the group boundaries, feeding
+    each slice to the IDENTICAL KLLSketch build. Only
+    (event_type, day, value) cross the Python boundary (ts/event_id
+    are sort keys, dropped after the sort — guide §4.1's
+    pass-only-what-the-function-needs). Sketches are unchanged: same
+    groups, same insertion order, same compaction schedule."""
+    import numpy as np
+
+    def build_batches(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = (
+            pd.concat(pdfs, ignore_index=True)
+            if len(pdfs) > 1
+            else pdfs[0]
         )
+        et = pdf["event_type"].to_numpy()
+        day = pdf["day"].to_numpy()
+        vals = pdf["value"].to_numpy()
+        bounds = np.flatnonzero(
+            np.r_[True, (et[1:] != et[:-1]) | (day[1:] != day[:-1]), True]
+        )
+        out = {"event_type": [], "day": [], "n": [], "levels": [], "coins": []}
+        for g0, g1 in zip(bounds[:-1], bounds[1:]):
+            s = KLLSketch(k)
+            s.extend(vals[g0:g1])
+            n, levels, coins = s.to_row()
+            out["event_type"].append(et[g0])
+            out["day"].append(day[g0])
+            out["n"].append(n)
+            out["levels"].append(levels)
+            out["coins"].append(coins)
+        yield pd.DataFrame(out)
 
     daily = events.select(
         "event_type",
@@ -186,8 +212,12 @@ def daily_kll_sketches(events: DataFrame, k: int = KLL_K) -> DataFrame:
         "event_id",
         "value",
     )
-    return daily.groupBy("event_type", "day").applyInPandas(
-        build, _SKETCH_SCHEMA
+    n_parts = events.sparkSession.sparkContext.defaultParallelism
+    return (
+        daily.repartition(n_parts, "event_type", "day")
+        .sortWithinPartitions("event_type", "day", "ts", "event_id")
+        .select("event_type", "day", "value")
+        .mapInPandas(build_batches, _SKETCH_SCHEMA)
     )
 
 

@@ -474,10 +474,13 @@ def test_q8_dual_role_dim_broadcasts_and_one_aggregate(q):
 
 def test_kcore_round_broadcasts_frontier_never_sorts_edges(spark):
     """The kcore delta-peel round must join the static edge list and
-    the degree frame against a BROADCAST frontier — checkpointed
+    the decrement aggregate against a BROADCAST side — checkpointed
     frames carry no stats, so without the explicit hint the planner
     sort-merges the full edge list every round (measured 39 s vs
-    ~8.8 s for the 21-round sf0.1 peel)."""
+    ~8.8 s for the 21-round sf0.1 peel). The r16 rework replaced the
+    survivor anti-join with a ``deg >= k`` filter (one broadcast join
+    fewer by design); the two that remain — frontier onto edges,
+    decrements onto survivors — must stay broadcast."""
     from pyspark.sql import functions as F
 
     from reactor_window_like_flink_spark.llm.clustering import _kcore_round
@@ -487,9 +490,9 @@ def test_kcore_round_broadcasts_frontier_never_sorts_edges(spark):
     ).localCheckpoint()
     deg = sym.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     bad = deg.filter(F.col("deg") < 3).select("src").localCheckpoint()
-    df = _kcore_round(sym, deg, bad)
+    df = _kcore_round(sym, deg, bad, 3)
     plan = formatted_plan(df)
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
