@@ -374,20 +374,17 @@ def counted_intersection_pairs(
     sf1-feasible oracles use, so Spark and DuckDB literally run the same
     formulation.
 
-    Regime rule (r16, guide §1.2/§3): this is the LOW-threshold kernel.
-    At t <= ~0.5 the PPJoin prefix filter keeps >= half of every set as
-    candidate keys, so ``exact_jaccard_pairs``'s extra machinery —
-    df-ranked per-doc sorts, the positional filter, pair dedup, and two
-    verify joins carrying full hash arrays — prunes little and costs two
-    materialized passes; the counted join is one exchange + one
-    map-side-combined pair count (measured at sf0.1: jaccard key 9.9 s →
-    4.5 s, containment 6.6 s → 4.3 s, outputs identical row-for-row).
-    At HIGH thresholds the prefix filter is the winner (t=0.9 explodes
-    ~10% of each set vs 100% here) — q_dedup_groups' t=0.5 pair build
-    keeps ``exact_jaccard_pairs``. Both forms share the hot-shingle
-    Σ df² candidate volume at low t; the join key (lang, shingle-hash)
-    is high-cardinality, so the volume spreads over every executor and
-    the pair count combines map-side."""
+    Status (r16 kernel arbitration): NOT the registered kernel. This
+    form briefly replaced PPJoin for the low-threshold keys on a first
+    A/B that appeared to favor it, but the full-bench medians regressed
+    and the solo 3-way re-measurement reversed the verdict decisively
+    (jaccard t=0.1: PPJoin 4.3 s vs this 10.8 s; containment t=0.5:
+    3.5 s vs 10.3 s; identical outputs). The Σ df² exploded-join volume
+    (9.4M rows at sf0.1) costs more to shuffle into the pair-keyed
+    count than PPJoin's candidate machinery saves, at EVERY threshold.
+    Retained (with a pinned equality test, tests/test_dedup.py) as the
+    Spark-side mirror of the r16 sf1-feasible DuckDB oracle formulation
+    and the measurement record for that kernel-choice rule."""
     sized = _tokenized(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -427,23 +424,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic, oracle-checkable complement to the probabilistic
     MinHash key.
 
-    r16 plan: the exploded-count equivalence (``counted_intersection_
-    pairs``) — at t=0.1 the PPJoin prefix filter explodes 90% of every
-    set as candidate keys, so its pruning bought little while its
-    rank/verify machinery cost two extra materialized passes (measured
-    9.9 s → 4.5 s at sf0.1, identical 2990 rows). The posting join key
-    (lang, shingle hash) is high-cardinality — the volume spreads across
-    every executor, never an all-pairs join blocked on the ~5-value
-    ``lang`` column. ``exact_jaccard_pairs`` (the PPJoin form) remains
-    the kernel for high-threshold callers where the prefix filter
-    actually prunes (q_dedup_groups at t=0.5)."""
-    pairs = counted_intersection_pairs(spark, sf_dir, shingle_n=2)
-    jacc = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    )
-    return pairs.filter(jacc >= 0.1).select(
-        "doc_a", "doc_b", (F.round((jacc) * 10000, 0) / 10000.0).alias("jaccard")
-    )
+    The plan is the prefix-filtered set-similarity join
+    (``exact_jaccard_pairs``): candidates come from a posting-list join
+    on individual shingle hashes — a high-cardinality key that spreads
+    across every executor — not from an all-pairs join blocked on the
+    ~5-value ``lang`` column. ``lang`` equality remains as a predicate
+    on the candidate join, so the output is identical to the oracle's
+    blocked formulation.
+
+    r16 kernel arbitration (guide §1 — measure, then measure again):
+    an exploded-count rewrite (``counted_intersection_pairs``, the
+    oracle's own sf1-feasible formulation) was tried on the theory that
+    at t=0.1 the prefix filter keeps ~90% of each set and prunes
+    little; a first A/B appeared to confirm it, but the full-bench
+    medians regressed (13.7 s vs the 6.6 s bar) and a solo 3-way re-
+    measurement settled it: PPJoin 4.3 s vs counted-join 10.8 s vs an
+    in-row posting-expansion variant 10.7 s, all outputs identical
+    (2990 rows). The prefix filter's 17% candidate pruning is NOT the
+    point at low t — the win is that its per-pair verify touches each
+    qualifying pair ONCE with colocated arrays, where the counted join
+    shuffles Σ df² joined rows (9.4M at sf0.1) into a pair-keyed
+    aggregate. PPJoin stays the kernel at every threshold."""
+    return exact_jaccard_pairs(spark, sf_dir, threshold=0.1, shingle_n=2)
 
 
 @REG.add("q_dedup_ngram_jaccard_arrow", _NGRAM_JACCARD_ORACLE)
@@ -547,21 +549,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect`` verify per candidate emits both directions'
     containments.
 
-    r16 plan: like ``q_dedup_ngram_jaccard``, the registered key now
-    runs the exploded-count equivalence (``counted_intersection_pairs``
-    — measured 6.6 s → 4.3 s at sf0.1, identical 152 rows): at t=0.5
-    the smaller side's prefix is half its set, so the asymmetric prefix
-    join pruned ~2x while paying the rank/verify passes. The
-    ``containment_pairs`` PPJoin form above remains the high-threshold
-    kernel."""
-    pairs = counted_intersection_pairs(spark, sf_dir, shingle_n=2)
-    inter = F.col("inter").cast("double")
-    ca, cb = inter / F.col("na"), inter / F.col("nb")
-    return pairs.filter(F.greatest(ca, cb) >= CONTAINMENT_THRESHOLD).select(
-        "doc_a",
-        "doc_b",
-        (F.round(ca * 10000, 0) / 10000.0).alias("cont_a"),
-        (F.round(cb * 10000, 0) / 10000.0).alias("cont_b"),
+    r16 kernel arbitration (guide §1): an exploded-count rewrite
+    (``counted_intersection_pairs``) was tried and initially appeared
+    2x faster, but full-bench medians regressed (14.1 s vs the 4.2 s
+    bar) and the solo 3-way re-measurement reversed the verdict —
+    PPJoin 3.5 s vs counted-join 10.3 s vs in-row posting expansion
+    10.8 s, identical 152 rows. Same conclusion as the jaccard key:
+    the asymmetric prefix join's 65% candidate pruning plus one
+    colocated verify per pair beats shuffling the Σ df² exploded-join
+    volume into a pair-keyed count. PPJoin stays the kernel."""
+    return containment_pairs(
+        spark, sf_dir, CONTAINMENT_THRESHOLD, shingle_n=2
     )
 
 
