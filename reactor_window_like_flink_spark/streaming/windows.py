@@ -235,15 +235,20 @@ def q_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming ``dropDuplicatesWithinWatermark`` (exactly-once-per-key
     emission; the streaming form is exercised in tests)."""
     events = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # first row by (ts, event_id) as min(struct(ts, event_id)): struct
+    # comparison is lexicographic and (ts, event_id) is unique, so the
+    # min IS the row_number()=1 row of the (ts, event_id) window — but
+    # as an aggregate it map-side combines to one row per key per
+    # partition, where the window shipped and sorted every raw event
+    # (r16, guide §2.3; the q_resample_ffill device).
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        events.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("s"))
         .select(
             "user_id",
             "event_type",
-            F.col("event_id").alias("first_event_id"),
-            F.unix_timestamp("ts").alias("first_ts"),
+            F.col("s.event_id").alias("first_event_id"),
+            F.unix_timestamp("s.ts").alias("first_ts"),
         )
     )
 
