@@ -227,6 +227,48 @@ def _epoch_calib() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calib_worker(_: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    assert x > 0
+    return time.perf_counter() - t0
+
+
+_MC_PROBE_N = 8
+
+
+def _epoch_calib_mc(n: int = _MC_PROBE_N) -> dict:
+    """Multi-core epoch probe (r16 judge item 1b): the single-thread
+    probe measured 0.609–0.715 s across runs whose MULTI-core
+    throughput differed by 2x+ — it cannot detect effective-core
+    collapse (host CPU steal/overcommit), which was the r16 confound.
+    Run the same pure-CPU loop in ``n`` concurrent processes: on an
+    uncontended host wall ~= the solo time and eff_cores ~= n; under
+    core collapse wall stretches and eff_cores = n*solo/wall drops.
+    ~1 s total; runs outside every timed region."""
+    import concurrent.futures
+    import multiprocessing
+
+    solo = _calib_worker(0)
+    ctx = multiprocessing.get_context("fork")
+    with concurrent.futures.ProcessPoolExecutor(
+        max_workers=n, mp_context=ctx
+    ) as pool:
+        # warm the pool so process fork/startup stays outside the window
+        list(pool.map(int, range(n)))
+        t0 = time.perf_counter()
+        list(pool.map(_calib_worker, range(n)))
+        wall = time.perf_counter() - t0
+    return {
+        "n": n,
+        "solo_s": round(solo, 3),
+        "wall_s": round(wall, 3),
+        "eff_cores": round(n * solo / wall, 1) if wall > 0 else None,
+    }
+
+
 def _load_bars() -> dict[str, float]:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_bar.json"
@@ -247,7 +289,13 @@ def main() -> int:
     qs = e.queries()
 
     calib_start = _epoch_calib()
-    print(f"# epoch calibration: {calib_start}s", file=sys.stderr)
+    calib_mc_start = _epoch_calib_mc()
+    print(
+        f"# epoch calibration: {calib_start}s single,"
+        f" {calib_mc_start['eff_cores']} effective cores"
+        f" ({calib_mc_start['n']} procs)",
+        file=sys.stderr,
+    )
 
     # Coverage statement, in one place: every registered key NOT timed
     # here. These are the cheap scalar/relational/streaming-form keys
@@ -281,17 +329,22 @@ def main() -> int:
 
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         # median-of-3 with recorded spread: this VM's block-device timings
         # vary ±2x run-to-run, so a single sample (or best-of-2) can both
-        # falsely fail and falsely pass the regression bar.
+        # falsely fail and falsely pass the regression bar. All 3 samples
+        # are recorded IN ORDER (r16 judge item 1c) so a contaminated
+        # sample is identifiable from the artifact, not just inferable
+        # from the spread.
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
+        all_samples[name] = [round(s, 3) for s in samples]
+        samples = sorted(samples)
         times[name] = round(samples[1], 3)
         spread[name] = round(samples[-1] - samples[0], 3)
         total += times[name]
@@ -350,11 +403,13 @@ def main() -> int:
         },
         "excluded_keys": excluded,
         "cold_build_s": cold_build,
+        "samples": all_samples,
         "vs_bar": ratios,
         "median_vs_bar": median_vs_bar,
         "flags": flags,
         "index_builds_during_timed": index_events.since(events_mark),
         "epoch_calib_s": {"start": calib_start, "end": _epoch_calib()},
+        "epoch_calib_mc": {"start": calib_mc_start, "end": _epoch_calib_mc()},
     }
     # Self-contained artifact: the driver's stdout-tail parse truncated 13
     # of 44 keys in round 4 (BENCH_r04.json parsed: null), so always write
@@ -389,7 +444,16 @@ _SUMMARY_FLAG_CAP = 20  # worst realistic flag count is a few; cap hard
 def compact_summary(payload: dict) -> str:
     """The bench's final stdout line: a JSON summary guaranteed to fit
     the driver's 2000-char tail window even in pathological runs (every
-    key flagged). Contract pinned by tests/test_bench_contract.py."""
+    key flagged). Contract pinned by tests/test_bench_contract.py.
+
+    r17 (judge item 1a): the line now carries a ``queries`` map — the
+    most expensive keys' medians, greedily added by descending cost
+    until the budget is reached — so the driver's PERF per-query
+    diff/geomean is computable from ground truth again (PERF_r16 had
+    ``per_query: {}`` because this line omitted the map entirely). The
+    FULL 155-key map (plus spread and all raw samples) stays one line
+    up and in BENCH_LOCAL.json; ``n`` > len(queries) signals the
+    by-cost truncation."""
     flags = payload.get("flags") or {}
     if len(flags) > _SUMMARY_FLAG_CAP:
         worst = dict(
@@ -397,23 +461,40 @@ def compact_summary(payload: dict) -> str:
         )
         worst["...truncated"] = len(flags) - _SUMMARY_FLAG_CAP
         flags = worst
-    line = json.dumps(
-        {
-            "metric": payload["metric"],
-            "value": payload["value"],
-            "unit": payload["unit"],
-            "sf": payload["sf"],
-            "n": len(payload.get("queries") or {}),
-            "median_vs_bar": payload.get("median_vs_bar"),
-            "flags": flags,
-            "guard_ratio": payload.get("guard_ratio") or {},
-            "timed_index_builds": len(
-                payload.get("index_builds_during_timed") or []
-            ),
-            "epoch_calib_s": payload.get("epoch_calib_s"),
-            "queries_full": "BENCH_LOCAL.json",
-        }
+    mc = payload.get("epoch_calib_mc") or {}
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n": len(payload.get("queries") or {}),
+        "queries": {},
+        "median_vs_bar": payload.get("median_vs_bar"),
+        "flags": flags,
+        "guard_ratio": payload.get("guard_ratio") or {},
+        "timed_index_builds": len(
+            payload.get("index_builds_during_timed") or []
+        ),
+        "epoch_calib_s": payload.get("epoch_calib_s"),
+        "eff_cores": {
+            side: (mc.get(side) or {}).get("eff_cores")
+            for side in ("start", "end")
+            if mc.get(side)
+        },
+        "queries_full": "BENCH_LOCAL.json",
+    }
+    # Greedy by-cost fill: most expensive keys first (they carry the
+    # regression signal), each rounded to 2 dp, stop at the first key
+    # that would overflow the tail budget.
+    by_cost = sorted(
+        (payload.get("queries") or {}).items(), key=lambda kv: (-kv[1], kv[0])
     )
+    for key, sec in by_cost:
+        summary["queries"][key] = round(sec, 2)
+        if len(json.dumps(summary)) > SUMMARY_MAX_CHARS:
+            del summary["queries"][key]
+            break
+    line = json.dumps(summary)
     assert len(line) <= SUMMARY_MAX_CHARS, len(line)
     return line
 

@@ -41,6 +41,10 @@ def _payload(n_flags: int = 0, n_queries: int = 200) -> dict:
             {"kind": "near_index", "name": "x", "seconds": 1.0}
         ],
         "epoch_calib_s": {"start": 0.733, "end": 0.72},
+        "epoch_calib_mc": {
+            "start": {"n": 8, "solo_s": 0.35, "wall_s": 0.4, "eff_cores": 7.0},
+            "end": {"n": 8, "solo_s": 0.35, "wall_s": 0.8, "eff_cores": 3.5},
+        },
     }
 
 
@@ -53,6 +57,31 @@ def test_summary_line_fits_tail_and_parses():
     assert len(d["flags"]) == 3
     assert d["timed_index_builds"] == 1
     assert d["epoch_calib_s"]["start"] == 0.733
+    assert d["eff_cores"] == {"start": 7.0, "end": 3.5}
+    # r17 (judge item 1a): per-query medians in the final line — a
+    # by-cost prefix large enough for the driver's geomean
+    assert len(d["queries"]) >= 40
+    assert all(v == 1.23 for v in d["queries"].values())
+
+
+def test_summary_queries_are_the_most_expensive_prefix():
+    payload = _payload()
+    # make a recognizable cost ranking: key i costs i seconds
+    payload["queries"] = {
+        f"q_key_with_a_long_name_{i:03d}": float(i) for i in range(200)
+    }
+    d = json.loads(compact_summary(payload))
+    assert d["n"] == 200
+    included = set(d["queries"])
+    assert 40 <= len(included) < 200
+    # the included set is exactly the most expensive len(included) keys
+    want = {
+        f"q_key_with_a_long_name_{i:03d}"
+        for i in range(200 - len(included), 200)
+    }
+    assert included == want
+    # values survive at 2 dp
+    assert d["queries"]["q_key_with_a_long_name_199"] == 199.0
 
 
 def test_summary_line_bounded_even_when_every_key_flags():
@@ -63,6 +92,8 @@ def test_summary_line_bounded_even_when_every_key_flags():
     d = json.loads(line)
     assert d["flags"]["...truncated"] == 180
     assert len(d["flags"]) == 21  # 20 worst + the truncation marker
+    # the queries map must shrink to absorb the flag bloat, not vanish
+    assert len(d["queries"]) >= 10
 
 
 def test_every_headline_key_has_a_bar():
